@@ -1,0 +1,116 @@
+"""Text-analysis expressions for the training-data pipeline extensions.
+
+All JVM-side native expressions (no UDFs): tokenization, shingling,
+quality stats, n-gram language ID, and document fingerprinting, designed
+to run over a 100 TB ``documents`` table as a single codegen'd projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .hashing import md5_long
+from .rounding import round_fixed
+
+# tiny public stopword seeds per language — heuristic language ID only
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "for", "it"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"],
+    "es": ["el", "la", "los", "las", "es", "un", "una", "que", "de", "por"],
+}
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization → array<string> (empty tokens dropped)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(c, r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """BPE-ish token estimate: count word pieces + digits + punctuation
+    runs (a public regex approximation of GPT-style pre-tokenization)."""
+    c = F.col(text) if isinstance(text, str) else text
+    pieces = F.regexp_extract_all(
+        c, F.lit(r"([A-Za-z]+|\d|[^A-Za-z\d\s]+)"), F.lit(1)
+    )
+    return F.size(pieces)
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles → array<string>; the MinHash input unit."""
+    toks = tokens(text)
+    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    idx = F.sequence(F.lit(1), count)
+    return F.when(F.size(toks) < n, F.array(F.array_join(toks, " "))).otherwise(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    )
+
+
+def punct_ratio(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return F.when(F.length(c) == 0, F.lit(0.0)).otherwise(
+        n_punct.cast("double") / F.length(c)
+    )
+
+
+def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
+    toks = tokens(F.lower(F.col(text) if isinstance(text, str) else text))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        hits.cast("double") / F.size(toks)
+    )
+
+
+def avg_word_len(text: Column | str) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        total.cast("double") / F.size(toks)
+    )
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: favors mid-length docs with low
+    punctuation density and a natural stopword rate."""
+    tc = token_count(text)
+    len_score = F.least(tc.cast("double") / F.lit(50.0), F.lit(1.0))
+    punct_penalty = F.lit(1.0) - F.least(punct_ratio(text) * 5, F.lit(1.0))
+    sw = stopword_ratio(text)
+    sw_score = F.lit(1.0) - F.least(F.abs(sw - F.lit(0.1)) * 4, F.lit(1.0))
+    return round_fixed((len_score + punct_penalty + sw_score) / 3, 6)
+
+
+def lang_id(text: Column | str) -> Column:
+    """Stopword-hit language ID: argmax over per-language hit counts,
+    'und' when nothing matches.  Ties break by language order (en, de,
+    fr, es) — deterministic."""
+    toks = tokens(F.lower(F.col(text) if isinstance(text, str) else text))
+    scores = []
+    for lang, words in STOPWORDS.items():
+        sw = F.array(*[F.lit(w) for w in words])
+        scores.append(
+            (lang, F.size(F.filter(toks, lambda t: F.array_contains(sw, t))))
+        )
+    best = F.lit("und")
+    best_score = F.lit(0)
+    for lang, score in scores:  # first-listed language wins ties via strict >
+        is_better = score > best_score
+        best = F.when(is_better, F.lit(lang)).otherwise(best)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    return best
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Document fingerprint: 60-bit hash of the whitespace-normalized,
+    lowercased text — the exact-dedup key."""
+    c = F.col(text) if isinstance(text, str) else text
+    normalized = F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
+    return md5_long(normalized)

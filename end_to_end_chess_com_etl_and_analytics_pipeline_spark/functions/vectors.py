@@ -1,0 +1,46 @@
+"""Vector math over ``array<float>`` embedding columns — JVM-side
+higher-order functions (``zip_with`` + ``aggregate``), no Python hop.
+
+Used by the similarity-search and embedding-dedup operators.  Computation
+is in double precision; callers round before oracle comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def norm_sq_sql(expr: str) -> str:
+    """DuckDB rendering of squared L2 norm (list_aggregate on squares)."""
+    return f"list_sum(list_transform({expr}, x -> CAST(x AS DOUBLE) * x))"
+
+
+def cosine_sql(a: str, b: str) -> str:
+    """DuckDB rendering of :func:`cosine` with identical summation order
+    (left-to-right list reduction over index-aligned products)."""
+    dot_ = (
+        f"list_sum(list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+    return f"({dot_} / (sqrt({norm_sq_sql(a)}) * sqrt({norm_sq_sql(b)})))"

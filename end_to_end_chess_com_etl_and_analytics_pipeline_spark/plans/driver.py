@@ -1,0 +1,494 @@
+"""Driver contract: named Spark queries + matching DuckDB oracle SQL.
+
+One entry per operator family from SURVEY.md §2 (plus the training-data
+extension operators), run by the driver at sf0.01 and compared row-count /
+schema / order-insensitive value-hash against DuckDB over the same
+parquet.  DuckDB-differential is the *right* oracle here: the reference's
+semantics are DuckDB semantics (its whole engine is embedded DuckDB), so
+agreement with DuckDB is agreement with the reference.
+
+Cross-engine determinism rules used throughout (so value-hashes match
+bit-for-bit):
+
+- money sums go through integer cents: ``CAST(ROUND(x*100, 0) AS BIGINT)``
+  summed as exact integers in both engines, then ``/100.0`` — immune to
+  float summation order (Spark's partial aggregation order is
+  nondeterministic; DuckDB's is sequential).
+- every aggregate / computed column is aliased identically on both sides
+  (the driver sorts columns by name before hashing).
+- DuckDB's integer SUM returns HUGEINT and EXTRACT returns BIGINT — the
+  oracle SQL casts to match Spark's types.
+- rankings carry explicit tie-breaks on a unique key.
+- the dedup/LSH family uses the shared md5 60-bit hash contract
+  (functions.hashing).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.rounding import round_fixed, round_fixed_sql
+from ..operators.prefix_join import longest_prefix_match
+from ..sources.tables import load_table
+
+
+def cents(c: Column) -> Column:
+    """Exact integer cents of a money expression (see module docstring)."""
+    return F.round(c * 100, 0).cast("bigint")
+
+
+def money_sum(c: Column) -> Column:
+    """Order-independent, cross-engine-exact sum of a money expression."""
+    return F.sum(cents(c)) / F.lit(100.0)
+
+
+def _money_sum_sql(expr: str) -> str:
+    return f"CAST(SUM(CAST(ROUND(({expr}) * 100, 0) AS BIGINT)) AS BIGINT) / 100.0"
+
+
+# ---------------------------------------------------------------------------
+# Core relational inventory (SURVEY.md §2.1-2.8)
+# ---------------------------------------------------------------------------
+
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A5 + P7 + F10: the flagship scan→filter→hash-aggregate query
+    (TPC-H Q1 shape).  Plan: parquet scan with pushed timestamp filter →
+    partial agg (map-side combine) → 6-group final agg.  No joins, one
+    shuffle of 6 grouped rows — this is the plan at any scale."""
+    li = load_table(spark, "lineitem", sf_dir)
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2025-06-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            money_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            money_sum(disc_price).alias("sum_disc_price"),
+            money_sum(charge).alias("sum_charge"),
+            round_fixed(F.avg("l_quantity"), 6).alias("avg_qty"),
+            round_fixed(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_Q01_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       SUM(l_quantity) AS sum_qty,
+       {_money_sum_sql('l_extendedprice')} AS sum_base_price,
+       {_money_sum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {_money_sum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       {round_fixed_sql('AVG(l_quantity)', 6)} AS avg_qty,
+       {round_fixed_sql('AVG(l_discount)', 6)} AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2025-06-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q02_computed_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2/F10/F11: wide projection with computed columns and casts —
+    the silver-transform shape (python_scripts.py:169-195) on lineitem.
+    Pure map-side projection: no shuffle, fully codegen'd."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("int").alias("qty_int"),
+        round_fixed(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
+            "disc_price"
+        ),
+        F.concat_ws("/", "l_returnflag", "l_linestatus").alias("flag_status"),
+        F.year("l_shipdate").alias("ship_year"),
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+        (F.col("l_quantity") > 25).alias("is_bulk"),
+    )
+
+
+_Q02_SQL = f"""
+SELECT l_orderkey, l_linenumber,
+       CAST(l_quantity AS INTEGER) AS qty_int,
+       {round_fixed_sql('l_extendedprice * (1 - l_discount)', 2)} AS disc_price,
+       concat_ws('/', l_returnflag, l_linestatus) AS flag_status,
+       CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS ship_year,
+       CAST(l_shipdate AS DATE) AS ship_date,
+       l_quantity > 25 AS is_bulk
+FROM lineitem
+"""
+
+
+def q03_case_date_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3/P7/F6-F8: searched multi-arm CASE + BETWEEN quarter bucketing +
+    date-part extraction — the dim_date build shape
+    (python_scripts.py:326-366)."""
+    o = load_table(spark, "orders", sf_dir)
+    month = F.month("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        month.alias("order_month"),
+        F.date_format("o_orderdate", "MMMM").alias("month_name"),
+        F.date_format("o_orderdate", "EEEE").alias("weekday"),
+        F.when(month.between(1, 3), 1)
+        .when(month.between(4, 6), 2)
+        .when(month.between(7, 9), 3)
+        .otherwise(4)
+        .alias("order_quarter"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high")
+        .when(F.col("o_orderpriority") == "3-MEDIUM", "medium")
+        .otherwise("low")
+        .alias("priority_class"),
+    )
+
+
+_Q03_SQL = """
+SELECT o_orderkey,
+       CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS order_year,
+       CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS order_month,
+       strftime(o_orderdate, '%B') AS month_name,
+       trim(strftime(o_orderdate, '%A')) AS weekday,
+       CASE WHEN EXTRACT(MONTH FROM o_orderdate) BETWEEN 1 AND 3 THEN 1
+            WHEN EXTRACT(MONTH FROM o_orderdate) BETWEEN 4 AND 6 THEN 2
+            WHEN EXTRACT(MONTH FROM o_orderdate) BETWEEN 7 AND 9 THEN 3
+            ELSE 4 END AS order_quarter,
+       CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'high'
+            WHEN o_orderpriority = '3-MEDIUM' THEN 'medium'
+            ELSE 'low' END AS priority_class
+FROM orders
+"""
+
+
+def q04_like_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4/P7: LIKE contains + prefix predicates and BETWEEN
+    (test.ipynb cells 11, 14, 28).  Predicates push to the parquet scan."""
+    p = load_table(spark, "part", sf_dir)
+    return p.where(
+        (F.col("p_type").like("%ECONOMY%") | F.col("p_name").like("red%"))
+        & F.col("p_size").between(10, 40)
+    ).select("p_partkey", "p_name", "p_type", "p_size")
+
+
+_Q04_SQL = """
+SELECT p_partkey, p_name, p_type, p_size
+FROM part
+WHERE (p_type LIKE '%ECONOMY%' OR p_name LIKE 'red%')
+  AND p_size BETWEEN 10 AND 40
+"""
+
+
+def q05_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5/J3: NOT-IN-subquery insert-if-absent shape
+    (python_scripts.py:265-268) as a broadcast LEFT ANTI join — customers
+    outside the EUROPE region.  Keys are non-null so NOT IN ≡ anti join
+    (the NULL edge is pinned separately in tests, SURVEY.md §4.3)."""
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir)
+    euro_nations = (
+        n.join(
+            F.broadcast(r.where(F.col("r_name") == "EUROPE")),
+            n.n_regionkey == r.r_regionkey,
+        )
+        .select(F.col("n_nationkey").alias("c_nationkey"))
+    )
+    return c.join(F.broadcast(euro_nations), "c_nationkey", "left_anti").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+
+
+_Q05_SQL = """
+SELECT c_custkey, c_name, c_nationkey
+FROM customer
+WHERE c_nationkey NOT IN (
+    SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE')
+"""
+
+
+def q06_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/P6/J2: the latest-wins dedup kernel — ROW_NUMBER() OVER
+    (PARTITION BY key ORDER BY ts DESC) → rn=1 (python_scripts.py:576-598
+    with game_url→user_id, last_updated→ts).  One shuffle on the
+    partition key; explicit event_id tie-break for determinism."""
+    e = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            "value",
+        )
+    )
+
+
+_Q06_SQL = """
+SELECT user_id, event_id AS last_event_id, event_type AS last_event_type, value
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events)
+WHERE rn = 1
+"""
+
+
+def q07_star_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/A2: multi-way star join with a role-playing dim — nation joined
+    twice under different roles (customer's vs supplier's), exactly the
+    reference's dim_results double-join pattern (python_scripts.py:566-573).
+    The two nation roles are explicitly broadcast; orders/customer/
+    supplier are left to AQE, which broadcasts them while they fit and
+    falls back to shuffled joins at scale — the right plan at 100 TB,
+    where orders is *not* broadcastable."""
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    cust_nation = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    supp_nation = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cust_nation), F.col("c_nationkey") == F.col("cn_key"))
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy("cust_nation", "supp_nation")
+        .agg(
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+_Q07_SQL = f"""
+SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+       {_money_sum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+GROUP BY n1.n_name, n2.n_name
+"""
+
+
+def q08_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/O3: global top-k by sort — Spark plans TakeOrderedAndProject
+    (per-partition top-k, then k-way merge on the driver: no global
+    sort exchange).  Explicit o_orderkey tie-break."""
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+_Q08_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def q09_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1/A1: UNION with set semantics (dedup) over two order slices —
+    the dim append shape (python_scripts.py:269-271)."""
+    o = load_table(spark, "orders", sf_dir)
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    finished = o.where(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    return urgent.unionByName(finished).distinct()
+
+
+_Q09_SQL = """
+SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
+WHERE o_orderpriority = '1-URGENT'
+UNION
+SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
+WHERE o_orderstatus = 'F'
+"""
+
+
+def q10_union_all_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2/A2: UNION ALL (bag semantics — the fact append,
+    python_scripts.py:580-582) + group count to keep output bounded."""
+    o = load_table(spark, "orders", sf_dir)
+    first = o.where(F.col("o_orderkey") % 2 == 0)
+    second = o.where(F.col("o_totalprice") > 200000)
+    return (
+        first.unionByName(second)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_rows"))
+    )
+
+
+_Q10_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n_rows FROM (
+    SELECT * FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT * FROM orders WHERE o_totalprice > 200000)
+GROUP BY o_orderstatus
+"""
+
+
+def q11_distinct_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A3/A4: DISTINCT counts (incl. multi-column) + MAX watermark
+    (test.ipynb cell 26; get_last_updated_date.sql)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_returnflag", "l_linestatus").alias("n_flag_status"),
+        F.max("l_shipdate").alias("watermark_ts"),
+    )
+
+
+_Q11_SQL = """
+SELECT COUNT(*) AS n_rows,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT (l_returnflag, l_linestatus)) AS n_flag_status,
+       MAX(l_shipdate) AS watermark_ts
+FROM lineitem
+"""
+
+
+def q12_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F12: the scalar function battery — regexp_extract on a text
+    blob (the PGN-header pattern), date parts/formatting, replace,
+    concat, casts, epoch seconds — all codegen'd JVM expressions (the
+    reference runs six Python UDFs for this tier; we run zero)."""
+    e = load_table(spark, "events", sf_dir)
+    return e.select(
+        "event_id",
+        F.regexp_extract("props", r'"k": (\d+)', 1).cast("int").alias("k_value"),
+        F.hour("ts").alias("ts_hour"),
+        F.col("ts").cast("date").alias("ts_date"),
+        F.date_format("ts", "MMMM").alias("month_name"),
+        F.upper("event_type").alias("evt_upper"),
+        F.replace(F.col("event_type"), F.lit("e"), F.lit("E")).alias("evt_replaced"),
+        F.concat_ws("-", "event_type", F.col("user_id").cast("string")).alias("tag"),
+        F.unix_timestamp("ts").alias("epoch_secs"),
+        F.length("props").alias("props_len"),
+    )
+
+
+_Q12_SQL = """
+SELECT event_id,
+       TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INTEGER) AS k_value,
+       CAST(EXTRACT(HOUR FROM ts) AS INTEGER) AS ts_hour,
+       CAST(ts AS DATE) AS ts_date,
+       strftime(ts, '%B') AS month_name,
+       upper(event_type) AS evt_upper,
+       replace(event_type, 'e', 'E') AS evt_replaced,
+       concat_ws('-', event_type, CAST(user_id AS VARCHAR)) AS tag,
+       CAST(FLOOR(epoch(ts)) AS BIGINT) AS epoch_secs,
+       CAST(length(props) AS INTEGER) AS props_len
+FROM events
+"""
+
+
+def q13_prefix_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4/D8: the longest-prefix-match join — the reference's
+    ``get_opening`` interpreter loop (test.ipynb cell 28) as one
+    set-oriented job: explode token-prefixes → broadcast equi-join →
+    max_by(match, length).  Lexicon = 2- and 3-word leading phrases of
+    every 20th document (deterministic, derived from the fixture)."""
+    docs = load_table(spark, "documents", sf_dir)
+    words = F.split(F.col("text"), F.lit(" "))
+    lex2 = (
+        docs.where((F.col("doc_id") % 20 == 0) & (F.size(words) >= 2))
+        .select(F.array_join(F.slice(words, 1, 2), " ").alias("phrase"))
+    )
+    lex3 = (
+        docs.where((F.col("doc_id") % 20 == 0) & (F.size(words) >= 3))
+        .select(F.array_join(F.slice(words, 1, 3), " ").alias("phrase"))
+    )
+    lexicon = lex2.unionByName(lex3).distinct()
+    matched = longest_prefix_match(
+        probe=docs.select("doc_id", "text"),
+        probe_col="text",
+        lexicon=lexicon,
+        lexicon_key="phrase",
+        max_tokens=3,
+    )
+    return matched.select("doc_id", F.col("matched_phrase"))
+
+
+_Q13_SQL = """
+WITH words AS (
+    SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+lex AS (
+    SELECT array_to_string(w[1:2], ' ') AS phrase FROM words
+    WHERE doc_id % 20 = 0 AND len(w) >= 2
+    UNION
+    SELECT array_to_string(w[1:3], ' ') AS phrase FROM words
+    WHERE doc_id % 20 = 0 AND len(w) >= 3),
+prefixes AS (
+    SELECT doc_id, array_to_string(w[1:CAST(r.i AS INTEGER)], ' ') AS prefix
+    FROM words, range(1, 4) r(i) WHERE r.i <= len(w)),
+matches AS (
+    SELECT p.doc_id, max_by(p.prefix, length(p.prefix)) AS matched_phrase
+    FROM prefixes p JOIN lex ON p.prefix = lex.phrase
+    GROUP BY p.doc_id)
+SELECT d.doc_id, m.matched_phrase
+FROM documents d LEFT JOIN matches m ON d.doc_id = m.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_computed_projection": q02_computed_projection,
+    "q03_case_date_buckets": q03_case_date_buckets,
+    "q04_like_filters": q04_like_filters,
+    "q05_anti_join": q05_anti_join,
+    "q06_latest_event_per_user": q06_latest_event_per_user,
+    "q07_star_join_rollup": q07_star_join_rollup,
+    "q08_top_orders": q08_top_orders,
+    "q09_set_ops": q09_set_ops,
+    "q10_union_all_counts": q10_union_all_counts,
+    "q11_distinct_watermark": q11_distinct_watermark,
+    "q12_scalar_suite": q12_scalar_suite,
+    "q13_prefix_match": q13_prefix_match,
+}
+
+ORACLE: dict[str, str] = {
+    "q01_pricing_summary": _Q01_SQL,
+    "q02_computed_projection": _Q02_SQL,
+    "q03_case_date_buckets": _Q03_SQL,
+    "q04_like_filters": _Q04_SQL,
+    "q05_anti_join": _Q05_SQL,
+    "q06_latest_event_per_user": _Q06_SQL,
+    "q07_star_join_rollup": _Q07_SQL,
+    "q08_top_orders": _Q08_SQL,
+    "q09_set_ops": _Q09_SQL,
+    "q10_union_all_counts": _Q10_SQL,
+    "q11_distinct_watermark": _Q11_SQL,
+    "q12_scalar_suite": _Q12_SQL,
+    "q13_prefix_match": _Q13_SQL,
+}

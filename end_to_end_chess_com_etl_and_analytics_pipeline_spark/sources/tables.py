@@ -1,0 +1,160 @@
+"""Sources & sinks (SURVEY.md §2.1, S1-S11).
+
+Every edge the reference touches, re-expressed Spark-native:
+
+- S2/S4: JSON & CSV scans with *declared* schemas (the reference infers;
+  python_scripts.py:194 / test.ipynb cells 2, 10).
+- S3/S6: parquet scan/sink — ``spark.read.parquet`` goes through the
+  vectorized reader; writes are partitioned for scale.
+- S5/S8: JDBC scan/sink (the reference attaches Postgres;
+  test.ipynb cells 21-23, python_scripts.py:629-676).
+- S11: the 15-row ``dim_results`` literal seed
+  (python_scripts.py:454-486 / create_dim_results_table.sql).
+
+At 100 TB: readers take directory globs and partition columns so Catalyst
+gets partition pruning; nothing here materialises on the driver.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..schemas import DIM_RESULTS_SCHEMA, TESTDATA_SCHEMAS
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
+    """Parquet scan of a driver fixture table (S3).
+
+    Parquet is self-describing, so the footer schema is authoritative
+    (the fixture files mix ms/ns timestamp physical types, which a
+    declared TimestampType would misread); TESTDATA_SCHEMAS documents the
+    logical contract and is asserted post-hoc in tests.
+    """
+    sf_dir = sf_dir or DEFAULT_SF_DIR
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
+        # reader rejects; read the raw int64 nanos and truncate to micros
+        # with exact integer division (matching DuckDB's ns→µs truncation).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        raw = spark.read.parquet(path)
+        return raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return spark.read.parquet(path)
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """JSON scan (S2). Globs are native; nested structs come back as
+    StructType columns accessed with dotted paths (``col("white.rating")``),
+    matching the reference's ``read_json_auto`` + struct access
+    (python_scripts.py:175-178).
+
+    ``multiLine=True`` because the Chess.com payload is a JSON *array*
+    document per month, not NDJSON (dev_files/Data/2024-01/games.json).
+    """
+    reader = spark.read.option("multiLine", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """CSV scan (S4) — header row like the reference's ``read_csv``
+    (test.ipynb cells 10, 26); schema declared, never inferred."""
+    reader = spark.read.option("header", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Parquet sink (S6). The reference full-file-overwrites gold on every
+    monthly run (python_scripts.py:148, 603) — the 100 TB answer is
+    partitioned layout + dynamic partition overwrite so a month's arrival
+    rewrites only its own partition."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by).option(
+            "partitionOverwriteMode", "dynamic"
+        )
+    writer.parquet(path)
+
+
+def read_jdbc(
+    spark: SparkSession, url: str, dbtable: str, properties: dict[str, str] | None = None
+) -> DataFrame:
+    """Postgres/JDBC scan (S5). ``dbtable`` may be a subquery alias —
+    Spark pushes it down to the database, which is how the reference's
+    watermark query (get_last_updated_date.sql) runs server-side."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", dbtable)
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    dbtable: str,
+    mode: str = "overwrite",
+    properties: dict[str, str] | None = None,
+) -> None:
+    """Postgres/JDBC sink (S8). ``truncate=true`` preserves the target DDL
+    on overwrite — unlike the reference's pandas ``to_sql(if_exists=
+    "replace")``, which silently drops and recreates the table from the
+    DataFrame schema (python_scripts.py:639-645)."""
+    writer = (
+        df.write.format("jdbc")
+        .mode(mode)
+        .option("url", url)
+        .option("dbtable", dbtable)
+        .option("truncate", "true")
+    )
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.save()
+
+
+# 15 result codes seeded by the reference as a literal UNION ALL chain
+# (python_scripts.py:456-485; create_dim_results_table.sql:1-29).
+DIM_RESULTS_ROWS: list[tuple[str, str, str]] = [
+    ("win", "Win", "Win"),
+    ("checkmated", "Loss", "Checkmated"),
+    ("agreed", "Draw", "Draw agreed"),
+    ("repetition", "Draw", "Draw by repetition"),
+    ("timeout", "Win", "Timeout"),
+    ("resigned", "Loss", "Resigned"),
+    ("stalemate", "Draw", "Stalemate"),
+    ("lose", "Loss", "Lose"),
+    ("insufficient", "Draw", "Insufficient material"),
+    ("50move", "Draw", "Draw by 50-move rule"),
+    ("abandoned", "Draw", "Abandoned"),
+    ("kingofthehill", "Win", "Opponent king reached the hill"),
+    ("threecheck", "Win", "Checked for the 3rd time"),
+    ("timevsinsufficient", "Draw", "Draw by timeout vs insufficient material"),
+    ("bughousepartnerlose", "Loss", "Bughouse partner lost"),
+]
+
+
+def dim_results_seed(spark: SparkSession) -> DataFrame:
+    """Inline literal table (S11)."""
+    return spark.createDataFrame(DIM_RESULTS_ROWS, DIM_RESULTS_SCHEMA)

@@ -1,0 +1,32 @@
+"""Oracle-differential tests: every declared driver query must match its
+DuckDB oracle SQL at sf0.001 (the driver re-runs the same comparison at
+sf0.01).  This is the primary correctness gate (SURVEY.md §5.2.1)."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrypoint
+
+from .conftest import SF_DIR
+from .oracle_compare import compare
+
+QUERY_NAMES = sorted(entrypoint.queries().keys())
+
+
+@pytest.mark.parametrize("name", QUERY_NAMES)
+def test_query_matches_oracle(spark, duck, name):
+    q = entrypoint.queries()[name]
+    oracle = entrypoint.oracle_sql().get(name)
+    df = q(spark, SF_DIR)
+    if oracle is None:
+        # rows-only contract (non-SQL-expressible op): smoke the query
+        assert df.count() >= 0
+        return
+    compare(df, duck.sql(oracle))
+
+
+def test_entry_smoke(spark):
+    df = entrypoint.entry(spark)
+    assert df.count() > 0
+    assert len(df.columns) > 0
