@@ -22,6 +22,7 @@ if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
 
 from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans import driver as _driver  # noqa: E402
+from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans import extensions as _ext  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -31,10 +32,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+ extensions)."""
-    return dict(_driver.QUERIES)
+    return {**_driver.QUERIES, **_ext.EXT_QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL equivalent for each query (omitted only
     for genuinely non-SQL-expressible ops → rows-only check)."""
-    return dict(_driver.ORACLE)
+    return {**_driver.ORACLE, **_ext.EXT_ORACLE}

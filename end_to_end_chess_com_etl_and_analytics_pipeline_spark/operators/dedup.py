@@ -178,14 +178,14 @@ def simhash_signatures(
     bit_idx = F.explode(F.array(*[F.lit(b) for b in range(bits)])).alias("bit")
     bit_rows = hashed.select(id_col, bit_idx, "h").withColumn(
         "vote",
-        F.when(F.shiftright(F.col("h"), F.col("bit")).bitwiseAND(F.lit(1)) == 1, 1)
-        .otherwise(-1),
+        F.when(F.expr("(shiftright(h, bit) & CAST(1 AS BIGINT)) = 1"), 1).otherwise(-1),
     )
     votes = bit_rows.groupBy(id_col, "bit").agg(F.sum("vote").alias("s"))
     return votes.groupBy(id_col).agg(
         F.sum(
-            F.when(F.col("s") > 0, F.shiftleft(F.lit(1).cast("bigint"), F.col("bit")))
-            .otherwise(F.lit(0))
+            F.when(
+                F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
+            ).otherwise(F.lit(0).cast("bigint"))
         ).alias("simhash")
     )
 

@@ -1,0 +1,415 @@
+"""Driver contract, part 2: training-data pipeline extension queries.
+
+The operators a large-scale LLM-training-data pipeline needs beyond the
+reference's own surface (BASELINE.json north star): deduplication (exact,
+MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine), similarity
+search, text analysis, and windowed/sessionized event aggregation — each
+as a (Spark query, DuckDB oracle SQL) pair over the ``documents`` /
+``embeddings`` / ``events`` fixtures.
+
+Everything is DuckDB-recomputable because the hash contract is shared
+md5 (functions.hashing) and rounding is scale-0 (functions.rounding).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_long_sql
+from ..functions.rounding import round_fixed_sql
+from ..functions.text import (
+    STOPWORDS,
+    avg_word_len,
+    bpe_ish_token_count,
+    fingerprint,
+    lang_id,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+)
+from ..functions.vectors import cosine_sql
+from ..operators.dedup import (
+    embedding_near_dup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signature_table,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+from ..operators.similarity import brute_force_topk
+from ..operators.windows import sessionize, sliding_agg, tumbling_agg
+from ..sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# shared oracle-SQL building blocks
+# ---------------------------------------------------------------------------
+
+# whitespace tokenization with empties dropped (functions.text.tokens)
+_TOKS_SQL = "list_filter(string_split_regex({c}, '\\s+'), t -> t <> '')"
+
+
+def _shingle_cte(n: int, table: str = "documents") -> str:
+    """CTE producing DISTINCT (doc_id, shingle) word n-grams, mirroring
+    functions.text.word_shingles (short docs yield one whole-text shingle)."""
+    toks = _TOKS_SQL.format(c="text")
+    return f"""
+toks AS (SELECT doc_id, {toks} AS w FROM {table}),
+shingled AS (
+    SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id, unnest(
+            CASE WHEN len(w) < {n} THEN [array_to_string(w, ' ')]
+                 ELSE list_transform(
+                     range(1, CAST(len(w) AS BIGINT) - {n - 2}),
+                     i -> array_to_string(
+                         w[CAST(i AS INTEGER):CAST(i + {n - 1} AS INTEGER)], ' '))
+            END) AS shingle
+        FROM toks))
+"""
+
+
+_FINGERPRINT_SQL = md5_long_sql(
+    "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+)
+
+_MINHASH_N, _MINHASH_SHINGLE, _MINHASH_BANDS = 8, 3, 4
+
+
+def _minhash_sig_cte() -> str:
+    """CTE ``sig`` = (doc_id, seed, minhash), mirroring
+    operators.dedup.minhash_signature_table."""
+    h = md5_long_sql("concat(CAST(seed AS VARCHAR), '|', shingle)")
+    return f"""{_shingle_cte(_MINHASH_SHINGLE)},
+sig AS (
+    SELECT doc_id, CAST(s.seed AS INTEGER) AS seed, MIN({h}) AS minhash
+    FROM shingled, range(0, {_MINHASH_N}) s(seed)
+    GROUP BY doc_id, s.seed)
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+
+def x01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one shuffle on a uniform 60-bit fingerprint of the
+    normalized text; keeps the lowest doc_id per group."""
+    return exact_dedup(load_table(spark, "documents", sf_dir))
+
+
+_X01_SQL = f"""
+SELECT {_FINGERPRINT_SQL} AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+FROM documents GROUP BY 1
+"""
+
+
+def x02_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (long shape): 8 seeded md5 hash fns over
+    distinct word 3-gram shingles."""
+    return minhash_signature_table(
+        load_table(spark, "documents", sf_dir),
+        num_hashes=_MINHASH_N,
+        shingle_len=_MINHASH_SHINGLE,
+    )
+
+
+_X02_SQL = f"WITH {_minhash_sig_cte()} SELECT doc_id, seed, minhash FROM sig"
+
+
+def x03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding over the MinHash signatures: candidate near-dup pairs
+    are docs sharing any band signature (4 bands × 2 rows).  The shuffle
+    key is the band hash — bucket-local candidate generation, never
+    O(n²) global."""
+    return minhash_lsh_pairs(
+        load_table(spark, "documents", sf_dir),
+        num_hashes=_MINHASH_N,
+        bands=_MINHASH_BANDS,
+        shingle_len=_MINHASH_SHINGLE,
+    )
+
+
+_X03_SQL = f"""
+WITH {_minhash_sig_cte()},
+banded AS (
+    SELECT doc_id, CAST(seed // {_MINHASH_N // _MINHASH_BANDS} AS INTEGER) AS band,
+           minhash
+    FROM sig),
+band_sig AS (
+    SELECT doc_id, band,
+           md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY minhash)) AS band_key
+    FROM banded GROUP BY doc_id, band)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM band_sig a JOIN band_sig b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+
+def x04_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-2-gram Jaccard over a deterministic candidate set
+    (every 50th doc, pairwise) — the verify stage of an LSH pipeline."""
+    docs = load_table(spark, "documents", sf_dir)
+    sampled = docs.where(F.col("doc_id") % 50 == 0).select("doc_id")
+    cand = (
+        sampled.select(F.col("doc_id").alias("id_a"))
+        .crossJoin(sampled.select(F.col("doc_id").alias("id_b")))
+        .where(F.col("id_a") < F.col("id_b"))
+    )
+    return ngram_jaccard_pairs(
+        docs, shingle_len=2, threshold=0.0, candidates=cand
+    )
+
+
+_X04_SQL = f"""
+WITH {_shingle_cte(2)},
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingled GROUP BY doc_id),
+cand AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM documents a, documents b
+    WHERE a.doc_id % 50 = 0 AND b.doc_id % 50 = 0 AND a.doc_id < b.doc_id),
+inter AS (
+    SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+    FROM cand c
+    JOIN shingled sa ON sa.doc_id = c.id_a
+    JOIN shingled sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+    GROUP BY c.id_a, c.id_b)
+SELECT i.id_a, i.id_b,
+       {round_fixed_sql('CAST(n_common AS DOUBLE) / (za.n_sh + zb.n_sh - n_common)', 6)} AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.id_a
+JOIN sizes zb ON zb.doc_id = i.id_b
+WHERE CAST(n_common AS DOUBLE) / (za.n_sh + zb.n_sh - n_common) >= 0.0
+"""
+
+
+def x05_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash signatures from per-token 60-bit hashes."""
+    return simhash_signatures(load_table(spark, "documents", sf_dir), bits=32)
+
+
+_X05_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, unnest({_TOKS_SQL.format(c='lower(text)')}) AS tok
+    FROM documents),
+hashed AS (SELECT doc_id, {md5_long_sql('tok')} AS h FROM toks),
+bits AS (
+    SELECT doc_id, CAST(r.i AS INTEGER) AS bit,
+           SUM(CASE WHEN ((h >> CAST(r.i AS INTEGER)) & 1) = 1 THEN 1 ELSE -1 END) AS s
+    FROM hashed, range(0, 32) r(i)
+    GROUP BY doc_id, r.i)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT)
+           AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
+def x06_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos ≥ 0.2) over a bounded id
+    range — the exact-verify kernel; the scale path pre-buckets by IVF
+    cell (operators.similarity)."""
+    emb = load_table(spark, "embeddings", sf_dir).where(F.col("vec_id") < 200)
+    return embedding_near_dup_pairs(emb, threshold=0.2)
+
+
+_X06_SQL = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {round_fixed_sql(cosine_sql('a.embedding', 'b.embedding'), 6)} AS cos
+FROM embeddings a, embeddings b
+WHERE a.vec_id < 200 AND b.vec_id < 200 AND a.vec_id < b.vec_id
+  AND {round_fixed_sql(cosine_sql('a.embedding', 'b.embedding'), 6)} >= 0.2
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+def x07_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 8 query vectors: broadcast queries ×
+    one corpus pass, deterministic tie-break on candidate id."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return brute_force_topk(emb, emb.where(F.col("vec_id") < 8), k=5)
+
+
+_X07_SQL = f"""
+WITH scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           {round_fixed_sql(cosine_sql('q.embedding', 'c.embedding'), 6)} AS cos
+    FROM embeddings q, embeddings c
+    WHERE q.vec_id < 8 AND c.vec_id != q.vec_id),
+ranked AS (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS INTEGER) AS rank
+    FROM scored)
+SELECT query_id, cand_id, cos, rank FROM ranked WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def x08_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text statistics: token counts (whitespace + BPE-ish
+    regex), word-length/punctuation/stopword ratios, composite quality
+    score, heuristic language ID, fingerprint — one codegen'd projection,
+    zero Python in the loop."""
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        bpe_ish_token_count("text").alias("n_bpe_tokens"),
+        avg_word_len("text").alias("avg_wlen"),
+        punct_ratio("text").alias("punct_ratio"),
+        stopword_ratio("text").alias("stop_ratio"),
+        quality_score("text").alias("quality"),
+        lang_id("text").alias("lang_guess"),
+        fingerprint("text").alias("fp"),
+    )
+
+
+def _sw_array(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+
+
+def _sw_hits(lang: str) -> str:
+    return (
+        f"len(list_filter({_TOKS_SQL.format(c='lower(text)')},"
+        f" t -> list_contains({_sw_array(lang)}, t)))"
+    )
+
+
+_N_TOKS = f"len({_TOKS_SQL.format(c='text')})"
+_QUALITY_SQL = round_fixed_sql(
+    "("
+    f"LEAST(CAST({_N_TOKS} AS DOUBLE) / 50.0, 1.0)"
+    " + (1.0 - LEAST((CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)"
+    f"   / NULLIF(length(text), 0)) * 5, 1.0))"
+    f" + (1.0 - LEAST(ABS(CAST({_sw_hits('en')} AS DOUBLE) / NULLIF({_N_TOKS}, 0) - 0.1) * 4, 1.0))"
+    ") / 3",
+    6,
+)
+
+_X08_SQL = f"""
+SELECT doc_id,
+       CAST({_N_TOKS} AS INTEGER) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '([A-Za-z]+|\\d|[^A-Za-z\\d\\s]+)', 1)) AS INTEGER)
+           AS n_bpe_tokens,
+       CASE WHEN {_N_TOKS} = 0 THEN 0.0
+            ELSE CAST(list_sum(list_transform({_TOKS_SQL.format(c='text')}, t -> length(t))) AS DOUBLE)
+                 / {_N_TOKS} END AS avg_wlen,
+       CASE WHEN length(text) = 0 THEN 0.0
+            ELSE CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+                 / length(text) END AS punct_ratio,
+       CASE WHEN {_N_TOKS} = 0 THEN 0.0
+            ELSE CAST({_sw_hits('en')} AS DOUBLE) / {_N_TOKS} END AS stop_ratio,
+       {_QUALITY_SQL} AS quality,
+       CASE WHEN GREATEST({_sw_hits('en')}, {_sw_hits('de')}, {_sw_hits('fr')}, {_sw_hits('es')}) = 0 THEN 'und'
+            WHEN {_sw_hits('en')} = GREATEST({_sw_hits('en')}, {_sw_hits('de')}, {_sw_hits('fr')}, {_sw_hits('es')}) THEN 'en'
+            WHEN {_sw_hits('de')} = GREATEST({_sw_hits('en')}, {_sw_hits('de')}, {_sw_hits('fr')}, {_sw_hits('es')}) THEN 'de'
+            WHEN {_sw_hits('fr')} = GREATEST({_sw_hits('en')}, {_sw_hits('de')}, {_sw_hits('fr')}, {_sw_hits('es')}) THEN 'fr'
+            ELSE 'es' END AS lang_guess,
+       {_FINGERPRINT_SQL} AS fp
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# windowed event aggregation (batch form; streaming variant in streaming/)
+# ---------------------------------------------------------------------------
+
+
+def x09_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event_type (count + sum)."""
+    return tumbling_agg(load_table(spark, "events", sf_dir), "1 hour")
+
+
+_X09_SQL = f"""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+       COUNT(*) AS n_events,
+       {round_fixed_sql('SUM(value)', 6)} AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def x10_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour windows every 30 minutes (each event lands in 2)."""
+    return sliding_agg(load_table(spark, "events", sf_dir), "1 hour", "30 minutes")
+
+
+_X10_SQL = """
+SELECT window_start, COUNT(*) AS n_events FROM (
+    SELECT unnest([
+        time_bucket(INTERVAL '30 minutes', ts),
+        time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'
+    ]) AS window_start
+    FROM events)
+GROUP BY window_start
+"""
+
+
+def x11_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min inactivity gap) via gaps-and-islands."""
+    return sessionize(load_table(spark, "events", sf_dir), gap="30 minutes")
+
+
+_X11_SQL = """
+WITH lagged AS (
+    SELECT user_id, ts,
+           LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+    FROM events),
+flagged AS (
+    SELECT user_id, ts,
+           CASE WHEN prev_ts IS NULL
+                     OR CAST(FLOOR(epoch(ts)) AS BIGINT)
+                        - CAST(FLOOR(epoch(prev_ts)) AS BIGINT) > 1800
+                THEN 1 ELSE 0 END AS new_session
+    FROM lagged),
+numbered AS (
+    SELECT user_id, ts,
+           CAST(SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_seq
+    FROM flagged)
+SELECT user_id, session_seq,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events
+FROM numbered GROUP BY user_id, session_seq
+"""
+
+
+EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "x01_exact_dedup": x01_exact_dedup,
+    "x02_minhash_signatures": x02_minhash_signatures,
+    "x03_minhash_lsh_pairs": x03_minhash_lsh_pairs,
+    "x04_ngram_jaccard": x04_ngram_jaccard,
+    "x05_simhash": x05_simhash,
+    "x06_embedding_near_dup": x06_embedding_near_dup,
+    "x07_similarity_topk": x07_similarity_topk,
+    "x08_text_stats": x08_text_stats,
+    "x09_tumbling_window": x09_tumbling_window,
+    "x10_sliding_window": x10_sliding_window,
+    "x11_sessionize": x11_sessionize,
+}
+
+EXT_ORACLE: dict[str, str] = {
+    "x01_exact_dedup": _X01_SQL,
+    "x02_minhash_signatures": _X02_SQL,
+    "x03_minhash_lsh_pairs": _X03_SQL,
+    "x04_ngram_jaccard": _X04_SQL,
+    "x05_simhash": _X05_SQL,
+    "x06_embedding_near_dup": _X06_SQL,
+    "x07_similarity_topk": _X07_SQL,
+    "x08_text_stats": _X08_SQL,
+    "x09_tumbling_window": _X09_SQL,
+    "x10_sliding_window": _X10_SQL,
+    "x11_sessionize": _X11_SQL,
+}
