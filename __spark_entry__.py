@@ -23,6 +23,7 @@ if _REPO_ROOT not in sys.path:
 
 from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans import driver as _driver  # noqa: E402
 from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans import extensions as _ext  # noqa: E402
+from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans import pipelines as _pipe  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -32,10 +33,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+ extensions)."""
-    return {**_driver.QUERIES, **_ext.EXT_QUERIES}
+    return {**_driver.QUERIES, **_ext.EXT_QUERIES, **_pipe.PIPELINE_QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL equivalent for each query (omitted only
     for genuinely non-SQL-expressible ops → rows-only check)."""
-    return {**_driver.ORACLE, **_ext.EXT_ORACLE}
+    return {**_driver.ORACLE, **_ext.EXT_ORACLE, **_pipe.PIPELINE_ORACLE}

@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced through the `noop` sink — full computation of every
+output column, no driver-side collect overhead, no files written.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from end_to_end_chess_com_etl_and_analytics_pipeline_spark.session import get_spark  # noqa: E402
+from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans import (  # noqa: E402
+    driver as _driver,
+)
+from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans import (  # noqa: E402
+    extensions as _ext,
+)
+
+# headline set: the scan/agg flagship, the heavy relational shapes, the
+# prefix-match custom operator, and the extension operators that matter
+# at corpus scale.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_computed_projection",
+    "q06_latest_event_per_user",
+    "q07_star_join_rollup",
+    "q12_scalar_suite",
+    "q13_prefix_match",
+    "x01_exact_dedup",
+    "x03_minhash_lsh_pairs",
+    "x05_simhash",
+    "x07_similarity_topk",
+    "x08_text_stats",
+    "x09_tumbling_window",
+    "x11_sessionize",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bench")
+    registry = {**_driver.QUERIES, **_ext.EXT_QUERIES}
+
+    # warm the JVM / codegen / noop-sink path so the first timed query
+    # doesn't absorb session startup
+    spark.range(1_000_000).selectExpr("sum(id) AS s").write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = registry[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -70,7 +70,9 @@ def add_move_numbers(moves: Column) -> Column:
                     F.lit(". "),
                     F.element_at(moves, i * 2 + 1),
                     F.lit(" "),
-                    F.coalesce(F.element_at(moves, i * 2 + 2), F.lit("")),
+                    # try_element_at: the final white move of an odd-length
+                    # game has no black reply (ANSI mode would throw)
+                    F.coalesce(F.try_element_at(moves, i * 2 + 2), F.lit("")),
                 ),
             ),
             " ",

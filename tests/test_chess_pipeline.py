@@ -1,0 +1,308 @@
+"""Reference-parity tests for the chess medallion pipeline
+(SURVEY.md §5.2.2-3): silver transform vs a DuckDB oracle over the same
+raw JSON, UDF-replacement unit vectors from the reference docstrings,
+gold build semantics, and merge-operator properties."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans.gold import (
+    build_dim_date,
+    build_dim_openings,
+    build_dim_time_control,
+    build_gold,
+)
+from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans.silver import (
+    bronze_to_silver,
+)
+from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans.analytics import (
+    classify_openings,
+    win_rate_by_opening,
+)
+from end_to_end_chess_com_etl_and_analytics_pipeline_spark.schemas import (
+    OPENINGS_CSV_SCHEMA,
+    RAW_GAME_SCHEMA,
+    SILVER_SCHEMA,
+)
+from end_to_end_chess_com_etl_and_analytics_pipeline_spark.sources.tables import (
+    read_json,
+)
+
+from end_to_end_chess_com_etl_and_analytics_pipeline_spark.sources import demo as fx
+from .oracle_compare import compare
+
+
+@pytest.fixture(scope="module")
+def raw_games(spark):
+    return spark.createDataFrame(fx.month_payload(1), RAW_GAME_SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def silver(raw_games):
+    df = bronze_to_silver(raw_games)
+    df.cache().count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def openings_lookup(spark):
+    return spark.createDataFrame(fx.OPENINGS_LOOKUP, OPENINGS_CSV_SCHEMA)
+
+
+def test_silver_schema_contract(silver):
+    assert [f.name for f in silver.schema.fields] == [
+        f.name for f in SILVER_SCHEMA.fields
+    ]
+    assert silver.count() == 45
+
+
+def test_silver_matches_duckdb_oracle(spark, silver, tmp_path_factory):
+    """Differential: the same raw JSON through DuckDB with the
+    reference-shaped SQL (regex extraction, strptime casts) must produce
+    identical silver values.  pgn_trans (the UDF replacement) is checked
+    separately in test_add_move_numbers_semantics."""
+    import duckdb
+
+    path = str(tmp_path_factory.mktemp("bronze") / "games.json")
+    fx.write_month_json(path, month=1)
+    con = duckdb.connect()
+    oracle = con.sql(
+        f"""
+        SELECT url AS game_url, time_control, rated, time_class, rules,
+               white.rating AS white_rating, white.result AS white_result,
+               black.rating AS black_rating, black.result AS black_result,
+               REGEXP_EXTRACT(pgn, '\\[Event "(.*?)"', 1) AS pgn_event,
+               REGEXP_EXTRACT(pgn, '\\[Site "(.*?)"', 1) AS pgn_site,
+               STRPTIME(REPLACE(REGEXP_EXTRACT(pgn, '\\[Date "(.*?)"', 1), '.', '/'), '%Y/%m/%d')::DATE AS game_date,
+               REGEXP_EXTRACT(pgn, '\\[White "(.*?)"', 1) AS pgn_white_user,
+               REGEXP_EXTRACT(pgn, '\\[Black "(.*?)"', 1) AS pgn_black_user,
+               REGEXP_EXTRACT(pgn, '\\[Result "(.*?)"', 1) AS pgn_result,
+               REGEXP_EXTRACT(pgn, '\\[CurrentPosition "(.*?)"', 1) AS pgn_current_position,
+               REGEXP_EXTRACT(pgn, '\\[Timezone "(.*?)"', 1) AS pgn_timezone,
+               REGEXP_EXTRACT(pgn, '\\[ECO "(.*?)"', 1) AS pgn_eco,
+               REGEXP_EXTRACT(pgn, '\\[ECOUrl "(.*?)"', 1) AS pgn_eco_url,
+               STRPTIME(
+                   REPLACE(REGEXP_EXTRACT(pgn, '\\[Date "(.*?)"', 1), '.', '/')
+                   || ' ' || REGEXP_EXTRACT(pgn, '\\[StartTime "(.*?)"', 1),
+                   '%Y/%m/%d %H:%M:%S') AS start_time,
+               STRPTIME(
+                   REPLACE(REGEXP_EXTRACT(pgn, '\\[EndDate "(.*?)"', 1), '.', '/')
+                   || ' ' || REGEXP_EXTRACT(pgn, '\\[EndTime "(.*?)"', 1),
+                   '%Y/%m/%d %H:%M:%S') AS end_time,
+               STRPTIME(REPLACE(REGEXP_EXTRACT(pgn, '\\[EndDate "(.*?)"', 1), '.', '/'), '%Y/%m/%d')::DATE AS end_game_date,
+               ARRAY_TO_STRING(REGEXP_EXTRACT_ALL(pgn, '\\. (.*?) {{\\[', 1), ' ') AS pgn_raw
+        FROM read_json_auto('{path}')
+        """
+    )
+    compare(silver.drop("pgn_trans"), oracle)
+
+
+def test_silver_reads_real_json_files(spark, tmp_path_factory):
+    """S2: the multiLine JSON source reads a monthly payload file with the
+    declared raw schema (no inference)."""
+    path = str(tmp_path_factory.mktemp("bronze2") / "2024-01-games.json")
+    fx.write_month_json(path, month=1)
+    raw = read_json(spark, path, RAW_GAME_SCHEMA)
+    assert raw.count() == 45
+    sv = bronze_to_silver(raw)
+    assert sv.where(F.col("game_date").isNull()).count() == 0
+
+
+def test_add_move_numbers_semantics(spark, silver):
+    """D1 unit vectors (udfs.py:61-62 docstring example + the actual
+    odd-length trailing-space behaviour of the reference loop)."""
+    rows = (
+        spark.createDataFrame(
+            [(["e4", "e5", "Nf3", "Nc6", "Bb5"],), (["e4", "e5"],), ([],)],
+            "moves: array<string>",
+        )
+        .select(
+            __import__(
+                "end_to_end_chess_com_etl_and_analytics_pipeline_spark.functions.pgn",
+                fromlist=["add_move_numbers"],
+            ).add_move_numbers(F.col("moves")).alias("out")
+        )
+        .collect()
+    )
+    # reference loop emits a trailing space inside the last element of an
+    # odd-length list (f-string with '' for the missing black move)
+    assert rows[0].out == "1. e4 e5 2. Nf3 Nc6 3. Bb5 "
+    assert rows[1].out == "1. e4 e5"
+    assert rows[2].out == ""
+    # full-pipeline invariant: pgn_trans reconstructs the raw move list
+    bad = (
+        silver.select(
+            F.array_join(
+                F.filter(
+                    F.split(F.col("pgn_trans"), " "),
+                    lambda t: ~t.rlike(r"^\d+\.$") & (t != ""),
+                ),
+                " ",
+            ).alias("reconstructed"),
+            "pgn_raw",
+        )
+        .where(F.col("reconstructed") != F.col("pgn_raw"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_scalar_udf_replacements(spark):
+    """D3-D6/D9 unit vectors, incl. the §2.11.6 multi-colon quirk."""
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.functions import pgn as p
+
+    df = spark.createDataFrame(
+        [("French Defense: Advance Variation",), ("Sicilian Defense",), ("A: B: C",)],
+        "name: string",
+    ).select(
+        p.opening_family("name").alias("fam"),
+        p.opening_variation("name").alias("var"),
+    )
+    got = [(r.fam, r.var) for r in df.collect()]
+    assert got == [
+        ("French Defense", " Advance Variation"),
+        ("Sicilian Defense", "Sicilian Defense"),
+        ("A", " B"),  # reference keeps only split(':')[1]
+    ]
+
+    tc = spark.createDataFrame(
+        [("120+1",), ("600",), ("60",), ("600+5",)], "tc: string"
+    ).select(
+        p.format_time_control("tc").alias("fmt"),
+        p.time_class_of("tc").alias("cls"),
+    )
+    got = [(r.fmt, r.cls) for r in tc.collect()]
+    assert got == [("2|1", "bullet"), ("10", "rapid"), ("1", "bullet"), ("10|5", "rapid")]
+
+    depth = spark.createDataFrame(
+        [("1. e4 e5 2. Nf3 Nc6 3. Bb5 ",), ("",)], "s: string"
+    ).select(p.pgn_depth("s").alias("d"))
+    assert [r.d for r in depth.collect()] == [3, 0]
+
+    name = spark.createDataFrame(
+        [("https://www.chess.com/openings/French-Defense-Advance-Variation",)],
+        "u: string",
+    ).select(p.opening_name_from_url("u").alias("n"))
+    assert name.collect()[0].n == "French Defense Advance Variation"
+
+
+def test_move_pairs_map(spark):
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.functions.pgn import (
+        move_pairs_map,
+    )
+
+    df = spark.createDataFrame(
+        [("1. e4 e5 2. Nf3 Nc6 3. Bb5 ",)], "s: string"
+    ).select(move_pairs_map("s").alias("m"))
+    m = df.collect()[0].m
+    assert m[1] == ["e4", "e5"] and m[2] == ["Nf3", "Nc6"] and m[3] == ["Bb5"]
+
+
+def test_gold_build(spark, silver, openings_lookup):
+    gold = build_gold(
+        spark, silver, fx.USERNAME, "2024-02-01 00:00:00",
+        openings_lookup=openings_lookup,
+    )
+    fact = gold["fact_games"].cache()
+    assert fact.count() == 45  # validation joins add no rows (§2.11.4)
+    # case-insensitive username: every row resolves to "my" side
+    mine = fact.select(F.lower("my_username").alias("u")).distinct().collect()
+    assert {r.u for r in mine} == {fx.USERNAME.lower()}
+    # duration consistency
+    neg = fact.where(F.col("game_duration_secs") < 0).count()
+    assert neg == 0
+    # dims are key-unique
+    for name, key in [
+        ("dim_openings", "pgn_eco_url"),
+        ("dim_date", "game_date"),
+        ("dim_time_control", "time_control"),
+        ("dim_results", "result_code"),
+    ]:
+        d = gold[name]
+        assert d.count() == d.select(key).distinct().count(), name
+    # canonical names from the lookup survive the broadcast enrich
+    names = {
+        r.opening_name
+        for r in gold["dim_openings"].select("opening_name").collect()
+    }
+    assert "French Defense: Advance Variation" in names
+
+
+def test_fact_merge_idempotent_latest_wins(spark, silver):
+    """T4/J2 property tests: re-running a month is a no-op; a re-pull
+    with a newer last_updated replaces rows (latest-wins)."""
+    gold1 = build_gold(spark, silver, fx.USERNAME, "2024-02-01 00:00:00")
+    fact1 = gold1["fact_games"].cache()
+    # same month again, same run_ts → identical fact
+    gold2 = build_gold(
+        spark, silver, fx.USERNAME, "2024-02-01 00:00:00", existing_fact=fact1
+    )
+    fact2 = gold2["fact_games"].cache()
+    assert fact2.count() == fact1.count()
+    assert fact2.exceptAll(fact1).count() == 0
+    # re-pull with newer ts → last_updated advances, count unchanged
+    gold3 = build_gold(
+        spark, silver, fx.USERNAME, "2024-03-01 00:00:00", existing_fact=fact1
+    )
+    fact3 = gold3["fact_games"]
+    assert fact3.count() == fact1.count()
+    assert (
+        fact3.agg(F.min("last_updated")).collect()[0][0]
+        == dt.datetime(2024, 3, 1)
+    )
+
+
+def test_dim_merge_insert_if_absent(spark, silver):
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans.gold import (
+        merge_dim,
+    )
+
+    dim1 = build_dim_date(silver).cache()
+    merged = merge_dim(dim1, build_dim_date(silver), keys=["game_date"])
+    assert merged.count() == dim1.count()  # never shrinks, no dups
+    # new month adds rows monotonically
+    raw2 = spark.createDataFrame(fx.month_payload(2), RAW_GAME_SCHEMA)
+    dim2 = build_dim_date(bronze_to_silver(raw2))
+    merged2 = merge_dim(dim1, dim2, keys=["game_date"])
+    assert merged2.count() >= dim1.count()
+
+
+def test_not_in_null_semantics(spark):
+    """§4.3: SQL NOT IN is null-poisoned; left_anti is not.  Pin both."""
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.operators.merge import (
+        insert_if_absent,
+    )
+
+    existing = spark.createDataFrame([("a",), (None,)], "k: string")
+    incoming = spark.createDataFrame([("b",), ("a",)], "k: string")
+    # anti-join semantics: 'b' inserts
+    anti = insert_if_absent(existing, incoming, ["k"])
+    assert {r.k for r in anti.collect()} == {"a", "b", None}
+    # NOT IN semantics: NULL in existing poisons the subquery → no inserts
+    strict = insert_if_absent(existing, incoming, ["k"], not_in_semantics=True)
+    assert {r.k for r in strict.collect()} == {"a", None}
+
+
+def test_analytics_views(spark, silver, openings_lookup):
+    gold = build_gold(
+        spark, silver, fx.USERNAME, "2024-02-01 00:00:00",
+        openings_lookup=openings_lookup,
+    )
+    wr = win_rate_by_opening(
+        gold["fact_games"], gold["dim_openings"], gold["dim_results"]
+    )
+    rows = wr.collect()
+    assert len(rows) > 0
+    assert all(0.0 <= r.win_rate <= 1.0 for r in rows if r.win_rate is not None)
+
+    cls = classify_openings(gold["fact_games"], openings_lookup)
+    got = {r.game_url: r.opening_name for r in cls.collect()}
+    assert len(got) == 45
+    # every fixture game starting 1. e4 e6 2. d4 d5 ... must classify at
+    # least to "French Defense" (longest matching book prefix)
+    some = [v for v in got.values() if v is not None]
+    assert "French Defense" in some or "French Defense: Advance Variation" in some

@@ -1,0 +1,103 @@
+"""Structured Streaming parity tests: the incremental variant must agree
+with the batch pipeline (same merge kernel, same window expressions)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans.gold import build_gold
+from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans.silver import (
+    bronze_to_silver,
+)
+from end_to_end_chess_com_etl_and_analytics_pipeline_spark.schemas import (
+    RAW_GAME_SCHEMA,
+)
+from end_to_end_chess_com_etl_and_analytics_pipeline_spark.sources import demo
+from end_to_end_chess_com_etl_and_analytics_pipeline_spark.streaming.pipeline import (
+    run_incremental_gold,
+    run_stream_to_memory,
+    streaming_tumbling_counts,
+)
+from end_to_end_chess_com_etl_and_analytics_pipeline_spark.operators.windows import (
+    tumbling_agg,
+)
+from end_to_end_chess_com_etl_and_analytics_pipeline_spark.sources.tables import (
+    load_table,
+)
+
+from .conftest import SF_DIR
+
+
+def test_incremental_gold_matches_batch(spark, tmp_path):
+    """Two bronze months arriving as stream files → foreachBatch merge;
+    the final fact must equal the batch build over both months at once."""
+    bronze = tmp_path / "bronze"
+    gold = tmp_path / "gold"
+    ckpt = tmp_path / "ckpt"
+    bronze.mkdir()
+    demo.write_month_json(str(bronze / "2024-01-games.json"), month=1)
+    demo.write_month_json(str(bronze / "2024-02-games.json"), month=2)
+
+    run_incremental_gold(
+        spark,
+        str(bronze),
+        str(gold),
+        str(ckpt),
+        demo.USERNAME,
+        "2024-03-01 00:00:00",
+    )
+    streamed = spark.read.parquet(str(gold / "fact_games"))
+
+    both = spark.createDataFrame(
+        demo.month_payload(1) + demo.month_payload(2), RAW_GAME_SCHEMA
+    )
+    batch = build_gold(
+        spark, bronze_to_silver(both), demo.USERNAME, "2024-03-01 00:00:00"
+    )["fact_games"]
+
+    assert streamed.count() == batch.count() == 90
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
+
+
+def test_streaming_tumbling_equals_batch(spark, tmp_path):
+    stream_dir = tmp_path / "events"
+    stream_dir.mkdir()
+    shutil.copy(
+        os.path.join(SF_DIR, "events.parquet"), stream_dir / "events.parquet"
+    )
+    agg = streaming_tumbling_counts(spark, str(stream_dir), "1 hour", "30 minutes")
+    run_stream_to_memory(agg, "t_stream_tumbling", output_mode="complete")
+    streamed = spark.table("t_stream_tumbling").select(
+        "window_start", "event_type", "n_events"
+    )
+    batch = tumbling_agg(load_table(spark, "events", SF_DIR), "1 hour").select(
+        "window_start", "event_type", "n_events"
+    )
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
+
+
+def test_multimodal_features_roundtrip(spark):
+    """mapInPandas media features: Arrow batch plumbing produces exact
+    deterministic features for every row."""
+    import hashlib
+
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.multimodal.media import (
+        attach_binary_payload,
+        extract_media_features,
+    )
+
+    docs = load_table(spark, "documents", SF_DIR).limit(50)
+    feats = extract_media_features(attach_binary_payload(docs)).collect()
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    assert len(feats) == 50
+    for r in feats:
+        raw = texts[r.doc_id].encode("utf-8")
+        assert r.n_bytes == len(raw)
+        assert r.payload_md5 == hashlib.md5(raw).hexdigest()
+        assert r.head_hex == raw[:8].hex()
+        assert r.media_type == "text/plain"
