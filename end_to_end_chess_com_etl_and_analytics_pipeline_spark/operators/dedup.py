@@ -40,6 +40,34 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def minhash_signature_array(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_len: int = 3,
+) -> DataFrame:
+    """MinHash signature per document as one array column — a pure
+    *projection*: for seed i, array_min over shingles of
+    h(concat(i, '|', shingle)).  No explode, no shuffle; at 100 TB the
+    signature stage is map-side only (min over a multiset ignores the
+    duplicate shingles a distinct would have removed, so semantics equal
+    the distinct-shingle formulation)."""
+    shingles = word_shingles(text_col, shingle_len)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda seed: F.array_min(
+            F.transform(
+                shingles,
+                lambda s: md5_long(
+                    F.concat(seed.cast("string"), F.lit("|"), s)
+                ),
+            )
+        ),
+    )
+    return df.select(F.col(id_col), sig.alias("signature"))
+
+
 def minhash_signature_table(
     df: DataFrame,
     text_col: str = "text",
@@ -47,21 +75,14 @@ def minhash_signature_table(
     num_hashes: int = 16,
     shingle_len: int = 3,
 ) -> DataFrame:
-    """MinHash signature per document, long shape (id, seed, minhash):
-    for seed i, min over shingles of h(concat(i, '|', shingle)).  The
-    long shape keeps downstream banding a pure groupBy and is exactly
-    recomputable by the DuckDB oracle (shared md5 contract)."""
-    shingled = df.select(
-        F.col(id_col),
-        F.explode(word_shingles(text_col, shingle_len)).alias("shingle"),
-    ).distinct()
-    seeds = F.explode(F.array(*[F.lit(i) for i in range(num_hashes)])).alias("seed")
-    seeded = shingled.select(id_col, seeds, "shingle")
-    hashed = seeded.withColumn(
-        "h",
-        md5_long(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("shingle"))),
+    """MinHash signatures in long shape (id, seed, minhash) — the
+    oracle-comparable view of :func:`minhash_signature_array` (the
+    explode is map-side; still no shuffle)."""
+    arr = minhash_signature_array(df, text_col, id_col, num_hashes, shingle_len)
+    return arr.select(
+        id_col,
+        F.posexplode("signature").alias("seed", "minhash"),
     )
-    return hashed.groupBy(id_col, "seed").agg(F.min("h").alias("minhash"))
 
 
 def minhash_lsh_pairs(
@@ -73,15 +94,31 @@ def minhash_lsh_pairs(
     shingle_len: int = 3,
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding: docs sharing any band of
-    their MinHash signature.  rows = (id_a, id_b) with id_a < id_b."""
+    their MinHash signature.  rows = (id_a, id_b) with id_a < id_b.
+
+    Band signatures are computed per-row from the signature array (pure
+    projection); the only shuffle in the whole pipeline is the bucket
+    self-join on (band, band_key) — each bucket holds only colliding
+    docs, so candidate generation is bucket-local, never O(n²) global."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signature_table(df, text_col, id_col, num_hashes, shingle_len)
-    banded = sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-    band_sig = banded.groupBy(id_col, "band").agg(
-        F.md5(F.concat_ws(",", F.sort_array(F.collect_list(F.col("minhash"))))).alias(
-            "band_key"
-        )
+    sig = minhash_signature_array(df, text_col, id_col, num_hashes, shingle_len)
+    band_entries = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.cast("int").alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.sort_array(
+                        F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band)
+                    ),
+                )
+            ).alias("band_key"),
+        ),
     )
+    band_sig = sig.select(
+        F.col(id_col), F.explode(band_entries).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
     a = band_sig.select(
         F.col(id_col).alias("id_a"), "band", F.col("band_key")
     )
@@ -165,29 +202,26 @@ def simhash_signatures(
     bits: int = 32,
 ) -> DataFrame:
     """SimHash: per-token 60-bit hash → for each bit position, sum of
-    (+1/-1); signature bit = 1 where the sum is positive.  Computed with
-    explode + groupBy (pure relational — bit b of token-hash h is
-    (h >> b) & 1), giving (id, simhash) as a ``bits``-wide bigint."""
-    toks = df.select(
-        F.col(id_col),
-        F.explode(
-            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
-        ).alias("tok"),
+    (+1/-1) votes weighted by token frequency; signature bit = 1 where
+    the sum is positive.  Computed as a pure per-row projection (nested
+    higher-order aggregates over the token-hash array) — no explode, no
+    shuffle; at 100 TB this is scan-speed."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    with_hashes = df.select(
+        F.col(id_col), F.transform(toks, lambda t: md5_long(t)).alias("hs")
     )
-    hashed = toks.withColumn("h", md5_long(F.col("tok")))
-    bit_idx = F.explode(F.array(*[F.lit(b) for b in range(bits)])).alias("bit")
-    bit_rows = hashed.select(id_col, bit_idx, "h").withColumn(
-        "vote",
-        F.when(F.expr("(shiftright(h, bit) & CAST(1 AS BIGINT)) = 1"), 1).otherwise(-1),
+    simhash = F.expr(
+        f"""
+        aggregate(
+            sequence(0, {bits - 1}),
+            CAST(0 AS BIGINT),
+            (acc, b) -> acc + IF(
+                aggregate(hs, 0, (a2, h) -> a2 + IF((shiftright(h, b) & 1) = 1, 1, -1)) > 0,
+                shiftleft(CAST(1 AS BIGINT), b),
+                CAST(0 AS BIGINT)))
+        """
     )
-    votes = bit_rows.groupBy(id_col, "bit").agg(F.sum("vote").alias("s"))
-    return votes.groupBy(id_col).agg(
-        F.sum(
-            F.when(
-                F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
-            ).otherwise(F.lit(0).cast("bigint"))
-        ).alias("simhash")
-    )
+    return with_hashes.select(id_col, simhash.alias("simhash"))
 
 
 def embedding_near_dup_pairs(
