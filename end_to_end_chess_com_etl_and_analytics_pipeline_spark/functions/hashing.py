@@ -42,3 +42,31 @@ def md5_long_sql(expr: str) -> str:
 
 def md5_long_seeded_sql(expr: str, seed: int) -> str:
     return md5_long_sql(f"concat('{seed}', '|', {expr})")
+
+
+# ---------------------------------------------------------------------------
+# cheap seeded hash family for MinHash
+#
+# One md5 per value, then g_i(h) = (a_i * (h mod 2^30) + b_i) mod (2^31-1) —
+# the classic universal family (Carter-Wegman).  a_i < 2^31 and h' < 2^30
+# keep every intermediate below 2^61, so plain BIGINT arithmetic is exact
+# (no overflow) in both Spark and DuckDB.  16 hash functions cost one md5
+# + 16 fused multiply-adds per value instead of 16 md5s.
+# ---------------------------------------------------------------------------
+
+MINHASH_PRIME = 2_147_483_647  # 2^31 - 1 (Mersenne)
+MINHASH_H_MOD = 1 << 30
+
+
+def minhash_coeffs(n: int) -> tuple[list[int], list[int]]:
+    """Deterministic (a, b) coefficient lists for ``n`` hash functions.
+
+    Fixed seed so Spark operators and DuckDB oracle SQL are built from
+    the same constants; a_i in [1, p-1], b_i in [0, p-1].
+    """
+    import random
+
+    rng = random.Random(0x5EED)
+    a = [rng.randrange(1, MINHASH_PRIME) for _ in range(n)]
+    b = [rng.randrange(0, MINHASH_PRIME) for _ in range(n)]
+    return a, b

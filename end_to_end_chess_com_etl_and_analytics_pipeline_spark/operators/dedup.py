@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import md5_long
+from ..functions.hashing import MINHASH_H_MOD, MINHASH_PRIME, md5_long, minhash_coeffs
 from ..functions.rounding import round_fixed
 from ..functions.text import fingerprint, word_shingles
 
@@ -48,24 +48,35 @@ def minhash_signature_array(
     shingle_len: int = 3,
 ) -> DataFrame:
     """MinHash signature per document as one array column — a pure
-    *projection*: for seed i, array_min over shingles of
-    h(concat(i, '|', shingle)).  No explode, no shuffle; at 100 TB the
-    signature stage is map-side only (min over a multiset ignores the
-    duplicate shingles a distinct would have removed, so semantics equal
-    the distinct-shingle formulation)."""
-    shingles = word_shingles(text_col, shingle_len)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda seed: F.array_min(
-            F.transform(
-                shingles,
-                lambda s: md5_long(
-                    F.concat(seed.cast("string"), F.lit("|"), s)
-                ),
-            )
-        ),
+    *projection*, no explode, no shuffle; at 100 TB the signature stage
+    is map-side only.
+
+    Cost model: ONE md5 per shingle, then the i-th hash function is the
+    universal family g_i(h) = (a_i*h + b_i) mod p over the 30-bit
+    truncation (hashing.minhash_coeffs) — 16 signatures cost one md5 +
+    16 multiply-adds per shingle, not 16 md5s.  Min over the shingle
+    multiset equals min over distinct shingles, so semantics match the
+    distinct-shingle formulation the oracle uses.
+    """
+    a_co, b_co = minhash_coeffs(num_hashes)
+    hs = F.transform(
+        word_shingles(text_col, shingle_len),
+        lambda s: md5_long(s) % MINHASH_H_MOD,
     )
-    return df.select(F.col(id_col), sig.alias("signature"))
+    # Two-step select: `hs` is an expensive multi-referenced alias, which
+    # CollapseProject refuses to inline — the md5 pass runs once, not
+    # once per hash function.
+    with_hs = df.select(F.col(id_col), hs.alias("__hs"))
+    def _g(a: int, b: int):
+        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("__hs"), _g(a_co[i], b_co[i])))
+            for i in range(num_hashes)
+        ]
+    )
+    return with_hs.select(F.col(id_col), sig.alias("signature"))
 
 
 def minhash_signature_table(
@@ -77,11 +88,40 @@ def minhash_signature_table(
 ) -> DataFrame:
     """MinHash signatures in long shape (id, seed, minhash) — the
     oracle-comparable view of :func:`minhash_signature_array` (the
-    explode is map-side; still no shuffle)."""
-    arr = minhash_signature_array(df, text_col, id_col, num_hashes, shingle_len)
-    return arr.select(
+    explode is map-side; still no shuffle).
+
+    Explodes a FOLDABLE literal (seed, a, b) array rather than the
+    signature itself: InferFiltersFromGenerate skips foldable generator
+    children, so the optimizer never clones the expensive md5 projection
+    into an inferred size()>0 filter, and the Generate node acts as a
+    barrier that keeps the one-md5-per-shingle pass evaluated once."""
+    a_co, b_co = minhash_coeffs(num_hashes)
+    hs = F.transform(
+        word_shingles(text_col, shingle_len),
+        lambda s: md5_long(s) % MINHASH_H_MOD,
+    )
+    seeds = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("seed"),
+                F.lit(a_co[i]).alias("a"),
+                F.lit(b_co[i]).alias("b"),
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    exploded = df.select(
+        F.col(id_col), hs.alias("__hs"), F.explode(seeds).alias("sb")
+    )
+    return exploded.select(
         id_col,
-        F.posexplode("signature").alias("seed", "minhash"),
+        F.col("sb.seed").alias("seed"),
+        F.array_min(
+            F.transform(
+                F.col("__hs"),
+                lambda h: (h * F.col("sb.a") + F.col("sb.b")) % F.lit(MINHASH_PRIME),
+            )
+        ).alias("minhash"),
     )
 
 
@@ -102,33 +142,51 @@ def minhash_lsh_pairs(
     docs, so candidate generation is bucket-local, never O(n²) global."""
     rows_per_band = num_hashes // bands
     sig = minhash_signature_array(df, text_col, id_col, num_hashes, shingle_len)
-    band_entries = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.struct(
-            b.cast("int").alias("band"),
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.sort_array(
-                        F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band)
-                    ),
-                )
-            ).alias("band_key"),
-        ),
-    )
+    # Explode a FOLDABLE band-index literal (not an expression over the
+    # signature): InferFiltersFromGenerate would otherwise clone the full
+    # signature expression into an inferred filter and double the md5
+    # pass.  The Generate barrier keeps `signature` computed once per doc;
+    # the per-band key is then a cheap slice+md5 over 2 bigints.
     band_sig = sig.select(
-        F.col(id_col), F.explode(band_entries).alias("bk")
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
-    a = band_sig.select(
-        F.col(id_col).alias("id_a"), "band", F.col("band_key")
+        F.col(id_col),
+        F.col("signature"),
+        F.explode(F.array(*[F.lit(b) for b in range(bands)])).alias("band"),
+    ).select(
+        id_col,
+        "band",
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.sort_array(
+                    F.slice(
+                        F.col("signature"),
+                        F.col("band") * rows_per_band + 1,
+                        F.lit(rows_per_band),
+                    )
+                ),
+            )
+        ).alias("band_key"),
     )
-    b = band_sig.select(
-        F.col(id_col).alias("id_b"), "band", F.col("band_key")
+    # Bucket docs by band signature with ONE shuffle (a self-join here
+    # would evaluate the whole signature subtree once per join side),
+    # then expand each bucket's sorted id list into ordered pairs
+    # bucket-locally.
+    buckets = band_sig.groupBy("band", "band_key").agg(
+        F.sort_array(F.collect_list(F.col(id_col))).alias("ids")
+    )
+    pair_list = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
     )
     return (
-        a.join(b, ["band", "band_key"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.where(F.size("ids") >= 2)
+        .select(F.explode(pair_list).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 

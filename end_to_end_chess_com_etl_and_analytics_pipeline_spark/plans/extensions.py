@@ -18,7 +18,12 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.hashing import md5_long_sql
+from ..functions.hashing import (
+    MINHASH_H_MOD,
+    MINHASH_PRIME,
+    md5_long_sql,
+    minhash_coeffs,
+)
 from ..functions.rounding import round_fixed_sql
 from ..functions.text import (
     STOPWORDS,
@@ -80,12 +85,20 @@ _MINHASH_N, _MINHASH_SHINGLE, _MINHASH_BANDS = 8, 3, 4
 
 def _minhash_sig_cte() -> str:
     """CTE ``sig`` = (doc_id, seed, minhash), mirroring
-    operators.dedup.minhash_signature_table."""
-    h = md5_long_sql("concat(CAST(seed AS VARCHAR), '|', shingle)")
+    operators.dedup.minhash_signature_table: one md5 per shingle, then
+    the (a_i*h + b_i) mod p universal family per seed (shared constants
+    from functions.hashing.minhash_coeffs)."""
+    a_co, b_co = minhash_coeffs(_MINHASH_N)
+    a_arr = "[" + ",".join(str(a) for a in a_co) + "]"
+    b_arr = "[" + ",".join(str(b) for b in b_co) + "]"
+    h = md5_long_sql("shingle")
     return f"""{_shingle_cte(_MINHASH_SHINGLE)},
+hs AS (SELECT doc_id, ({h} % {MINHASH_H_MOD}) AS h FROM shingled),
 sig AS (
-    SELECT doc_id, CAST(s.seed AS INTEGER) AS seed, MIN({h}) AS minhash
-    FROM shingled, range(0, {_MINHASH_N}) s(seed)
+    SELECT doc_id, CAST(s.seed AS INTEGER) AS seed,
+           MIN(({a_arr}[CAST(s.seed AS INTEGER) + 1] * h
+                + {b_arr}[CAST(s.seed AS INTEGER) + 1]) % {MINHASH_PRIME}) AS minhash
+    FROM hs, range(0, {_MINHASH_N}) s(seed)
     GROUP BY doc_id, s.seed)
 """
 
