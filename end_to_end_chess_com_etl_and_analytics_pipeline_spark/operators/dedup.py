@@ -268,15 +268,23 @@ def simhash_signatures(
     with_hashes = df.select(
         F.col(id_col), F.transform(toks, lambda t: md5_long(t)).alias("hs")
     )
+    # Single pass over the token hashes accumulating all `bits` counters
+    # at once (zip_with), then one finish step: bit b is set iff more
+    # than half the tokens have bit b set (equivalent to the +1/-1 vote
+    # sum being positive).  One traversal instead of one per bit, and a
+    # much smaller expression tree to compile.
     simhash = F.expr(
         f"""
         aggregate(
-            sequence(0, {bits - 1}),
-            CAST(0 AS BIGINT),
-            (acc, b) -> acc + IF(
-                aggregate(hs, 0, (a2, h) -> a2 + IF((shiftright(h, b) & 1) = 1, 1, -1)) > 0,
-                shiftleft(CAST(1 AS BIGINT), b),
-                CAST(0 AS BIGINT)))
+            hs,
+            struct(CAST(0 AS INT) AS n, array_repeat(CAST(0 AS INT), {bits}) AS cnt),
+            (acc, h) -> struct(acc.n + 1 AS n,
+                               zip_with(acc.cnt, sequence(0, {bits - 1}),
+                                        (c, b) -> c + CAST(shiftright(h, b) & 1 AS INT)) AS cnt),
+            acc -> aggregate(sequence(0, {bits - 1}), CAST(0 AS BIGINT),
+                             (s, b) -> s + IF(2 * acc.cnt[b] > acc.n,
+                                              shiftleft(CAST(1 AS BIGINT), b),
+                                              CAST(0 AS BIGINT))))
         """
     )
     return with_hashes.select(id_col, simhash.alias("simhash"))
