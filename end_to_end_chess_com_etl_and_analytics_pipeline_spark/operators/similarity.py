@@ -66,17 +66,28 @@ def assign_cells(
     centroid_vec: str = "centroid",
 ) -> DataFrame:
     """IVF cell assignment: nearest centroid by cosine (broadcast join +
-    max_by — one corpus pass, no shuffle of the corpus)."""
+    max_by — one corpus pass, one shuffle keyed on the corpus id).
+
+    The assignment score is rounded to 6 decimals and ties break on the
+    lower centroid id (max_by over a (score, -id) struct), so the
+    assignment is deterministic and reproducible by the DuckDB oracle's
+    ROW_NUMBER(ORDER BY score DESC, id ASC) formulation."""
     cent = centroids.select(
         F.col(centroid_id), F.col(centroid_vec).alias("__cv")
     )
     scored = corpus.join(F.broadcast(cent)).withColumn(
-        "__score", cosine(F.col(vec_col), F.col("__cv"))
+        "__score", round_fixed(cosine(F.col(vec_col), F.col("__cv")), 6)
     )
     return (
         scored.groupBy(id_col, vec_col)
         .agg(
-            F.max_by(F.col(centroid_id), F.col("__score")).alias("cell")
+            F.max_by(
+                F.col(centroid_id),
+                F.struct(
+                    F.col("__score").alias("s"),
+                    (-F.col(centroid_id)).alias("t"),
+                ),
+            ).alias("cell")
         )
     )
 
@@ -98,7 +109,7 @@ def ivf_topk(
     cells = assign_cells(corpus, centroids, vec_col, id_col, centroid_id, centroid_vec)
     cent = centroids.select(F.col(centroid_id), F.col(centroid_vec).alias("__cv"))
     q_scored = queries.join(F.broadcast(cent)).withColumn(
-        "__score", cosine(F.col(vec_col), F.col("__cv"))
+        "__score", round_fixed(cosine(F.col(vec_col), F.col("__cv")), 6)
     )
     wq = Window.partitionBy(id_col).orderBy(
         F.col("__score").desc(), F.col(centroid_id).asc()

@@ -45,7 +45,7 @@ from ..operators.dedup import (
     ngram_jaccard_pairs,
     simhash_signatures,
 )
-from ..operators.similarity import brute_force_topk
+from ..operators.similarity import brute_force_topk, ivf_topk
 from ..operators.windows import sessionize, sliding_agg, tumbling_agg
 from ..sources.tables import load_table
 
@@ -264,6 +264,50 @@ SELECT query_id, cand_id, cos, rank FROM ranked WHERE rank <= 5
 """
 
 
+def x12_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate top-k: corpus vectors bucketed by nearest
+    coarse centroid (every 50th embedding), queries probe their 2
+    nearest cells only — the 100 TB scale path where each query scans
+    ~nprobe/n_cells of the corpus instead of all of it."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    centroids = emb.where(F.col("vec_id") % 50 == 3).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
+    )
+    return ivf_topk(
+        emb, emb.where(F.col("vec_id") < 8), centroids, k=5, nprobe=2
+    )
+
+
+_IVF_CELL_COS = round_fixed_sql(cosine_sql("e.embedding", "c.centroid"), 6)
+
+_X12_SQL = f"""
+WITH cent AS (
+    SELECT vec_id AS centroid_id, embedding AS centroid
+    FROM embeddings WHERE vec_id % 50 = 3),
+cells AS (
+    SELECT vec_id, embedding, centroid_id AS cell FROM (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY {_IVF_CELL_COS} DESC, c.centroid_id ASC) AS rn
+        FROM embeddings e, cent c) WHERE rn = 1),
+qcells AS (
+    SELECT vec_id AS query_id, embedding AS qv, centroid_id AS cell FROM (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY {_IVF_CELL_COS} DESC, c.centroid_id ASC) AS rn
+        FROM embeddings e, cent c WHERE e.vec_id < 8) WHERE rn <= 2),
+scored AS (
+    SELECT q.query_id, ce.vec_id AS cand_id,
+           {round_fixed_sql(cosine_sql("q.qv", "ce.embedding"), 6)} AS cos
+    FROM qcells q JOIN cells ce ON q.cell = ce.cell AND ce.vec_id != q.query_id),
+ranked AS (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS INTEGER) AS rank
+    FROM scored)
+SELECT query_id, cand_id, cos, rank FROM ranked WHERE rank <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -411,6 +455,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x09_tumbling_window": x09_tumbling_window,
     "x10_sliding_window": x10_sliding_window,
     "x11_sessionize": x11_sessionize,
+    "x12_ivf_topk": x12_ivf_topk,
 }
 
 EXT_ORACLE: dict[str, str] = {
@@ -425,4 +470,5 @@ EXT_ORACLE: dict[str, str] = {
     "x09_tumbling_window": _X09_SQL,
     "x10_sliding_window": _X10_SQL,
     "x11_sessionize": _X11_SQL,
+    "x12_ivf_topk": _X12_SQL,
 }
