@@ -25,9 +25,14 @@ from ..functions.rounding import round_fixed
 from ..multimodal.media import attach_binary_payload, extract_media_features
 from ..schemas import OPENINGS_CSV_SCHEMA, RAW_GAME_SCHEMA
 from ..sources import demo
-from ..streaming.pipeline import run_stream_to_memory, streaming_tumbling_counts
+from ..streaming.pipeline import (
+    run_stream_to_memory,
+    streaming_dedup,
+    streaming_stateful_sessions,
+    streaming_tumbling_counts,
+)
 from .analytics import classify_openings, win_rate_by_opening
-from .extensions import _X09_SQL
+from .extensions import _X09_SQL, _X11_SQL
 from .gold import build_gold
 from .silver import bronze_to_silver
 
@@ -91,6 +96,39 @@ def st01_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _staged_events_dir(sf_dir: str) -> str:
+    stream_dir = tempfile.mkdtemp(prefix="events_stream_")
+    shutil.copy(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(stream_dir, "events.parquet"),
+    )
+    return stream_dir
+
+
+def st02_streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState sessionization over the events stream —
+    custom per-user state (session ordinal + last event time).  Drained
+    with availableNow it must equal the batch gaps-and-islands
+    sessionize, so the oracle is x11's SQL."""
+    sessions = streaming_stateful_sessions(spark, _staged_events_dir(sf_dir))
+    name = f"st_sessions_{uuid.uuid4().hex[:8]}"
+    run_stream_to_memory(sessions, name, output_mode="append")
+    return spark.table(name)
+
+
+def st03_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark over a self-unioned events stream
+    (every row arrives twice): the output must be each event exactly
+    once — the oracle is a plain scan of the events table."""
+    deduped = streaming_dedup(spark, _staged_events_dir(sf_dir))
+    name = f"st_dedup_{uuid.uuid4().hex[:8]}"
+    run_stream_to_memory(deduped, name, output_mode="append")
+    return spark.table(name)
+
+
+_ST03_SQL = "SELECT event_id, ts, user_id, event_type FROM events"
+
+
 def m01_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline: documents → opaque binary payload + typed
     metadata → Arrow-batched mapInPandas feature extraction.  The
@@ -119,6 +157,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c03_chess_win_rate": c03_chess_win_rate,
     "c04_chess_openings_classified": c04_chess_openings_classified,
     "st01_streaming_tumbling": st01_streaming_tumbling,
+    "st02_streaming_stateful_sessions": st02_streaming_stateful_sessions,
+    "st03_streaming_dedup": st03_streaming_dedup,
     "m01_multimodal_features": m01_multimodal_features,
 }
 
@@ -126,5 +166,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # streaming + multimodal carry real oracles.
 PIPELINE_ORACLE: dict[str, str] = {
     "st01_streaming_tumbling": _X09_SQL,
+    "st02_streaming_stateful_sessions": _X11_SQL,
+    "st03_streaming_dedup": _ST03_SQL,
     "m01_multimodal_features": _M01_SQL,
 }

@@ -118,6 +118,110 @@ def streaming_tumbling_counts(
     )
 
 
+def _events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-source stream over the events fixture with the nanos→micros
+    timestamp repair shared with the batch reader."""
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) as int64
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(schema).parquet(events_dir)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def streaming_stateful_sessions(
+    spark: SparkSession, events_dir: str, gap_seconds: int = 1800
+) -> DataFrame:
+    """Custom stateful streaming operator: per-user sessionization with
+    ``applyInPandasWithState`` (arbitrary state the built-in window
+    operators can't express — session ordinal + running last-event
+    timestamp per user).
+
+    Each group invocation stitches its batch onto the carried state and
+    emits every session closed *or still open* in that batch; with an
+    ``availableNow`` single-batch drain this equals the batch
+    gaps-and-islands sessionize (operators.windows.sessionize), which is
+    the DuckDB oracle.  In continuous multi-batch operation the final
+    open session per user stays in state until the next batch extends or
+    closes it — at 100 TB state is bounded by |active users|, not data.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    events = _events_stream(spark, events_dir).select("user_id", "ts")
+
+    def stitch(key, pdf_iter, state: "GroupState"):
+        import pandas as pd
+
+        rows = pd.concat(list(pdf_iter)).sort_values("ts")
+        secs = rows["ts"].astype("datetime64[ns]").astype("int64") // 10**9
+        if state.exists:
+            last_ts, seq = state.get
+        else:
+            last_ts, seq = None, 0
+        out = []
+        cur = None  # [seq, start, end, n]
+        for ts_val, sec in zip(rows["ts"], secs):
+            if last_ts is None or sec - last_ts > gap_seconds:
+                if cur is not None:
+                    out.append(cur)
+                seq += 1
+                cur = [seq, ts_val, ts_val, 1]
+            else:
+                if cur is None:  # continues the pre-batch open session
+                    seq = max(seq, 1)
+                    cur = [seq, ts_val, ts_val, 1]
+                else:
+                    cur[2] = ts_val
+                    cur[3] += 1
+            last_ts = sec
+        if cur is not None:
+            out.append(cur)
+        state.update((int(last_ts), int(seq)))
+        yield pd.DataFrame(
+            {
+                "user_id": [int(key[0])] * len(out),
+                "session_seq": [o[0] for o in out],
+                "session_start": [o[1] for o in out],
+                "session_end": [o[2] for o in out],
+                "n_events": [o[3] for o in out],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        stitch,
+        outputStructType=(
+            "user_id bigint, session_seq bigint, session_start timestamp, "
+            "session_end timestamp, n_events bigint"
+        ),
+        stateStructType="last_ts bigint, seq bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_dedup(spark: SparkSession, events_dir: str) -> DataFrame:
+    """Streaming exact dedup: the events stream unioned with itself
+    (every row duplicated) → ``dropDuplicatesWithinWatermark`` on
+    event_id recovers each row exactly once.  This is T4's streaming
+    form: state is bounded by the watermark horizon instead of growing
+    with the table, which is what makes re-pull dedup viable at 100 TB.
+    """
+    s = _events_stream(spark, events_dir).select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    doubled = s.union(s)
+    return doubled.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, table_name: str, output_mode: str = "complete"
 ) -> None:
