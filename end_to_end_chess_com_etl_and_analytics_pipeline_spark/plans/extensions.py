@@ -24,17 +24,12 @@ from ..functions.hashing import (
     md5_long_sql,
     minhash_coeffs,
 )
-from ..functions.rounding import round_fixed_sql
+from ..functions.rounding import round_fixed, round_fixed_sql
 from ..functions.text import (
     STOPWORDS,
-    avg_word_len,
     bpe_ish_token_count,
     fingerprint,
-    lang_id,
     punct_ratio,
-    quality_score,
-    stopword_ratio,
-    token_count,
 )
 from ..functions.vectors import cosine_sql
 from ..operators.dedup import (
@@ -316,19 +311,66 @@ SELECT query_id, cand_id, cos, rank FROM ranked WHERE rank <= 5
 def x08_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text statistics: token counts (whitespace + BPE-ish
     regex), word-length/punctuation/stopword ratios, composite quality
-    score, heuristic language ID, fingerprint — one codegen'd projection,
-    zero Python in the loop."""
+    score, heuristic language ID, fingerprint — zero Python in the loop.
+
+    Staged projection: the text is tokenized ONCE into intermediate
+    array columns (multi-referenced expensive aliases, which
+    CollapseProject keeps materialized), and every stat derives from
+    them — instead of each stat expression re-running split+filter over
+    the raw text.  Semantics identical to the functions.text building
+    blocks (same SQL oracle)."""
+    from ..functions.text import tokens
+
     docs = load_table(spark, "documents", sf_dir)
-    return docs.select(
+    def _hits(words: list[str]):
+        sw = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(F.col("__ltoks"), lambda t: F.array_contains(sw, t)))
+
+    sw_hits = {lang: _hits(words) for lang, words in STOPWORDS.items()}
+    staged = docs.select(
         "doc_id",
-        token_count("text").alias("n_tokens"),
+        "text",
+        tokens("text").alias("__toks"),
+        tokens(F.lower(F.col("text"))).alias("__ltoks"),
+    ).select(
+        "doc_id",
+        F.size("__toks").alias("n_tokens"),
         bpe_ish_token_count("text").alias("n_bpe_tokens"),
-        avg_word_len("text").alias("avg_wlen"),
+        F.when(F.size("__toks") == 0, F.lit(0.0))
+        .otherwise(
+            F.aggregate(
+                F.col("__toks"), F.lit(0), lambda acc, t: acc + F.length(t)
+            ).cast("double")
+            / F.size("__toks")
+        )
+        .alias("avg_wlen"),
         punct_ratio("text").alias("punct_ratio"),
-        stopword_ratio("text").alias("stop_ratio"),
-        quality_score("text").alias("quality"),
-        lang_id("text").alias("lang_guess"),
+        *[sw_hits[lang].alias(f"__hits_{lang}") for lang in STOPWORDS],
         fingerprint("text").alias("fp"),
+    )
+    stop_ratio_c = F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(
+        F.col("__hits_en").cast("double") / F.col("n_tokens")
+    )
+    len_score = F.least(F.col("n_tokens").cast("double") / F.lit(50.0), F.lit(1.0))
+    punct_penalty = F.lit(1.0) - F.least(F.col("punct_ratio") * 5, F.lit(1.0))
+    sw_score = F.lit(1.0) - F.least(
+        F.abs(stop_ratio_c - F.lit(0.1)) * 4, F.lit(1.0)
+    )
+    best, best_score = F.lit("und"), F.lit(0)
+    for lang in STOPWORDS:  # first-listed language wins ties via strict >
+        is_better = F.col(f"__hits_{lang}") > best_score
+        best = F.when(is_better, F.lit(lang)).otherwise(best)
+        best_score = F.when(is_better, F.col(f"__hits_{lang}")).otherwise(best_score)
+    return staged.select(
+        "doc_id",
+        "n_tokens",
+        "n_bpe_tokens",
+        "avg_wlen",
+        "punct_ratio",
+        stop_ratio_c.alias("stop_ratio"),
+        round_fixed((len_score + punct_penalty + sw_score) / 3, 6).alias("quality"),
+        best.alias("lang_guess"),
+        "fp",
     )
 
 

@@ -134,6 +134,59 @@ def write_jdbc(
     writer.save()
 
 
+# Star-schema DDL (S9), mirroring the reference's warehouse
+# (create_datawarehouse.sql:2-61).  Spark's catalog has no enforced PK
+# constraints — key uniqueness is guaranteed upstream by the DISTINCT dim
+# builds and asserted in tests — so the PKs are documented, not declared.
+WAREHOUSE_SCHEMA = "chess_dw"
+
+WAREHOUSE_TABLES: dict[str, str] = {
+    "dim_openings": (
+        "opening_url STRING, opening_name STRING, family_name STRING, "
+        "variation STRING"  # PK: opening_url
+    ),
+    "dim_date": (
+        "game_date DATE, year INT, month INT, day INT, month_name STRING, "
+        "day_name STRING, quarter INT"  # PK: game_date
+    ),
+    "dim_time_control": (
+        "time_control STRING, time_class STRING, time_control_display STRING"
+        # PK: time_control
+    ),
+    "dim_results": (
+        "result_code STRING, result_category STRING, result_description STRING"
+        # PK: result_code
+    ),
+    "fact_games": (
+        "game_url STRING, game_date DATE, time_control STRING, "
+        "my_color STRING, my_username STRING, my_rating INT, my_result STRING, "
+        "opponent_username STRING, opponent_rating INT, opponent_result STRING, "
+        "opening_url STRING, moves_count INT, rated BOOLEAN, "
+        "game_start_time TIMESTAMP, game_end_time TIMESTAMP, "
+        "game_duration_secs BIGINT, last_updated TIMESTAMP"  # PK: game_url
+    ),
+}
+
+
+def create_warehouse(
+    spark: SparkSession, location: str | None = None, schema: str = WAREHOUSE_SCHEMA
+) -> None:
+    """DDL (S9): CREATE SCHEMA/TABLE IF NOT EXISTS for the warehouse star
+    schema on the session catalog — idempotent, like the reference's
+    ``CREATE ... IF NOT EXISTS`` shipped to Postgres
+    (load_data_warehouse_dag.py:31-35).  ``location`` pins external
+    parquet storage; without it tables are managed."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {schema}")
+    for table, columns in WAREHOUSE_TABLES.items():
+        loc = (
+            f" LOCATION '{os.path.join(location, table)}'" if location else ""
+        )
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {schema}.{table} ({columns}) "
+            f"USING PARQUET{loc}"
+        )
+
+
 # 15 result codes seeded by the reference as a literal UNION ALL chain
 # (python_scripts.py:456-485; create_dim_results_table.sql:1-29).
 DIM_RESULTS_ROWS: list[tuple[str, str, str]] = [

@@ -306,3 +306,27 @@ def test_analytics_views(spark, silver, openings_lookup):
     # least to "French Defense" (longest matching book prefix)
     some = [v for v in got.values() if v is not None]
     assert "French Defense" in some or "French Defense: Advance Variation" in some
+
+
+def test_warehouse_ddl_idempotent(spark, tmp_path):
+    """S9: star-schema DDL on the session catalog — idempotent
+    CREATE IF NOT EXISTS, insertable, re-runnable without data loss."""
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.sources.tables import (
+        WAREHOUSE_TABLES,
+        create_warehouse,
+        dim_results_seed,
+    )
+
+    db = "chess_dw_test"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{tmp_path}/db'")
+    try:
+        create_warehouse(spark, location=str(tmp_path), schema=db)
+        tables = {r.tableName for r in spark.sql(f"SHOW TABLES IN {db}").collect()}
+        assert set(WAREHOUSE_TABLES) <= tables
+        dim_results_seed(spark).write.insertInto(f"{db}.dim_results")
+        assert spark.table(f"{db}.dim_results").count() == 15
+        # second run must neither fail nor clobber existing rows
+        create_warehouse(spark, location=str(tmp_path), schema=db)
+        assert spark.table(f"{db}.dim_results").count() == 15
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
