@@ -108,6 +108,13 @@ def lang_id(text: Column | str) -> Column:
     return best
 
 
+# Rabin-Karp rolling-hash fingerprint constants: base/modulus for the
+# polynomial k-gram hash, and the winnowing-style 1-in-W hash selection.
+# (operators.dedup.rolling_fingerprint — DataFrame-level so the char-codes
+# array can be staged once per row.)
+ROLLING_K, ROLLING_B, ROLLING_P, ROLLING_W = 8, 257, 1_000_000_007, 16
+
+
 def fingerprint(text: Column | str) -> Column:
     """Document fingerprint: 60-bit hash of the whitespace-normalized,
     lowercased text — the exact-dedup key."""

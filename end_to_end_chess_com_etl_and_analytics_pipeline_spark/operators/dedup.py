@@ -290,6 +290,52 @@ def simhash_signatures(
     return with_hashes.select(id_col, simhash.alias("simhash"))
 
 
+def rolling_fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int | None = None,
+    w: int | None = None,
+) -> DataFrame:
+    """Rolling-hash document fingerprint (Rabin-Karp k-gram sketch).
+
+    Every character k-gram gets the polynomial hash
+    h(i) = sum_j code(s[i+j]) * B^(k-1-j) mod P, computed from ONE staged
+    char-codes array per row (cheap integer multiply-adds; no per-gram
+    string allocation or md5).  The winnowing-style sketch keeps the
+    grams with ``h % W == 0`` — a content-defined subset stable under
+    shifts/edits elsewhere in the document — and summarizes them as
+    (count, md5-of-sorted-set).  Pure projection: no shuffle at any
+    scale."""
+    from ..functions.text import ROLLING_B, ROLLING_K, ROLLING_P, ROLLING_W
+
+    k = ROLLING_K if k is None else k
+    w = ROLLING_W if w is None else w
+    codes = F.transform(
+        F.split(F.col(text_col), ""), lambda ch: F.ascii(ch).cast("bigint")
+    )
+    staged = df.select(F.col(id_col), codes.alias("__codes"))
+    kh = F.transform(
+        F.sequence(
+            F.lit(1), F.greatest(F.size(F.col("__codes")) - F.lit(k - 1), F.lit(0))
+        ),
+        lambda i: F.aggregate(
+            F.slice(F.col("__codes"), i, k),
+            F.lit(0).cast("bigint"),
+            lambda acc, ch: (acc * ROLLING_B + ch) % ROLLING_P,
+        ),
+    )
+    sel = F.sort_array(F.array_distinct(F.filter(kh, lambda h: h % w == 0)))
+    # second staging step: `sel` is consumed twice below — keep the k-gram
+    # pass from running once per consumer
+    sketched = staged.select(F.col(id_col), sel.alias("__sel"))
+    return sketched.select(
+        id_col,
+        F.size("__sel").alias("n_grams"),
+        F.md5(F.concat_ws(",", F.col("__sel"))).alias("fp_sketch"),
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",

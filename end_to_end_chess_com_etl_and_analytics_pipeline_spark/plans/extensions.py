@@ -420,6 +420,42 @@ FROM documents
 """
 
 
+def x13_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin-Karp rolling-hash document fingerprint: polynomial char
+    8-gram hashes from one staged char-codes pass, winnowed to the
+    h % 16 == 0 subset (content-defined sketch, stable under edits
+    elsewhere in the doc)."""
+    from ..operators.dedup import rolling_fingerprint
+
+    return rolling_fingerprint(load_table(spark, "documents", sf_dir))
+
+
+from ..functions.text import (  # noqa: E402  (shared Rabin-Karp constants)
+    ROLLING_B as _RK_B,
+    ROLLING_K as _RK_K,
+    ROLLING_P as _RK_P,
+    ROLLING_W as _RK_W,
+)
+
+_X13_SQL = f"""
+WITH kh AS (
+    SELECT doc_id,
+           list_transform(range(1, GREATEST(length(text) - {_RK_K - 1}, 0) + 1),
+               i -> list_reduce(
+                        list_transform(range(0, {_RK_K}),
+                            j -> CAST(ascii(substring(text, CAST(i + j AS INTEGER), 1)) AS BIGINT)),
+                        (acc, c) -> (acc * {_RK_B} + c) % {_RK_P})) AS hs
+    FROM documents),
+sel AS (
+    SELECT doc_id,
+           list_sort(list_distinct(list_filter(hs, h -> h % {_RK_W} = 0))) AS s
+    FROM kh)
+SELECT doc_id, CAST(len(s) AS INTEGER) AS n_grams,
+       md5(array_to_string(s, ',')) AS fp_sketch
+FROM sel
+"""
+
+
 # ---------------------------------------------------------------------------
 # windowed event aggregation (batch form; streaming variant in streaming/)
 # ---------------------------------------------------------------------------
@@ -498,6 +534,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x10_sliding_window": x10_sliding_window,
     "x11_sessionize": x11_sessionize,
     "x12_ivf_topk": x12_ivf_topk,
+    "x13_rolling_fingerprint": x13_rolling_fingerprint,
 }
 
 EXT_ORACLE: dict[str, str] = {
@@ -513,4 +550,5 @@ EXT_ORACLE: dict[str, str] = {
     "x10_sliding_window": _X10_SQL,
     "x11_sessionize": _X11_SQL,
     "x12_ivf_topk": _X12_SQL,
+    "x13_rolling_fingerprint": _X13_SQL,
 }
