@@ -99,6 +99,41 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON sink (S7).  The reference keeps bronze verbatim by dumping
+    the raw API payload (python_scripts.py:64-79); the engine-side
+    equivalent writes NDJSON partitions — at scale one file per
+    (user, month) task, not a driver-side dump."""
+    df.write.mode(mode).json(path)
+
+
+def fetch_month_api(
+    username: str, year: int, month: int, timeout: int = 30
+) -> list[dict]:
+    """HTTP API source (S1): GET the Chess.com monthly archive
+    (python_scripts.py:30-61 shape — UA header, empty list on non-200).
+
+    Driver-side by design at this fan-in (one request per user-month);
+    the scale path parallelizes a (user, month) DataFrame and fetches in
+    ``mapPartitions``.  Network-dependent, so offline tests exercise the
+    same schema via sources.demo payloads instead.
+    """
+    try:
+        import requests  # gated: not needed anywhere else
+    except ImportError:  # pragma: no cover
+        return []
+    url = (
+        "https://api.chess.com/pub/player/"
+        f"{username.lower()}/games/{year}/{month:02d}"
+    )
+    resp = requests.get(
+        url, headers={"User-Agent": "spark-analytics-engine"}, timeout=timeout
+    )
+    if resp.status_code != 200:  # pragma: no cover
+        return []
+    return resp.json().get("games", [])
+
+
 def read_jdbc(
     spark: SparkSession, url: str, dbtable: str, properties: dict[str, str] | None = None
 ) -> DataFrame:

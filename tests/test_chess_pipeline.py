@@ -330,3 +330,36 @@ def test_warehouse_ddl_idempotent(spark, tmp_path):
         assert spark.table(f"{db}.dim_results").count() == 15
     finally:
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_csv_scan_and_json_sink_roundtrip(spark, tmp_path):
+    """S4 + S7: declared-schema CSV scan and engine-side JSON sink."""
+    import csv
+
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.schemas import (
+        OPENINGS_CSV_SCHEMA,
+    )
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.sources.tables import (
+        read_csv,
+        write_json,
+    )
+
+    csv_path = tmp_path / "openings.csv"
+    with open(csv_path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow([fld.name for fld in OPENINGS_CSV_SCHEMA.fields])
+        w.writerow(["A00", "A00", "Polish Opening", "1. b4"])
+        w.writerow(["C00", "C00", "French Defense", "1. e4 e6"])
+    df = read_csv(spark, str(csv_path), OPENINGS_CSV_SCHEMA)
+    assert df.count() == 2
+    assert df.schema == OPENINGS_CSV_SCHEMA
+
+    out = tmp_path / "bronze_json"
+    write_json(df, str(out))
+    # the sink emits NDJSON (line mode), unlike the reference's
+    # array-document bronze which read_json's multiLine handles
+    back = spark.read.schema(OPENINGS_CSV_SCHEMA).json(str(out))
+    assert sorted(r.name for r in back.collect()) == [
+        "French Defense",
+        "Polish Opening",
+    ]
