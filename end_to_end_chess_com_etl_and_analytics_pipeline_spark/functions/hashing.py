@@ -56,6 +56,9 @@ def md5_long_seeded_sql(expr: str, seed: int) -> str:
 
 MINHASH_PRIME = 2_147_483_647  # 2^31 - 1 (Mersenne)
 MINHASH_H_MOD = 1 << 30
+# polynomial base combining consecutive token hashes into a shingle hash:
+# acc*B + h stays under 2^51 (acc < 2^31, B < 2^20), exact in BIGINT
+SHINGLE_COMBINE_B = 1_000_003
 
 
 def minhash_coeffs(n: int) -> tuple[list[int], list[int]]:

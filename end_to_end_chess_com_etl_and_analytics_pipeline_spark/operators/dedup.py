@@ -23,7 +23,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import MINHASH_H_MOD, MINHASH_PRIME, md5_long, minhash_coeffs
+from ..functions.hashing import (
+    MINHASH_H_MOD,
+    MINHASH_PRIME,
+    SHINGLE_COMBINE_B,
+    md5_long,
+    minhash_coeffs,
+)
 from ..functions.rounding import round_fixed
 from ..functions.text import fingerprint, word_shingles
 
@@ -40,6 +46,39 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def _shingle_hash_df(
+    df: DataFrame, text_col: str, id_col: str, shingle_len: int
+) -> DataFrame:
+    """(id, __hs): shingle hashes per document, built as one md5 per
+    token (30-bit) then a polynomial combine of ``shingle_len``
+    consecutive token hashes mod 2^31-1 — integer ops only, no
+    per-shingle string allocation.  Documents shorter than one shingle
+    fold all their token hashes into a single value.  Staged selects
+    keep each expensive alias evaluated once."""
+    th = F.transform(
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != ""),
+        lambda t: md5_long(t) % MINHASH_H_MOD,
+    )
+    with_th = df.select(F.col(id_col), th.alias("__th"))
+
+    def _poly(arr):
+        return F.aggregate(
+            arr,
+            F.lit(0).cast("bigint"),
+            lambda acc, h: (acc * F.lit(SHINGLE_COMBINE_B) + h)
+            % F.lit(MINHASH_PRIME),
+        )
+
+    n = F.size(F.col("__th"))
+    hs = F.when(n < shingle_len, F.array(_poly(F.col("__th")))).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(shingle_len - 1)),
+            lambda i: _poly(F.slice(F.col("__th"), i, shingle_len)),
+        )
+    )
+    return with_th.select(F.col(id_col), hs.alias("__hs"))
+
+
 def minhash_signature_array(
     df: DataFrame,
     text_col: str = "text",
@@ -51,22 +90,29 @@ def minhash_signature_array(
     *projection*, no explode, no shuffle; at 100 TB the signature stage
     is map-side only.
 
-    Cost model: ONE md5 per shingle, then the i-th hash function is the
-    universal family g_i(h) = (a_i*h + b_i) mod p over the 30-bit
-    truncation (hashing.minhash_coeffs) — 16 signatures cost one md5 +
-    16 multiply-adds per shingle, not 16 md5s.  Min over the shingle
-    multiset equals min over distinct shingles, so semantics match the
-    distinct-shingle formulation the oracle uses.
+    Cost model (why three staged selects):
+
+    1. ONE md5 per *token* (not per shingle, and never one per
+       shingle×seed): ``__th`` = 30-bit token hashes.
+    2. Shingle identity is the polynomial combine of ``shingle_len``
+       consecutive token hashes mod 2^31-1 (``__hs``) — integer
+       multiply-adds replace the per-shingle slice+join string
+       allocation that dominated the original formulation (≈10×).
+       Documents shorter than one shingle fold all their token hashes
+       into a single value.
+    3. The i-th hash function is the universal family g_i(h) =
+       (a_i*h + b_i) mod p (hashing.minhash_coeffs); h < 2^31 and
+       a_i < 2^31 keep every product under 2^62 — exact BIGINT in both
+       engines.
+
+    Each stage's alias is multi-referenced, which CollapseProject keeps
+    materialized, so no stage is recomputed per consumer.  Min over the
+    shingle multiset equals min over distinct shingles, so semantics
+    match the oracle's distinct-shingle formulation.
     """
     a_co, b_co = minhash_coeffs(num_hashes)
-    hs = F.transform(
-        word_shingles(text_col, shingle_len),
-        lambda s: md5_long(s) % MINHASH_H_MOD,
-    )
-    # Two-step select: `hs` is an expensive multi-referenced alias, which
-    # CollapseProject refuses to inline — the md5 pass runs once, not
-    # once per hash function.
-    with_hs = df.select(F.col(id_col), hs.alias("__hs"))
+    with_hs = _shingle_hash_df(df, text_col, id_col, shingle_len)
+
     def _g(a: int, b: int):
         return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)
 
@@ -92,14 +138,10 @@ def minhash_signature_table(
 
     Explodes a FOLDABLE literal (seed, a, b) array rather than the
     signature itself: InferFiltersFromGenerate skips foldable generator
-    children, so the optimizer never clones the expensive md5 projection
+    children, so the optimizer never clones the expensive hash projection
     into an inferred size()>0 filter, and the Generate node acts as a
-    barrier that keeps the one-md5-per-shingle pass evaluated once."""
+    barrier that keeps the one-md5-per-token pass evaluated once."""
     a_co, b_co = minhash_coeffs(num_hashes)
-    hs = F.transform(
-        word_shingles(text_col, shingle_len),
-        lambda s: md5_long(s) % MINHASH_H_MOD,
-    )
     seeds = F.array(
         *[
             F.struct(
@@ -110,8 +152,8 @@ def minhash_signature_table(
             for i in range(num_hashes)
         ]
     )
-    exploded = df.select(
-        F.col(id_col), hs.alias("__hs"), F.explode(seeds).alias("sb")
+    exploded = _shingle_hash_df(df, text_col, id_col, shingle_len).select(
+        F.col(id_col), F.col("__hs"), F.explode(seeds).alias("sb")
     )
     return exploded.select(
         id_col,

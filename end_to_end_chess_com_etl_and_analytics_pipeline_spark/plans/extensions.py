@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import (
     MINHASH_H_MOD,
     MINHASH_PRIME,
+    SHINGLE_COMBINE_B,
     md5_long_sql,
     minhash_coeffs,
 )
@@ -80,15 +81,37 @@ _MINHASH_N, _MINHASH_SHINGLE, _MINHASH_BANDS = 8, 3, 4
 
 def _minhash_sig_cte() -> str:
     """CTE ``sig`` = (doc_id, seed, minhash), mirroring
-    operators.dedup.minhash_signature_table: one md5 per shingle, then
-    the (a_i*h + b_i) mod p universal family per seed (shared constants
-    from functions.hashing.minhash_coeffs)."""
+    operators.dedup.minhash_signature_table: one md5 per *token*
+    (30-bit), shingle hash = polynomial combine of consecutive token
+    hashes mod 2^31-1, then the (a_i*h + b_i) mod p universal family per
+    seed — all constants shared with functions.hashing.
+
+    DuckDB's list_reduce has no initial accumulator, but
+    f(x, y) = (x*B + y) mod p satisfies f(0, x) = x, so the fold over
+    [h1..hk] equals the zero-initialized polynomial exactly."""
     a_co, b_co = minhash_coeffs(_MINHASH_N)
     a_arr = "[" + ",".join(str(a) for a in a_co) + "]"
     b_arr = "[" + ",".join(str(b) for b in b_co) + "]"
-    h = md5_long_sql("shingle")
-    return f"""{_shingle_cte(_MINHASH_SHINGLE)},
-hs AS (SELECT doc_id, ({h} % {MINHASH_H_MOD}) AS h FROM shingled),
+    k = _MINHASH_SHINGLE
+    th = md5_long_sql("t")
+    fold = f"(acc, h) -> (acc * {SHINGLE_COMBINE_B} + h) % {MINHASH_PRIME}"
+    toks = _TOKS_SQL.format(c="text")
+    return f"""
+th AS (
+    SELECT doc_id,
+           list_transform({toks}, t -> {th} % {MINHASH_H_MOD}) AS ths
+    FROM documents),
+hs AS (
+    SELECT doc_id, unnest(
+        CASE WHEN len(ths) = 0 THEN [CAST(0 AS BIGINT)]
+             WHEN len(ths) < {k} THEN [list_reduce(ths, {fold})]
+             ELSE list_transform(
+                 range(1, CAST(len(ths) AS BIGINT) - {k - 2}),
+                 i -> list_reduce(
+                     ths[CAST(i AS INTEGER):CAST(i + {k - 1} AS INTEGER)],
+                     {fold}))
+        END) AS h
+    FROM th),
 sig AS (
     SELECT doc_id, CAST(s.seed AS INTEGER) AS seed,
            MIN(({a_arr}[CAST(s.seed AS INTEGER) + 1] * h
