@@ -332,6 +332,102 @@ def simhash_signatures(
     return with_hashes.select(id_col, simhash.alias("simhash"))
 
 
+def srp_planes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic random hyperplanes for signed-random-projection LSH
+    (Charikar 2002).  Fixed seed so the Spark operator and the DuckDB
+    oracle SQL embed the same literals."""
+    import random
+
+    rng = random.Random(0x51A9E5)
+    return [
+        [rng.uniform(-1.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
+    ]
+
+
+def embedding_lsh_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    n_planes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Embedding near-dup at scale: signed-random-projection LSH.
+
+    Signature bit j = sign(v · plane_j); docs sharing any band of the
+    bit signature become candidate pairs (same one-shuffle bucket
+    expansion as MinHash LSH), then candidates are verified with exact
+    cosine ≥ threshold.  Unlike the brute-force kernel
+    (:func:`embedding_near_dup_pairs`, O(n²)), the pairwise step is
+    bucket-local — the 100 TB path.  Returns (id_a, id_b, cos)."""
+    from ..functions.vectors import cosine
+
+    rows_per_band = n_planes // bands
+    planes = srp_planes(n_planes, dim)
+    dots = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.array(*[F.lit(v) for v in plane]),
+                    lambda x, y: x.cast("double") * y,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            for plane in planes
+        ]
+    )
+    staged = df.select(F.col(id_col), dots.alias("__dots"))
+    bits = F.transform(
+        F.col("__dots"), lambda d: F.when(d >= 0, F.lit(1)).otherwise(F.lit(0))
+    )
+    with_bits = staged.select(F.col(id_col), bits.alias("__bits"))
+    band_sig = with_bits.select(
+        F.col(id_col),
+        F.col("__bits"),
+        F.explode(F.array(*[F.lit(b) for b in range(bands)])).alias("band"),
+    ).select(
+        id_col,
+        "band",
+        F.aggregate(
+            F.slice(
+                F.col("__bits"), F.col("band") * rows_per_band + 1, rows_per_band
+            ),
+            F.lit(0),
+            lambda acc, b: acc * 2 + b,
+        ).alias("band_key"),
+    )
+    buckets = band_sig.groupBy("band", "band_key").agg(
+        F.sort_array(F.collect_list(F.col(id_col))).alias("ids")
+    )
+    pair_list = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    cand = (
+        buckets.where(F.size("ids") >= 2)
+        .select(F.explode(pair_list).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos", round_fixed(cosine(F.col("__va"), F.col("__vb")), 6))
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
 def rolling_fingerprint(
     df: DataFrame,
     text_col: str = "text",

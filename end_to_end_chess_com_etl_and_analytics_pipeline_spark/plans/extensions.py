@@ -443,6 +443,57 @@ FROM documents
 """
 
 
+def x14_embedding_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via signed-random-projection LSH: 16-bit
+    hyperplane-sign signatures, 4-bit band bucketing, exact cosine
+    verify on candidates only — the bucket-local scale path next to the
+    brute-force kernel (x06)."""
+    from ..operators.dedup import embedding_lsh_near_dup_pairs
+
+    return embedding_lsh_near_dup_pairs(
+        load_table(spark, "embeddings", sf_dir), threshold=0.2
+    )
+
+
+def _x14_sql() -> str:
+    from ..operators.dedup import srp_planes
+
+    n_planes, bands, dim = 16, 4, 64
+    rpb = n_planes // bands
+    planes = srp_planes(n_planes, dim)
+    # bit j of the signature, as an integer expression over embedding e
+    bit_exprs = [
+        "CASE WHEN list_sum(list_transform(range(1, %d), i -> "
+        "CAST(embedding[i] AS DOUBLE) * ([%s])[i])) >= 0 THEN 1 ELSE 0 END"
+        % (dim + 1, ",".join(repr(v) for v in plane))
+        for plane in planes
+    ]
+    band_keys = [
+        " + ".join(
+            f"({bit_exprs[b * rpb + j]}) * {2 ** (rpb - 1 - j)}"
+            for j in range(rpb)
+        )
+        for b in range(bands)
+    ]
+    band_rows = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, ({band_keys[b]}) AS band_key FROM embeddings"
+        for b in range(bands)
+    )
+    return f"""
+WITH band_sig AS ({band_rows}),
+cand AS (
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM band_sig a JOIN band_sig b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.vec_id < b.vec_id)
+SELECT c.id_a, c.id_b,
+       {round_fixed_sql(cosine_sql('ea.embedding', 'eb.embedding'), 6)} AS cos
+FROM cand c
+JOIN embeddings ea ON ea.vec_id = c.id_a
+JOIN embeddings eb ON eb.vec_id = c.id_b
+WHERE {round_fixed_sql(cosine_sql('ea.embedding', 'eb.embedding'), 6)} >= 0.2
+"""
+
+
 def x13_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rabin-Karp rolling-hash document fingerprint: polynomial char
     8-gram hashes from one staged char-codes pass, winnowed to the
@@ -558,6 +609,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x11_sessionize": x11_sessionize,
     "x12_ivf_topk": x12_ivf_topk,
     "x13_rolling_fingerprint": x13_rolling_fingerprint,
+    "x14_embedding_lsh_near_dup": x14_embedding_lsh_near_dup,
 }
 
 EXT_ORACLE: dict[str, str] = {
@@ -574,4 +626,5 @@ EXT_ORACLE: dict[str, str] = {
     "x11_sessionize": _X11_SQL,
     "x12_ivf_topk": _X12_SQL,
     "x13_rolling_fingerprint": _X13_SQL,
+    "x14_embedding_lsh_near_dup": _x14_sql(),
 }
