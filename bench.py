@@ -53,11 +53,27 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     registry = {**_driver.QUERIES, **_ext.EXT_QUERIES}
 
-    # warm the JVM / codegen / noop-sink path so the first timed query
-    # doesn't absorb session startup
+    # warm the JVM / codegen / noop-sink / vectorized-parquet-reader /
+    # broadcast and window exec paths, so the first timed queries measure
+    # query cost rather than one-time engine initialization
     spark.range(1_000_000).selectExpr("sum(id) AS s").write.format("noop").mode(
         "overwrite"
     ).save()
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    li.groupBy("l_returnflag").count().write.format("noop").mode("overwrite").save()
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    small = spark.range(100).withColumnRenamed("id", "k")
+    (
+        spark.range(10_000)
+        .withColumn("k", F.col("id") % 100)
+        .join(F.broadcast(small), "k")
+        .withColumn("rn", F.row_number().over(Window.partitionBy("k").orderBy("id")))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
