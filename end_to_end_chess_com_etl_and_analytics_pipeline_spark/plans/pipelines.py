@@ -31,7 +31,12 @@ from ..streaming.pipeline import (
     streaming_stateful_sessions,
     streaming_tumbling_counts,
 )
-from .analytics import classify_openings, win_rate_by_opening
+from .analytics import (
+    classify_openings,
+    rating_trend,
+    result_distribution,
+    win_rate_by_opening,
+)
 from .extensions import _X09_SQL, _X11_SQL
 from .gold import build_gold
 from .silver import bronze_to_silver
@@ -96,6 +101,19 @@ def st01_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def c05_chess_rating_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly rating trend: min/max/avg plus first/last rating within
+    the month via max_by/min_by on timestamp — the measure the reference
+    leaves to Power BI DAX (rows-only)."""
+    return rating_trend(_demo_gold(spark)["fact_games"])
+
+
+def c06_chess_result_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Games per result code and category, dims broadcast (rows-only)."""
+    gold = _demo_gold(spark)
+    return result_distribution(gold["fact_games"], gold["dim_results"])
+
+
 def _staged_events_dir(sf_dir: str) -> str:
     stream_dir = tempfile.mkdtemp(prefix="events_stream_")
     shutil.copy(
@@ -156,6 +174,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c02_chess_gold_fact": c02_chess_gold_fact,
     "c03_chess_win_rate": c03_chess_win_rate,
     "c04_chess_openings_classified": c04_chess_openings_classified,
+    "c05_chess_rating_trend": c05_chess_rating_trend,
+    "c06_chess_result_distribution": c06_chess_result_distribution,
     "st01_streaming_tumbling": st01_streaming_tumbling,
     "st02_streaming_stateful_sessions": st02_streaming_stateful_sessions,
     "st03_streaming_dedup": st03_streaming_dedup,

@@ -363,3 +363,32 @@ def test_csv_scan_and_json_sink_roundtrip(spark, tmp_path):
         "French Defense",
         "Polish Opening",
     ]
+
+
+def test_rating_trend_and_result_distribution(spark, silver, openings_lookup):
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans.analytics import (
+        rating_trend,
+        result_distribution,
+    )
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans.gold import (
+        build_gold,
+    )
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.sources import (
+        demo as fx,
+    )
+
+    gold = build_gold(
+        spark, silver, fx.USERNAME, "2024-02-01 00:00:00",
+        openings_lookup=openings_lookup,
+    )
+    trend = rating_trend(gold["fact_games"]).collect()
+    assert len(trend) >= 1
+    for r in trend:
+        assert r.min_rating <= r.avg_rating <= r.max_rating
+        # first/last ratings must lie inside the month's min/max envelope
+        assert r.min_rating <= r.first_rating <= r.max_rating
+        assert r.min_rating <= r.last_rating <= r.max_rating
+
+    dist = result_distribution(gold["fact_games"], gold["dim_results"])
+    rows = dist.collect()
+    assert sum(r.n_games for r in rows) == gold["fact_games"].count()
