@@ -76,6 +76,82 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, MEDIA_FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("new_width", T.IntegerType()),
+        T.StructField("new_height", T.IntegerType()),
+        T.StructField("n_sampled_frames", T.IntegerType()),
+        T.StructField("thumb_md5", T.StringType()),
+    ]
+)
+
+
+def attach_image_metadata(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Binary payload + image-shaped metadata.  Real ingestion reads
+    dimensions from the encoded file; this environment has no media
+    files or decode libs, so dimensions derive deterministically from
+    the id (fake-but-stable, which keeps the downstream resize math
+    oracle-checkable)."""
+    payload = F.encode(F.col(text_col), "utf-8")
+    return df.select(
+        F.col(id_col),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("image/fake").alias("media_type"),
+            (F.lit(64) + F.col(id_col) % 960).cast("int").alias("width"),
+            (F.lit(64) + (F.col(id_col) * 7) % 540).cast("int").alias("height"),
+            (F.lit(1) + F.col(id_col) % 120).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def resize_plan(
+    media: DataFrame, target: int = 224, frame_stride: int = 30
+) -> DataFrame:
+    """Resize + frame-sample stage over binary payloads (mapInPandas).
+
+    The geometry is integer math (w*target // max_dim) so Spark, the
+    pandas batch code, and the DuckDB oracle agree exactly; the
+    "thumbnail" is the decode stub's stand-in — md5 of payload bytes +
+    the target geometry (a real decoder would hash resized pixels).
+    Frame sampling keeps every ``frame_stride``-th frame."""
+    import hashlib
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["meta"]
+            ):
+                w, h, n_frames = meta["width"], meta["height"], meta["n_frames"]
+                m = max(w, h)
+                nw, nh = (w, h) if m <= target else (
+                    w * target // m, h * target // m
+                )
+                thumb = hashlib.md5(
+                    bytes(payload) + f"|{nw}x{nh}".encode()
+                ).hexdigest()
+                rows.append(
+                    (doc_id, w, h, nw, nh, (n_frames - 1) // frame_stride + 1, thumb)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "new_width", "new_height",
+                    "n_sampled_frames", "thumb_md5",
+                ],
+            )
+
+    return media.mapInPandas(batches, RESIZE_SCHEMA)
+
+
 def decode_image_stub(payload: bytes) -> dict:
     """Image decode stub: the real implementation needs PIL (not in this
     container).  The plumbing that would call it per Arrow batch is

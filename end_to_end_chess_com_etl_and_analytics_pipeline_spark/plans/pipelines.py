@@ -22,7 +22,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.rounding import round_fixed
-from ..multimodal.media import attach_binary_payload, extract_media_features
+from ..multimodal.media import (
+    attach_binary_payload,
+    attach_image_metadata,
+    extract_media_features,
+    resize_plan,
+)
 from ..schemas import OPENINGS_CSV_SCHEMA, RAW_GAME_SCHEMA
 from ..sources import demo
 from ..streaming.pipeline import (
@@ -169,6 +174,38 @@ FROM documents
 """
 
 
+def m02_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize + frame-sample plumbing: image-shaped metadata attached to
+    binary payloads, geometry computed per Arrow batch in mapInPandas
+    with integer math the DuckDB oracle reproduces exactly."""
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    return resize_plan(attach_image_metadata(docs))
+
+
+_M02_SQL = """
+WITH meta AS (
+    SELECT doc_id, text,
+           CAST(64 + doc_id % 960 AS INTEGER) AS width,
+           CAST(64 + (doc_id * 7) % 540 AS INTEGER) AS height,
+           CAST(1 + doc_id % 120 AS INTEGER) AS n_frames
+    FROM documents),
+geom AS (
+    SELECT doc_id, text, width, height, n_frames,
+           CASE WHEN GREATEST(width, height) <= 224 THEN width
+                ELSE CAST(width * 224 // GREATEST(width, height) AS INTEGER) END AS new_width,
+           CASE WHEN GREATEST(width, height) <= 224 THEN height
+                ELSE CAST(height * 224 // GREATEST(width, height) AS INTEGER) END AS new_height
+    FROM meta)
+SELECT doc_id, width, height, new_width, new_height,
+       CAST((n_frames - 1) // 30 + 1 AS INTEGER) AS n_sampled_frames,
+       md5(text || '|' || CAST(new_width AS VARCHAR) || 'x' || CAST(new_height AS VARCHAR))
+           AS thumb_md5
+FROM geom
+"""
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c01_chess_silver": c01_chess_silver,
     "c02_chess_gold_fact": c02_chess_gold_fact,
@@ -180,6 +217,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st02_streaming_stateful_sessions": st02_streaming_stateful_sessions,
     "st03_streaming_dedup": st03_streaming_dedup,
     "m01_multimodal_features": m01_multimodal_features,
+    "m02_multimodal_resize": m02_multimodal_resize,
 }
 
 # chess entries are rows-only by design (inputs are generated demo data);
@@ -189,4 +227,5 @@ PIPELINE_ORACLE: dict[str, str] = {
     "st02_streaming_stateful_sessions": _X11_SQL,
     "st03_streaming_dedup": _ST03_SQL,
     "m01_multimodal_features": _M01_SQL,
+    "m02_multimodal_resize": _M02_SQL,
 }
