@@ -392,3 +392,32 @@ def test_rating_trend_and_result_distribution(spark, silver, openings_lookup):
     dist = result_distribution(gold["fact_games"], gold["dim_results"])
     rows = dist.collect()
     assert sum(r.n_games for r in rows) == gold["fact_games"].count()
+
+
+def test_partitioned_write_dynamic_overwrite(spark, tmp_path):
+    """S6 at scale: a month's re-arrival rewrites ONLY its own partition
+    (dynamic partition overwrite), never the whole table."""
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.sources.tables import (
+        write_parquet,
+    )
+
+    path = str(tmp_path / "gold_fact")
+    first = spark.createDataFrame(
+        [(2024, 1, "g1", 100), (2024, 2, "g2", 200)],
+        "year: int, month: int, game_url: string, my_rating: int",
+    )
+    write_parquet(first, path, partition_by=["year", "month"])
+
+    # re-deliver January only, with a corrected rating
+    redo = spark.createDataFrame(
+        [(2024, 1, "g1", 150)],
+        "year: int, month: int, game_url: string, my_rating: int",
+    )
+    write_parquet(redo, path, partition_by=["year", "month"])
+
+    got = {
+        (r.year, r.month): r.my_rating
+        for r in spark.read.parquet(path).collect()
+    }
+    # January replaced, February untouched
+    assert got == {(2024, 1): 150, (2024, 2): 200}
