@@ -1,0 +1,88 @@
+"""Scale-technique tests: skew salting preserves join semantics, and
+bucketed tables join without a shuffle exchange (co-located join)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from end_to_end_chess_com_etl_and_analytics_pipeline_spark.operators.skew import (
+    salted_join,
+    two_phase_count,
+)
+
+
+@pytest.fixture()
+def skewed_events(spark):
+    # 90% of rows share one hot key
+    return spark.range(2000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 100)
+        .alias("k"),
+        F.col("id").alias("payload"),
+    )
+
+
+def test_salted_join_equals_plain_join(spark, skewed_events):
+    small = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("dim_val")
+    )
+    plain = skewed_events.join(small, "k").select("k", "payload", "dim_val")
+    salted = salted_join(skewed_events, small, ["k"]).select(
+        "k", "payload", "dim_val"
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+
+def test_two_phase_count_equals_group_count(spark, skewed_events):
+    plain = {
+        (r.k): r.n
+        for r in skewed_events.groupBy("k").agg(F.count("*").alias("n")).collect()
+    }
+    two = {(r.k): r.n for r in two_phase_count(skewed_events, ["k"]).collect()}
+    assert two == plain
+    # the partial phase must actually spread the hot key across buckets
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.operators import skew
+
+    salt = F.pmod(F.hash("k", "payload"), F.lit(8))
+    n_buckets = (
+        skewed_events.where(F.col("k") == 7)
+        .select(salt.alias("s"))
+        .distinct()
+        .count()
+    )
+    assert n_buckets > 1
+
+
+def test_bucketed_join_elides_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key must sort-merge join with no
+    Exchange on either side (bucket-pruned co-located join)."""
+    db = "bucket_test"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{tmp_path}/db'")
+    try:
+        left = spark.range(10_000).select(
+            F.col("id").alias("k"), (F.col("id") % 97).alias("a")
+        )
+        right = spark.range(10_000).select(
+            F.col("id").alias("k"), (F.col("id") % 89).alias("b")
+        )
+        (
+            left.write.bucketBy(8, "k").sortBy("k")
+            .mode("overwrite").saveAsTable(f"{db}.left_b")
+        )
+        (
+            right.write.bucketBy(8, "k").sortBy("k")
+            .mode("overwrite").saveAsTable(f"{db}.right_b")
+        )
+        joined = (
+            spark.table(f"{db}.left_b")
+            .hint("merge")
+            .join(spark.table(f"{db}.right_b"), "k")
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 10_000
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
