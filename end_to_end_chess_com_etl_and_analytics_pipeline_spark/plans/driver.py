@@ -417,15 +417,20 @@ def q13_prefix_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     every 20th document (deterministic, derived from the fixture)."""
     docs = load_table(spark, "documents", sf_dir)
     words = F.split(F.col("text"), F.lit(" "))
-    lex2 = (
-        docs.where((F.col("doc_id") % 20 == 0) & (F.size(words) >= 2))
-        .select(F.array_join(F.slice(words, 1, 2), " ").alias("phrase"))
+    # both phrase lengths from ONE scan of the sampled docs (a union of
+    # two filtered selects would scan the table twice)
+    phrases = F.filter(
+        F.array(
+            F.when(F.size(words) >= 2, F.array_join(F.slice(words, 1, 2), " ")),
+            F.when(F.size(words) >= 3, F.array_join(F.slice(words, 1, 3), " ")),
+        ),
+        lambda p: p.isNotNull(),
     )
-    lex3 = (
-        docs.where((F.col("doc_id") % 20 == 0) & (F.size(words) >= 3))
-        .select(F.array_join(F.slice(words, 1, 3), " ").alias("phrase"))
+    lexicon = (
+        docs.where(F.col("doc_id") % 20 == 0)
+        .select(F.explode(phrases).alias("phrase"))
+        .distinct()
     )
-    lexicon = lex2.unionByName(lex3).distinct()
     matched = longest_prefix_match(
         probe=docs.select("doc_id", "text"),
         probe_col="text",

@@ -530,6 +530,20 @@ FROM sel
 """
 
 
+def x15_skew_salted_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key counting under skew: events has a handful of event_type
+    values (every one is a hot key), so the count runs as (key, salt)
+    partials then key totals — no reducer ever sees a whole key.  The
+    oracle is the plain GROUP BY, proving the two-phase plan is
+    semantics-preserving."""
+    from ..operators.skew import two_phase_count
+
+    return two_phase_count(load_table(spark, "events", sf_dir), ["event_type"])
+
+
+_X15_SQL = "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type"
+
+
 # ---------------------------------------------------------------------------
 # windowed event aggregation (batch form; streaming variant in streaming/)
 # ---------------------------------------------------------------------------
@@ -610,6 +624,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x12_ivf_topk": x12_ivf_topk,
     "x13_rolling_fingerprint": x13_rolling_fingerprint,
     "x14_embedding_lsh_near_dup": x14_embedding_lsh_near_dup,
+    "x15_skew_salted_count": x15_skew_salted_count,
 }
 
 EXT_ORACLE: dict[str, str] = {
@@ -627,4 +642,5 @@ EXT_ORACLE: dict[str, str] = {
     "x12_ivf_topk": _X12_SQL,
     "x13_rolling_fingerprint": _X13_SQL,
     "x14_embedding_lsh_near_dup": _x14_sql(),
+    "x15_skew_salted_count": _X15_SQL,
 }
