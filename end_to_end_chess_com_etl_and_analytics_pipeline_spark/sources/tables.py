@@ -22,7 +22,14 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-from ..schemas import DIM_RESULTS_SCHEMA, TESTDATA_SCHEMAS
+from ..schemas import (
+    DIM_DATE_SCHEMA,
+    DIM_OPENINGS_SCHEMA,
+    DIM_RESULTS_SCHEMA,
+    DIM_TIME_CONTROL_SCHEMA,
+    FACT_GAMES_SCHEMA,
+    TESTDATA_SCHEMAS,
+)
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -170,36 +177,26 @@ def write_jdbc(
 
 
 # Star-schema DDL (S9), mirroring the reference's warehouse
-# (create_datawarehouse.sql:2-61).  Spark's catalog has no enforced PK
-# constraints — key uniqueness is guaranteed upstream by the DISTINCT dim
-# builds and asserted in tests — so the PKs are documented, not declared.
+# (create_datawarehouse.sql:2-61) — but unlike the reference, whose
+# declared DDL and produced gold schema disagree (SURVEY.md §1.3), the
+# column lists here are GENERATED from the engine's own StructTypes, so
+# warehouse and gold cannot drift.  Spark's catalog has no enforced PK
+# constraints — key uniqueness is guaranteed upstream by the DISTINCT
+# dim builds and asserted in tests — so the PKs are documented, not
+# declared.
 WAREHOUSE_SCHEMA = "chess_dw"
 
+
+def _ddl_columns(schema: T.StructType) -> str:
+    return ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
+
+
 WAREHOUSE_TABLES: dict[str, str] = {
-    "dim_openings": (
-        "opening_url STRING, opening_name STRING, family_name STRING, "
-        "variation STRING"  # PK: opening_url
-    ),
-    "dim_date": (
-        "game_date DATE, year INT, month INT, day INT, month_name STRING, "
-        "day_name STRING, quarter INT"  # PK: game_date
-    ),
-    "dim_time_control": (
-        "time_control STRING, time_class STRING, time_control_display STRING"
-        # PK: time_control
-    ),
-    "dim_results": (
-        "result_code STRING, result_category STRING, result_description STRING"
-        # PK: result_code
-    ),
-    "fact_games": (
-        "game_url STRING, game_date DATE, time_control STRING, "
-        "my_color STRING, my_username STRING, my_rating INT, my_result STRING, "
-        "opponent_username STRING, opponent_rating INT, opponent_result STRING, "
-        "opening_url STRING, moves_count INT, rated BOOLEAN, "
-        "game_start_time TIMESTAMP, game_end_time TIMESTAMP, "
-        "game_duration_secs BIGINT, last_updated TIMESTAMP"  # PK: game_url
-    ),
+    "dim_openings": _ddl_columns(DIM_OPENINGS_SCHEMA),  # PK: pgn_eco_url
+    "dim_date": _ddl_columns(DIM_DATE_SCHEMA),  # PK: game_date
+    "dim_time_control": _ddl_columns(DIM_TIME_CONTROL_SCHEMA),  # PK: time_control
+    "dim_results": _ddl_columns(DIM_RESULTS_SCHEMA),  # PK: result_code
+    "fact_games": _ddl_columns(FACT_GAMES_SCHEMA),  # PK: game_url
 }
 
 

@@ -421,3 +421,49 @@ def test_partitioned_write_dynamic_overwrite(spark, tmp_path):
     }
     # January replaced, February untouched
     assert got == {(2024, 1): 150, (2024, 2): 200}
+
+
+def test_warehouse_incremental_load_honors_watermark(
+    spark, silver, openings_lookup, tmp_path
+):
+    """DAG-2 parity, §2.11.5 fixed: the warehouse load reads the high
+    watermark and merges only newer fact rows (latest-wins), instead of
+    the reference's fetch-then-ignore full replace."""
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans.gold import (
+        build_gold,
+    )
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans.warehouse import (
+        load_warehouse,
+        read_watermark,
+    )
+
+    db = "chess_dw_wm_test"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{tmp_path}/db'")
+    try:
+        gold1 = build_gold(
+            spark, silver, fx.USERNAME, "2024-02-01 00:00:00",
+            openings_lookup=openings_lookup,
+        )
+        load_warehouse(spark, gold1, schema=db)
+        n1 = spark.table(f"{db}.fact_games").count()
+        assert n1 == 45
+        assert read_watermark(spark, db) == dt.datetime(2024, 2, 1)
+
+        # month 2 arrives with a later run timestamp
+        raw2 = spark.createDataFrame(fx.month_payload(2), RAW_GAME_SCHEMA)
+        gold2 = build_gold(
+            spark, bronze_to_silver(raw2), fx.USERNAME, "2024-03-01 00:00:00",
+            openings_lookup=openings_lookup,
+        )
+        load_warehouse(spark, gold2, schema=db)
+        assert spark.table(f"{db}.fact_games").count() == n1 + 45
+        assert read_watermark(spark, db) == dt.datetime(2024, 3, 1)
+
+        # re-delivering month 2 (same watermark) is a no-op: every row is
+        # filtered by the watermark before the merge
+        load_warehouse(spark, gold2, schema=db)
+        assert spark.table(f"{db}.fact_games").count() == n1 + 45
+        # dims stayed insert-if-absent (15 static result codes, no dups)
+        assert spark.table(f"{db}.dim_results").count() == 15
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
