@@ -453,15 +453,20 @@ def rolling_fingerprint(
         F.split(F.col(text_col), ""), lambda ch: F.ascii(ch).cast("bigint")
     )
     staged = df.select(F.col(id_col), codes.alias("__codes"))
-    kh = F.transform(
-        F.sequence(
-            F.lit(1), F.greatest(F.size(F.col("__codes")) - F.lit(k - 1), F.lit(0))
-        ),
-        lambda i: F.aggregate(
-            F.slice(F.col("__codes"), i, k),
-            F.lit(0).cast("bigint"),
-            lambda acc, ch: (acc * ROLLING_B + ch) % ROLLING_P,
-        ),
+    n_positions = F.size(F.col("__codes")) - F.lit(k - 1)
+    # guard: Spark's sequence(1, 0) is DESCENDING ([1, 0]), so a doc
+    # shorter than k chars must short-circuit to an empty gram list
+    kh = F.when(
+        n_positions < 1, F.array().cast("array<bigint>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_positions, F.lit(1))),
+            lambda i: F.aggregate(
+                F.slice(F.col("__codes"), i, k),
+                F.lit(0).cast("bigint"),
+                lambda acc, ch: (acc * ROLLING_B + ch) % ROLLING_P,
+            ),
+        )
     )
     sel = F.sort_array(F.array_distinct(F.filter(kh, lambda h: h % w == 0)))
     # second staging step: `sel` is consumed twice below — keep the k-gram
