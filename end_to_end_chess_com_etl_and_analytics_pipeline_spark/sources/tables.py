@@ -243,3 +243,14 @@ DIM_RESULTS_ROWS: list[tuple[str, str, str]] = [
 def dim_results_seed(spark: SparkSession) -> DataFrame:
     """Inline literal table (S11)."""
     return spark.createDataFrame(DIM_RESULTS_ROWS, DIM_RESULTS_SCHEMA)
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str | None = None, tables: list[str] | None = None
+) -> None:
+    """SQL-first entry point: register every fixture table as a temp view
+    so queries run as plain ``spark.sql("SELECT ...")`` — the interface
+    shape the reference's users already have (``duckdb.sql`` over
+    registered files, test.ipynb cells 7-15).  Idempotent."""
+    for name in tables or sorted(TESTDATA_SCHEMAS):
+        load_table(spark, name, sf_dir).createOrReplaceTempView(name)

@@ -30,3 +30,23 @@ def test_entry_smoke(spark):
     df = entrypoint.entry(spark)
     assert df.count() > 0
     assert len(df.columns) > 0
+
+
+def test_sql_first_interface(spark):
+    """The reference's users write SQL against registered files
+    (duckdb.sql); register_views gives the same shape on Spark."""
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.sources.tables import (
+        register_views,
+    )
+    from tests.conftest import SF_DIR
+
+    register_views(spark, SF_DIR)
+    got = spark.sql(
+        """
+        SELECT r.r_name, COUNT(*) AS n_nations
+        FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name ORDER BY r.r_name
+        """
+    ).collect()
+    assert len(got) == 5
+    assert sum(r.n_nations for r in got) == 25
