@@ -545,6 +545,103 @@ _X15_SQL = "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type"
 
 
 # ---------------------------------------------------------------------------
+# temporal joins (as-of, range)
+# ---------------------------------------------------------------------------
+
+
+def x16_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each event picks up the customer's most
+    recent order at event time (operators.asof.asof_join — union-tag +
+    one window pass, a single shuffle on the key; no per-row search).
+    The right side is pre-deduped to one row per (customer, date) so
+    "latest" is well-defined (max o_orderkey wins)."""
+    from ..operators.asof import asof_join
+
+    events = load_table(spark, "events", sf_dir).select("event_id", "user_id", "ts")
+    orders_daily = (
+        load_table(spark, "orders", sf_dir)
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("order_ts"),
+        )
+        .agg(
+            F.max("o_orderkey").alias("last_order_key"),
+            F.max_by("o_totalprice", "o_orderkey").alias("last_order_price"),
+        )
+    )
+    return asof_join(
+        events,
+        orders_daily,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="order_ts",
+        right_payload=["last_order_key", "last_order_price"],
+    ).select("event_id", "user_id", "last_order_key", "last_order_price")
+
+
+_X16_SQL = """
+WITH rd AS (
+    SELECT o_custkey AS user_id, o_orderdate AS order_ts,
+           MAX(o_orderkey) AS last_order_key,
+           max_by(o_totalprice, o_orderkey) AS last_order_price
+    FROM orders GROUP BY 1, 2)
+SELECT e.event_id, e.user_id, rd.last_order_key, rd.last_order_price
+FROM events e ASOF LEFT JOIN rd
+  ON e.user_id = rd.user_id AND e.ts >= rd.order_ts
+"""
+
+
+def x17_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution-window range join: every signup opens a 1-hour
+    window; count the same user's events (any type) landing inside it —
+    executed bucketed (operators.asof.bucketed_range_join): equi-join on
+    (key, time bucket) + residual predicate, never a cross product.
+    Sums go through integer micros so partial-agg order can't move the
+    hash."""
+    from ..operators.asof import bucketed_range_join
+
+    all_events = load_table(spark, "events", sf_dir)
+    events = all_events.select("event_id", "user_id", "ts", "value")
+    windows = all_events.where(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("event_id").alias("window_id"),
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("win_end"),
+    )
+    joined = bucketed_range_join(
+        events,
+        windows,
+        on=["user_id"],
+        left_ts="ts",
+        right_start="win_start",
+        right_end="win_end",
+        bucket_secs=3600,
+    )
+    return joined.groupBy("window_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col("value") * 1000000, 0).cast("bigint")).alias(
+            "sum_value_micros"
+        ),
+    )
+
+
+_X17_SQL = """
+WITH w AS (
+    SELECT user_id, event_id AS window_id, ts AS win_start,
+           ts + INTERVAL 1 HOUR AS win_end
+    FROM events WHERE event_type = 'signup')
+SELECT w.window_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 1000000, 0) AS BIGINT)) AS BIGINT)
+           AS sum_value_micros
+FROM events e JOIN w
+  ON e.user_id = w.user_id
+ AND e.ts >= w.win_start
+ AND e.ts < w.win_end
+GROUP BY w.window_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # windowed event aggregation (batch form; streaming variant in streaming/)
 # ---------------------------------------------------------------------------
 
@@ -625,6 +722,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x13_rolling_fingerprint": x13_rolling_fingerprint,
     "x14_embedding_lsh_near_dup": x14_embedding_lsh_near_dup,
     "x15_skew_salted_count": x15_skew_salted_count,
+    "x16_asof_join": x16_asof_join,
+    "x17_range_join": x17_range_join,
 }
 
 EXT_ORACLE: dict[str, str] = {
@@ -643,4 +742,6 @@ EXT_ORACLE: dict[str, str] = {
     "x13_rolling_fingerprint": _X13_SQL,
     "x14_embedding_lsh_near_dup": _x14_sql(),
     "x15_skew_salted_count": _X15_SQL,
+    "x16_asof_join": _X16_SQL,
+    "x17_range_join": _X17_SQL,
 }
