@@ -462,6 +462,79 @@ FROM documents d LEFT JOIN matches m ON d.doc_id = m.doc_id
 """
 
 
+def q14_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical aggregation: revenue by (year, priority) with ROLLUP
+    subtotals and grand total — the multi-granularity dashboard shape
+    the reference leaves to Power BI (README.md:29-33).  One shuffle
+    computes every grouping level (Spark Expand + single hash agg);
+    grouping_id disambiguates rollup NULLs from data NULLs."""
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        o.select(
+            F.year("o_orderdate").alias("o_year"),
+            "o_orderpriority",
+            cents(F.col("o_totalprice")).alias("price_cents"),
+        )
+        .rollup("o_year", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n_orders"),
+            F.sum("price_cents").alias("revenue_cents"),
+        )
+    )
+
+
+_Q14_SQL = """
+SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+       o_orderpriority,
+       CAST(GROUPING(CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER),
+                     o_orderpriority) AS BIGINT) AS gid,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+FROM orders
+GROUP BY ROLLUP (CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER),
+                 o_orderpriority)
+"""
+
+
+def q15_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise top-k: each supplier's 3 highest-price lineitems —
+    rank-in-partition with a full deterministic tie-break.  One shuffle
+    on the group key; AQE handles group-count skew.  (The reference's
+    only window is W1's dedup rank; this is the general ranked-retrieval
+    form.)"""
+    li = load_table(spark, "lineitem", sf_dir)
+    w = Window.partitionBy("l_suppkey").orderBy(
+        F.col("l_extendedprice").desc(),
+        F.col("l_orderkey").asc(),
+        F.col("l_linenumber").asc(),
+    )
+    return (
+        li.select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            "l_extendedprice",
+            F.row_number().over(w).alias("rnk"),
+        )
+        .where(F.col("rnk") <= 3)
+    )
+
+
+_Q15_SQL = """
+SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, CAST(rnk AS INTEGER) AS rnk
+FROM (
+    SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+           ROW_NUMBER() OVER (
+               PARTITION BY l_suppkey
+               ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+           ) AS rnk
+    FROM lineitem)
+WHERE rnk <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -480,6 +553,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q11_distinct_watermark": q11_distinct_watermark,
     "q12_scalar_suite": q12_scalar_suite,
     "q13_prefix_match": q13_prefix_match,
+    "q14_rollup": q14_rollup,
+    "q15_group_topk": q15_group_topk,
 }
 
 ORACLE: dict[str, str] = {
@@ -496,4 +571,6 @@ ORACLE: dict[str, str] = {
     "q11_distinct_watermark": _Q11_SQL,
     "q12_scalar_suite": _Q12_SQL,
     "q13_prefix_match": _Q13_SQL,
+    "q14_rollup": _Q14_SQL,
+    "q15_group_topk": _Q15_SQL,
 }

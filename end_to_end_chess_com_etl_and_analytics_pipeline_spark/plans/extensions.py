@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import (
@@ -31,6 +31,7 @@ from ..functions.text import (
     bpe_ish_token_count,
     fingerprint,
     punct_ratio,
+    tokens,
 )
 from ..functions.vectors import cosine_sql
 from ..operators.dedup import (
@@ -642,6 +643,144 @@ GROUP BY w.window_id
 
 
 # ---------------------------------------------------------------------------
+# dataset splitting, term weighting, duplicate clustering, sketches
+# ---------------------------------------------------------------------------
+
+_SPLITS = {"train": 80, "val": 10, "test": 10}
+
+
+def x18_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment for every document
+    (operators.sampling.hash_split): md5-bucket of the doc key → 80/10/10
+    contiguous ranges.  Pure projection — zero shuffles, stable across
+    runs/engines/partitionings; the per-row assignment is what the
+    oracle verifies (not just split sizes)."""
+    from ..operators.sampling import hash_split
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    return hash_split(docs, key="doc_id", splits=_SPLITS)
+
+
+def _x18_sql() -> str:
+    from ..operators.sampling import hash_split_case_sql
+
+    case = hash_split_case_sql("doc_id", _SPLITS)
+    return f"SELECT doc_id, {case} AS split FROM documents"
+
+
+def x19_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 salient terms per document by tf-idf-style rarity weighting.
+    idf is kept rational (tf/df instead of tf·log(N/df)) so the score is
+    a single IEEE division — bit-identical across engines, same ranking
+    for fixed N — and the emitted columns are pure integers/strings.
+    Two shuffles: tf by (doc, token), df by token; the df side is
+    broadcast back (distinct tokens ≪ corpus at any scale that matters,
+    and a skew-salted fallback exists in operators.skew if not)."""
+    docs = load_table(spark, "documents", sf_dir)
+    exploded = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    tf = exploded.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = (
+        exploded.distinct().groupBy("token").agg(F.count("*").alias("df"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        (F.col("tf") * F.lit(1.0) / F.col("df")).desc(), F.col("token").asc()
+    )
+    return (
+        tf.join(F.broadcast(df_), "token")
+        .select("doc_id", "token", "tf", "df", F.row_number().over(w).alias("rnk"))
+        .where(F.col("rnk") <= 3)
+    )
+
+
+_X19_SQL = f"""
+WITH exploded AS (
+    SELECT doc_id, unnest({_TOKS_SQL.format(c="text")}) AS token FROM documents),
+tf AS (
+    SELECT doc_id, token, COUNT(*) AS tf FROM exploded GROUP BY doc_id, token),
+df AS (
+    SELECT token, COUNT(*) AS df
+    FROM (SELECT DISTINCT doc_id, token FROM exploded) GROUP BY token)
+SELECT doc_id, token, tf, df, CAST(rnk AS INTEGER) AS rnk
+FROM (
+    SELECT tf.doc_id, tf.token, tf.tf, df.df,
+           ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf * 1.0 / df.df DESC, tf.token ASC
+           ) AS rnk
+    FROM tf JOIN df ON tf.token = df.token)
+WHERE rnk <= 3
+"""
+
+
+def x20_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate cluster resolution: MinHash-LSH candidate pairs
+    (x03) → connected components (operators.graph — iterative min-label
+    propagation, one shuffle per round, rounds = diameter) → every
+    clustered doc labeled with its cluster's minimum doc_id.  This is
+    the step that turns pairwise dedup output into "keep one per
+    cluster"."""
+    from ..operators.graph import connected_components
+
+    pairs = minhash_lsh_pairs(
+        load_table(spark, "documents", sf_dir),
+        num_hashes=_MINHASH_N,
+        bands=_MINHASH_BANDS,
+        shingle_len=_MINHASH_SHINGLE,
+    )
+    return connected_components(pairs, src="id_a", dst="id_b").select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
+# transitive closure by recursive CTE — exponential in path count on big
+# graphs, but exact on the fixture's small near-dup graph (the point is
+# to certify the iterative Spark algorithm against an independent
+# formulation)
+_X20_SQL = f"""
+WITH RECURSIVE {_minhash_sig_cte()},
+banded AS (
+    SELECT doc_id, CAST(seed // {_MINHASH_N // _MINHASH_BANDS} AS INTEGER) AS band,
+           minhash
+    FROM sig),
+band_sig AS (
+    SELECT doc_id, band,
+           md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY minhash)) AS band_key
+    FROM banded GROUP BY doc_id, band),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM band_sig a JOIN band_sig b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+edges AS (
+    SELECT id_a AS a, id_b AS b FROM pairs
+    UNION SELECT id_b, id_a FROM pairs),
+reach(a, b) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a)
+SELECT a AS doc_id, LEAST(MIN(b), a) AS cluster_id FROM reach GROUP BY a
+"""
+
+
+def x21_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based approximate aggregates — the 100 TB path where exact
+    DISTINCT/median would shuffle the world: HyperLogLog++ distinct
+    customers and approximate price quantiles per order priority, one
+    partial-aggregable pass, constant memory per group.  Sketches are
+    engine-specific by nature → rows-only driver check; the error bound
+    vs exact is pinned in tests/test_sampling_graph.py."""
+    o = load_table(spark, "orders", sf_dir)
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+        F.percentile_approx("o_totalprice", [0.5, 0.95], 10000).alias(
+            "price_q50_q95"
+        ),
+        F.count("*").alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # windowed event aggregation (batch form; streaming variant in streaming/)
 # ---------------------------------------------------------------------------
 
@@ -724,6 +863,10 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x15_skew_salted_count": x15_skew_salted_count,
     "x16_asof_join": x16_asof_join,
     "x17_range_join": x17_range_join,
+    "x18_hash_split": x18_hash_split,
+    "x19_tfidf_topk": x19_tfidf_topk,
+    "x20_dedup_clusters": x20_dedup_clusters,
+    "x21_approx_sketches": x21_approx_sketches,
 }
 
 EXT_ORACLE: dict[str, str] = {
@@ -744,4 +887,8 @@ EXT_ORACLE: dict[str, str] = {
     "x15_skew_salted_count": _X15_SQL,
     "x16_asof_join": _X16_SQL,
     "x17_range_join": _X17_SQL,
+    "x18_hash_split": _x18_sql(),
+    "x19_tfidf_topk": _X19_SQL,
+    "x20_dedup_clusters": _X20_SQL,
+    # x21 intentionally absent: sketches are engine-specific (rows-only)
 }

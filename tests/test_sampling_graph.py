@@ -1,0 +1,123 @@
+"""Properties of the sampling/split, connected-components, and sketch
+operators (operators/sampling.py, operators/graph.py, x21)."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from end_to_end_chess_com_etl_and_analytics_pipeline_spark.operators.graph import (
+    connected_components,
+)
+from end_to_end_chess_com_etl_and_analytics_pipeline_spark.operators.sampling import (
+    deterministic_sample,
+    hash_split,
+)
+from end_to_end_chess_com_etl_and_analytics_pipeline_spark.sources.tables import (
+    load_table,
+)
+
+from .conftest import SF_DIR
+
+
+def test_hash_split_partition_properties(spark):
+    docs = load_table(spark, "documents", SF_DIR).select("doc_id")
+    splits = {"train": 80, "val": 10, "test": 10}
+    labeled = hash_split(docs, "doc_id", splits)
+    counts = {r["split"]: r["n"] for r in labeled.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    total = docs.count()
+    # exhaustive + disjoint: every row labeled exactly once
+    assert sum(counts.values()) == total
+    # proportions roughly honored (md5 buckets are uniform; 500 docs)
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    assert abs(counts["train"] / total - 0.8) < 0.08
+    # stable: recomputation and repartitioning never move a row
+    again = hash_split(docs.repartition(13), "doc_id", splits)
+    assert labeled.exceptAll(again).count() == 0
+
+
+def test_deterministic_sample_nested_and_stable(spark):
+    docs = load_table(spark, "documents", SF_DIR).select("doc_id")
+    s10 = {r.doc_id for r in deterministic_sample(docs, "doc_id", 10).collect()}
+    s20 = {r.doc_id for r in deterministic_sample(docs, "doc_id", 20).collect()}
+    assert s10 <= s20  # growing the rate only adds rows
+    assert s10 == {
+        r.doc_id for r in deterministic_sample(docs, "doc_id", 10).collect()
+    }
+    other_seed = {
+        r.doc_id
+        for r in deterministic_sample(docs, "doc_id", 10, seed="other").collect()
+    }
+    assert other_seed != s10  # reseeding re-deals
+
+
+def _union_find_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min node of the component
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_matches_union_find(spark):
+    rng = random.Random(7)
+    nodes = list(range(200))
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(150)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame([Row(src=a, dst=b) for a, b in edges])
+    got = {
+        r.node: r.component for r in connected_components(df).collect()
+    }
+    want = _union_find_components(edges)
+    assert got == want
+
+
+def test_connected_components_long_chain(spark):
+    """Worst case for min-propagation: a single path graph (diameter =
+    n-1).  Rounds double the reach of the min label only by one hop, so
+    this pins that max_rounds is honored and convergence is exact."""
+    n = 20
+    df = spark.createDataFrame([Row(src=i, dst=i + 1) for i in range(n - 1)])
+    got = {r.node: r.component for r in connected_components(df).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_approx_sketches_error_bounds(spark):
+    """x21 is rows-only for the driver (sketches are engine-specific);
+    here we pin accuracy against the exact answers."""
+    import __spark_entry__ as ep
+
+    o = load_table(spark, "orders", SF_DIR)
+    exact = {
+        r.o_orderpriority: r
+        for r in o.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("exact_customers"),
+            F.expr("percentile(o_totalprice, 0.5)").alias("exact_q50"),
+        )
+        .collect()
+    }
+    approx = {
+        r.o_orderpriority: r
+        for r in ep.queries()["x21_approx_sketches"](spark, SF_DIR).collect()
+    }
+    assert approx.keys() == exact.keys()
+    for k, a in approx.items():
+        e = exact[k]
+        assert abs(a.approx_customers - e.exact_customers) <= 0.05 * e.exact_customers + 2
+        q50 = a.price_q50_q95[0]
+        assert abs(q50 - e.exact_q50) <= 0.05 * e.exact_q50
