@@ -763,6 +763,22 @@ SELECT a AS doc_id, LEAST(MIN(b), a) AS cluster_id FROM reach GROUP BY a
 """
 
 
+def x22_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means over the embedding corpus (operators.clustering):
+    3 rounds, k=8, deterministic init/ties.  Per round the corpus sees
+    one narrow assignment pass (centroid literals — no join, no corpus
+    shuffle) and one k×dim-group mean; that's the 100 TB-shaped loop
+    that produces IVF's coarse centroids (x12).  Rows-only for the
+    driver (float mean order); numpy-differential test pins accuracy."""
+    from ..operators.clustering import kmeans
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    assigned, _ = kmeans(emb, k=8, rounds=3)
+    return assigned.groupBy("cluster_id").agg(
+        F.count("*").alias("n_vectors"), F.min("vec_id").alias("min_vec_id")
+    )
+
+
 def x21_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based approximate aggregates — the 100 TB path where exact
     DISTINCT/median would shuffle the world: HyperLogLog++ distinct
@@ -867,6 +883,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x19_tfidf_topk": x19_tfidf_topk,
     "x20_dedup_clusters": x20_dedup_clusters,
     "x21_approx_sketches": x21_approx_sketches,
+    "x22_kmeans_clusters": x22_kmeans_clusters,
 }
 
 EXT_ORACLE: dict[str, str] = {
@@ -890,5 +907,7 @@ EXT_ORACLE: dict[str, str] = {
     "x18_hash_split": _x18_sql(),
     "x19_tfidf_topk": _X19_SQL,
     "x20_dedup_clusters": _X20_SQL,
-    # x21 intentionally absent: sketches are engine-specific (rows-only)
+    # x21/x22 intentionally absent: sketches are engine-specific and
+    # float-mean order is nondeterministic (rows-only; accuracy pinned
+    # in tests against exact aggregates / numpy)
 }

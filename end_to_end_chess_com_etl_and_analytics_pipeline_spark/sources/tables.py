@@ -114,6 +114,42 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def read_orc(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """ORC scan — not in the reference (its lake is Parquet-only), but a
+    complete source surface needs the second columnar format users
+    actually hold data in.  Same pushdown/pruning properties as the
+    Parquet path (vectorized reader, PushedFilters)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """ORC sink — partitioned layout + dynamic overwrite, mirroring
+    write_parquet."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by).option(
+            "partitionOverwriteMode", "dynamic"
+        )
+    writer.orc(path)
+
+
+def read_text(spark: SparkSession, path: str) -> DataFrame:
+    """Raw text-line scan (one string column ``value`` per line) — the
+    ingestion floor for document corpora that arrive as flat text; pair
+    with functions.text for tokenization/quality downstream."""
+    return spark.read.text(path)
+
+
 def fetch_month_api(
     username: str, year: int, month: int, timeout: int = 30
 ) -> list[dict]:

@@ -365,6 +365,47 @@ def test_csv_scan_and_json_sink_roundtrip(spark, tmp_path):
     ]
 
 
+def test_orc_and_text_roundtrip(spark, tmp_path):
+    """ORC sink/scan (partitioned, dynamic overwrite) and raw text-line
+    scan — the non-Parquet corners of the source surface."""
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.sources.tables import (
+        load_table,
+        read_orc,
+        read_text,
+        write_orc,
+    )
+
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, "documents", SF_DIR).select(
+        "doc_id", "text", (F.col("doc_id") % 3).alias("part")
+    )
+    out = tmp_path / "docs_orc"
+    write_orc(docs, str(out), partition_by=["part"])
+    back = read_orc(spark, str(out))
+    assert back.count() == docs.count()
+    # partition pruning: filtering the partition col scans one partition dir
+    pruned = back.where(F.col("part") == 1)
+    assert pruned.count() == docs.where(F.col("doc_id") % 3 == 1).count()
+    # dynamic overwrite rewrites ONLY the partition present in the new data
+    write_orc(
+        docs.where(F.col("part") == 1).limit(5), str(out), partition_by=["part"]
+    )
+    after = read_orc(spark, str(out))
+    assert after.where(F.col("part") == 0).count() == docs.where(
+        F.col("doc_id") % 3 == 0
+    ).count()
+    assert after.where(F.col("part") == 1).count() == 5
+
+    txt = tmp_path / "corpus.txt"
+    txt.write_text("alpha beta\ngamma\n")
+    lines = read_text(spark, str(txt))
+    assert [r.value for r in lines.orderBy("value").collect()] == [
+        "alpha beta",
+        "gamma",
+    ]
+
+
 def test_rating_trend_and_result_distribution(spark, silver, openings_lookup):
     from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans.analytics import (
         rating_trend,

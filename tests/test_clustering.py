@@ -1,0 +1,106 @@
+"""k-means differential test (operators/clustering.py vs numpy Lloyd's)
+and plan-shape assertions for the newer driver queries."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from end_to_end_chess_com_etl_and_analytics_pipeline_spark.operators.clustering import (
+    assign_nearest,
+    kmeans,
+)
+from end_to_end_chess_com_etl_and_analytics_pipeline_spark.sources.tables import (
+    load_table,
+)
+
+from .conftest import SF_DIR
+
+
+def _numpy_lloyds(X, ids, k, rounds):
+    order = np.argsort(ids)
+    cent = X[order[:k]].astype(np.float64).copy()
+    assign = None
+    for _ in range(rounds):
+        # argmin squared-L2; np.argmin takes the first (lowest cid) on ties
+        d = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(k):
+            members = X[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return assign, cent
+
+
+def test_kmeans_matches_numpy(spark):
+    emb = load_table(spark, "embeddings", SF_DIR).select("vec_id", "embedding")
+    rows = emb.collect()
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+
+    assigned, centroids = kmeans(emb, k=8, rounds=3)
+    got = {r.vec_id: r.cluster_id for r in assigned.collect()}
+
+    np_assign, np_cent = _numpy_lloyds(X, ids, k=8, rounds=3)
+    want = {int(i): int(a) for i, a in zip(ids, np_assign)}
+
+    # assignments agree except where a vector is numerically equidistant
+    diff = [i for i in want if want[i] != got[i]]
+    assert len(diff) <= max(1, len(want) // 100), diff[:10]
+    # centroids agree to float tolerance
+    got_cent = np.array([c for _, c in sorted(centroids)])
+    assert np.allclose(got_cent, np_cent, atol=1e-8)
+
+
+def test_assign_nearest_is_shuffle_free(spark):
+    emb = load_table(spark, "embeddings", SF_DIR)
+    plan = (
+        assign_nearest(emb, [(0, [0.0] * 64), (1, [1.0] * 64)])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_new_query_plan_shapes(spark):
+    """The plans we designed are the plans that run: broadcast where a
+    side is small, a single key shuffle where one suffices."""
+    import __spark_entry__ as ep
+
+    # x19 tf-idf: df side must broadcast (never a sort-merge join on token)
+    plan = (
+        ep.queries()["x19_tfidf_topk"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+    # q15 group top-k: exactly one hash-partition exchange (the window)
+    plan = (
+        ep.queries()["q15_group_topk"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+    # q14 rollup: Expand feeding ONE aggregation shuffle
+    plan = (
+        ep.queries()["q14_rollup"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Expand" in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+    # x18 hash split: pure projection over the scan — no exchange at all
+    plan = (
+        ep.queries()["x18_hash_split"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
