@@ -535,6 +535,71 @@ WHERE rnk <= 3
 """
 
 
+def q16_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide): order counts per year spread across priority
+    columns — the crosstab shape dashboards want.  Values are declared
+    (not discovered), so it's ONE pass / one shuffle; an undeclared
+    pivot would first scan for distinct values."""
+    o = load_table(spark, "orders", sf_dir)
+    priorities = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    return (
+        o.select(F.year("o_orderdate").alias("o_year"), "o_orderpriority")
+        .groupBy("o_year")
+        .pivot("o_orderpriority", priorities)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_year",
+            *[
+                F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(f"p{i + 1}")
+                for i, p in enumerate(priorities)
+            ],
+        )
+    )
+
+
+_Q16_SQL = """
+SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+       COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS p1,
+       COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS p2,
+       COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS p3,
+       COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p4,
+       COUNT(*) FILTER (o_orderpriority = '5-LOW') AS p5
+FROM orders GROUP BY 1
+"""
+
+
+def q17_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set semantics (the reference stops at UNION):
+    customers with urgent orders but no finished ones, plus the overlap
+    count as a cross-check column."""
+    o = load_table(spark, "orders", sf_dir)
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    finished = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    only_urgent = urgent.subtract(finished)  # EXCEPT (distinct) semantics
+    both = urgent.intersect(finished)
+    return only_urgent.select("o_custkey").withColumn(
+        "n_overlap_custs", F.lit(None).cast("long")
+    ).unionByName(
+        both.agg(
+            F.lit(None).cast("long").alias("o_custkey"),
+            F.count("*").alias("n_overlap_custs"),
+        )
+    )
+
+
+_Q17_SQL = """
+SELECT o_custkey, CAST(NULL AS BIGINT) AS n_overlap_custs FROM (
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+UNION ALL
+SELECT CAST(NULL AS BIGINT), COUNT(*) FROM (
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -555,6 +620,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q13_prefix_match": q13_prefix_match,
     "q14_rollup": q14_rollup,
     "q15_group_topk": q15_group_topk,
+    "q16_pivot": q16_pivot,
+    "q17_intersect_except": q17_intersect_except,
 }
 
 ORACLE: dict[str, str] = {
@@ -573,4 +640,6 @@ ORACLE: dict[str, str] = {
     "q13_prefix_match": _Q13_SQL,
     "q14_rollup": _Q14_SQL,
     "q15_group_topk": _Q15_SQL,
+    "q16_pivot": _Q16_SQL,
+    "q17_intersect_except": _Q17_SQL,
 }

@@ -673,23 +673,25 @@ def x19_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     idf is kept rational (tf/df instead of tf·log(N/df)) so the score is
     a single IEEE division — bit-identical across engines, same ranking
     for fixed N — and the emitted columns are pure integers/strings.
-    Two shuffles: tf by (doc, token), df by token; the df side is
-    broadcast back (distinct tokens ≪ corpus at any scale that matters,
-    and a skew-salted fallback exists in operators.skew if not)."""
+    The exploded corpus (the 100 TB-scale intermediate) is shuffled
+    exactly ONCE (the tf aggregation); df is a window count over the
+    already-collapsed tf table, so the remaining two shuffles move only
+    distinct (doc, token) rows — no second scan, no self-join."""
     docs = load_table(spark, "documents", sf_dir)
     exploded = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("token")
     )
     tf = exploded.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    df_ = (
-        exploded.distinct().groupBy("token").agg(F.count("*").alias("df"))
+    with_df = tf.withColumn(
+        "df", F.count("*").over(Window.partitionBy("token"))
     )
     w = Window.partitionBy("doc_id").orderBy(
         (F.col("tf") * F.lit(1.0) / F.col("df")).desc(), F.col("token").asc()
     )
     return (
-        tf.join(F.broadcast(df_), "token")
-        .select("doc_id", "token", "tf", "df", F.row_number().over(w).alias("rnk"))
+        with_df.select(
+            "doc_id", "token", "tf", "df", F.row_number().over(w).alias("rnk")
+        )
         .where(F.col("rnk") <= 3)
     )
 

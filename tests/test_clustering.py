@@ -68,14 +68,17 @@ def test_new_query_plan_shapes(spark):
     side is small, a single key shuffle where one suffices."""
     import __spark_entry__ as ep
 
-    # x19 tf-idf: df side must broadcast (never a sort-merge join on token)
+    # x19 tf-idf: no join at all — df is a window over the collapsed tf
+    # table, so the exploded corpus is shuffled exactly once and the two
+    # window shuffles move only distinct (doc, token) rows
     plan = (
         ep.queries()["x19_tfidf_topk"](spark, SF_DIR)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    assert "BroadcastHashJoin" in plan
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 3, plan
 
     # q15 group top-k: exactly one hash-partition exchange (the window)
     plan = (
