@@ -44,6 +44,8 @@ HEADLINE = [
     "x08_text_stats",
     "x09_tumbling_window",
     "x11_sessionize",
+    "x16_asof_join",
+    "x19_tfidf_topk",
 ]
 
 
