@@ -600,6 +600,56 @@ SELECT CAST(NULL AS BIGINT), COUNT(*) FROM (
 """
 
 
+def q18_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide → long, the inverse of q16): lineitem's four
+    numeric measures melted to (key, metric, value) rows.  Narrow
+    Expand over the scan — no shuffle at all; values pass through
+    bit-exact (no aggregation)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.where(F.col("l_orderkey") % 1000 == 0).unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+_Q18_SQL = """
+SELECT l_orderkey, l_linenumber, m.metric,
+       CASE m.metric WHEN 'l_quantity' THEN l_quantity
+                     WHEN 'l_extendedprice' THEN l_extendedprice
+                     WHEN 'l_discount' THEN l_discount
+                     ELSE l_tax END AS value
+FROM lineitem,
+     (VALUES ('l_quantity'), ('l_extendedprice'), ('l_discount'), ('l_tax'))
+         m(metric)
+WHERE l_orderkey % 1000 = 0
+"""
+
+
+def q19_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group median and quartile (interpolated) — the exact
+    counterpart to x21's sketch path.  At 100 TB you reach for
+    percentile_approx (x21); the exact form exists for the scales where
+    it's affordable, and both engines interpolate identically
+    ((a+b)/2 on IEEE doubles), so this is oracle-comparable."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.median("l_extendedprice").alias("median_price"),
+        F.percentile("l_extendedprice", F.lit(0.25)).alias("q25_price"),
+        F.count("*").alias("n_items"),
+    )
+
+
+_Q19_SQL = """
+SELECT l_returnflag,
+       median(l_extendedprice) AS median_price,
+       quantile_cont(l_extendedprice, 0.25) AS q25_price,
+       COUNT(*) AS n_items
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -622,6 +672,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q15_group_topk": q15_group_topk,
     "q16_pivot": q16_pivot,
     "q17_intersect_except": q17_intersect_except,
+    "q18_unpivot": q18_unpivot,
+    "q19_exact_median": q19_exact_median,
 }
 
 ORACLE: dict[str, str] = {
@@ -642,4 +694,6 @@ ORACLE: dict[str, str] = {
     "q15_group_topk": _Q15_SQL,
     "q16_pivot": _Q16_SQL,
     "q17_intersect_except": _Q17_SQL,
+    "q18_unpivot": _Q18_SQL,
+    "q19_exact_median": _Q19_SQL,
 }
