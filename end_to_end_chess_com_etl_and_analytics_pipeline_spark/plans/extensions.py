@@ -781,6 +781,68 @@ def x22_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x23_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profile summary (the ingestion data-quality gate): one row
+    per column with row/null/distinct counts and min/max rendered as
+    strings.  ONE scan; Spark plans the multi-column COUNT(DISTINCT)
+    via Expand + a single aggregation pass (no per-column jobs, no
+    driver loop)."""
+    o = load_table(spark, "orders", sf_dir)
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = o.agg(*aggs)
+    # wide → long: one struct per column, exploded (still a single scan)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("n_rows").alias("n_rows"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_str"),
+                F.col(f"{c}__max").alias("max_str"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select(F.explode(entries).alias("p")).select("p.*")
+
+
+_X23_SQL = """
+SELECT 'o_orderkey' AS column, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       COUNT(DISTINCT o_orderkey) AS n_distinct,
+       CAST(MIN(o_orderkey) AS VARCHAR) AS min_str,
+       CAST(MAX(o_orderkey) AS VARCHAR) AS max_str
+FROM orders
+UNION ALL
+SELECT 'o_custkey', COUNT(*),
+       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(DISTINCT o_custkey),
+       CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', COUNT(*),
+       CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(DISTINCT o_orderstatus),
+       CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderdate', COUNT(*),
+       CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(DISTINCT o_orderdate),
+       CAST(MIN(o_orderdate) AS VARCHAR), CAST(MAX(o_orderdate) AS VARCHAR)
+FROM orders
+"""
+
+
 def x21_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based approximate aggregates — the 100 TB path where exact
     DISTINCT/median would shuffle the world: HyperLogLog++ distinct
@@ -886,6 +948,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x20_dedup_clusters": x20_dedup_clusters,
     "x21_approx_sketches": x21_approx_sketches,
     "x22_kmeans_clusters": x22_kmeans_clusters,
+    "x23_profile": x23_profile,
 }
 
 EXT_ORACLE: dict[str, str] = {
@@ -909,6 +972,7 @@ EXT_ORACLE: dict[str, str] = {
     "x18_hash_split": _x18_sql(),
     "x19_tfidf_topk": _X19_SQL,
     "x20_dedup_clusters": _X20_SQL,
+    "x23_profile": _X23_SQL,
     # x21/x22 intentionally absent: sketches are engine-specific and
     # float-mean order is nondeterministic (rows-only; accuracy pinned
     # in tests against exact aggregates / numpy)
