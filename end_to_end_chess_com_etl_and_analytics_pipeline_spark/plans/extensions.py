@@ -851,12 +851,20 @@ def x21_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-specific by nature → rows-only driver check; the error bound
     vs exact is pinned in tests/test_sampling_graph.py."""
     o = load_table(spark, "orders", sf_dir)
+    # The two quantiles come out of ONE percentile_approx sketch pass but
+    # are emitted as flat scalar columns: the driver's rows-only check
+    # canonicalizes by sorting cell values, which array cells break
+    # (round-1 lesson: TypeError unhashable type 'list').
     return o.groupBy("o_orderpriority").agg(
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
-        F.percentile_approx("o_totalprice", [0.5, 0.95], 10000).alias(
-            "price_q50_q95"
-        ),
+        F.percentile_approx("o_totalprice", [0.5, 0.95], 10000).alias("_q"),
         F.count("*").alias("n_orders"),
+    ).select(
+        "o_orderpriority",
+        "approx_customers",
+        F.element_at("_q", 1).alias("price_q50"),
+        F.element_at("_q", 2).alias("price_q95"),
+        "n_orders",
     )
 
 

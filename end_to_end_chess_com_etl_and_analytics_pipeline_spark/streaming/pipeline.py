@@ -226,12 +226,30 @@ def run_stream_to_memory(
     stream_df: DataFrame, table_name: str, output_mode: str = "complete"
 ) -> None:
     """Drain a streaming aggregate into an in-memory table with
-    ``availableNow`` (process-everything-then-stop)."""
-    (
-        stream_df.writeStream.format("memory")
-        .queryName(table_name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    ``availableNow`` (process-everything-then-stop).
+
+    Stateful streaming cost scales with the state-store partition count
+    (one store + one commit per shuffle partition per batch), so the
+    drain temporarily drops ``spark.sql.shuffle.partitions`` for the
+    demo-scale fixture and restores the caller's value afterwards — a
+    vanilla 200-partition session spends ~5x longer on store commits
+    than on data otherwise.  On a real cluster the partition count is
+    sized to state volume instead.
+    """
+    spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        (
+            stream_df.writeStream.format("memory")
+            .queryName(table_name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)

@@ -119,5 +119,5 @@ def test_approx_sketches_error_bounds(spark):
     for k, a in approx.items():
         e = exact[k]
         assert abs(a.approx_customers - e.exact_customers) <= 0.05 * e.exact_customers + 2
-        q50 = a.price_q50_q95[0]
-        assert abs(q50 - e.exact_q50) <= 0.05 * e.exact_q50
+        assert abs(a.price_q50 - e.exact_q50) <= 0.05 * e.exact_q50
+        assert a.price_q50 <= a.price_q95
