@@ -42,16 +42,31 @@ def longest_prefix_match(
     max_tokens: int = 24,
     payload_cols: list[str] | None = None,
     keep_unmatched: bool = True,
+    id_col: str | None = None,
 ) -> DataFrame:
     """For each probe row, the lexicon row whose ``lexicon_key`` is the
     *longest* token-prefix of ``probe[probe_col]``.
 
     Returns the probe columns plus ``matched_<key>`` and any requested
     lexicon payload columns (null when unmatched and ``keep_unmatched``).
+
+    ``id_col`` names a unique probe key; only (id, prefix) pairs are
+    shuffled for the longest-match aggregation and the full rows are
+    re-attached with an equi-join on that id — the document text never
+    becomes a shuffle key. Without ``id_col`` an internal surrogate id is
+    minted with ``monotonically_increasing_id``, which is only stable when
+    the probe plan is deterministic (scans/filters — not after an
+    unordered shuffle); pass a real key when in doubt.
     """
     payload_cols = payload_cols or []
-    exploded = probe.withColumn(
-        "__prefix", F.explode(token_prefixes(F.col(probe_col), max_tokens))
+    if id_col is None:
+        key = "__pid"
+        keyed = probe.withColumn(key, F.monotonically_increasing_id())
+    else:
+        key = id_col
+        keyed = probe
+    exploded = keyed.select(
+        key, F.explode(token_prefixes(F.col(probe_col), max_tokens)).alias("__prefix")
     )
     lex = lexicon.select(
         F.col(lexicon_key).alias("__prefix"),
@@ -59,7 +74,7 @@ def longest_prefix_match(
         *[F.col(c) for c in payload_cols],
     )
     joined = exploded.join(F.broadcast(lex), "__prefix", "inner")
-    best = joined.groupBy(*probe.columns).agg(
+    best = joined.groupBy(key).agg(
         F.max_by(
             F.struct(
                 F.col("__prefix").alias(f"matched_{lexicon_key}"),
@@ -68,12 +83,5 @@ def longest_prefix_match(
             F.col("__match_len"),
         ).alias("__best")
     )
-    result = best.select(*probe.columns, "__best.*")
-    if keep_unmatched:
-        unmatched = probe.join(
-            result.select(*probe.columns), probe.columns, "left_anti"
-        )
-        for c in [f"matched_{lexicon_key}", *payload_cols]:
-            unmatched = unmatched.withColumn(c, F.lit(None).cast("string"))
-        result = result.unionByName(unmatched)
-    return result
+    how = "left" if keep_unmatched else "inner"
+    return keyed.join(best, key, how).select(*probe.columns, "__best.*")

@@ -86,6 +86,7 @@ def classify_openings(fact: DataFrame, openings_lookup: DataFrame) -> DataFrame:
         lexicon_key="pgn",
         max_tokens=30,
         payload_cols=["name"],
+        id_col="game_url",
     ).withColumnRenamed("matched_pgn", "opening_pgn").withColumnRenamed(
         "name", "opening_name"
     )

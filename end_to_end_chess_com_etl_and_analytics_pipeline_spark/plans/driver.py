@@ -437,6 +437,7 @@ def q13_prefix_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         lexicon=lexicon,
         lexicon_key="phrase",
         max_tokens=3,
+        id_col="doc_id",
     )
     return matched.select("doc_id", F.col("matched_phrase"))
 

@@ -6,6 +6,9 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from end_to_end_chess_com_etl_and_analytics_pipeline_spark.operators.prefix_join import (
+    longest_prefix_match,
+)
 from end_to_end_chess_com_etl_and_analytics_pipeline_spark.operators.skew import (
     salted_join,
     two_phase_count,
@@ -53,6 +56,77 @@ def test_two_phase_count_equals_group_count(spark, skewed_events):
         .count()
     )
     assert n_buckets > 1
+
+
+@pytest.fixture()
+def prefix_fixture(spark):
+    probe = spark.createDataFrame(
+        [
+            (1, "queens gambit declined exchange"),
+            (2, "queens gambit accepted"),
+            (3, "kings indian defense"),
+            (4, "unmatched line here"),
+        ],
+        "doc_id INT, text STRING",
+    )
+    lexicon = spark.createDataFrame(
+        [
+            ("queens gambit", "QG"),
+            ("queens gambit declined", "QGD"),
+            ("kings indian", "KI"),
+        ],
+        "pgn STRING, name STRING",
+    )
+    return probe, lexicon
+
+
+def test_longest_prefix_match_semantics(spark, prefix_fixture):
+    probe, lexicon = prefix_fixture
+    out = longest_prefix_match(
+        probe, "text", lexicon, "pgn", max_tokens=4,
+        payload_cols=["name"], id_col="doc_id",
+    )
+    got = {r.doc_id: (r.matched_pgn, r.name) for r in out.collect()}
+    assert got == {
+        1: ("queens gambit declined", "QGD"),
+        2: ("queens gambit", "QG"),
+        3: ("kings indian", "KI"),
+        4: (None, None),
+    }
+    # keep_unmatched=False drops row 4
+    inner = longest_prefix_match(
+        probe, "text", lexicon, "pgn", max_tokens=4,
+        payload_cols=["name"], id_col="doc_id", keep_unmatched=False,
+    )
+    assert {r.doc_id for r in inner.collect()} == {1, 2, 3}
+
+
+def test_longest_prefix_match_preserves_duplicate_probe_rows(spark, prefix_fixture):
+    _, lexicon = prefix_fixture
+    dup = spark.createDataFrame(
+        [("queens gambit declined x",)] * 3 + [("no match",)] * 2,
+        "text STRING",
+    )
+    out = longest_prefix_match(dup, "text", lexicon, "pgn", max_tokens=3)
+    rows = [(r.text, r.matched_pgn) for r in out.collect()]
+    assert sorted(rows) == sorted(
+        [("queens gambit declined x", "queens gambit declined")] * 3
+        + [("no match", None)] * 2
+    )
+
+
+def test_longest_prefix_match_never_shuffles_text_as_key(spark, prefix_fixture):
+    """The 100 TB contract: the probe text column may ride a shuffle as
+    payload but must never be part of a hashpartitioning key."""
+    probe, lexicon = prefix_fixture
+    out = longest_prefix_match(
+        probe, "text", lexicon, "pgn", max_tokens=4, id_col="doc_id"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "hashpartitioning" in line:
+            key_spec = line.split("hashpartitioning", 1)[1]
+            assert "text#" not in key_spec, line
 
 
 def test_bucketed_join_elides_shuffle(spark, tmp_path):
