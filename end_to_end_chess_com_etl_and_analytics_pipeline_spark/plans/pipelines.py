@@ -2,12 +2,17 @@
 the chess medallion flow on deterministic demo data, the Structured
 Streaming windowed aggregate, and the multimodal binary-column pipeline.
 
-The chess queries are rows-only checks (their input is generated demo
-data, not one of the oracle's registered tables); the streaming and
-multimodal queries DO carry oracles: the streaming tumbling aggregate
-must equal the batch tumbling aggregate's SQL, and the mapInPandas
-feature extractor emits md5/byte-length values DuckDB recomputes
-directly — a real equivalence check on a non-relational execution path.
+Every query here carries a DuckDB oracle.  The chess queries stage
+their deterministic demo inputs (bronze JSON, then the Spark-computed
+silver/gold parquet) at a fixed path; each oracle *recomputes that
+stage's transform in DuckDB SQL from the same staged bytes* — silver
+from the raw JSON (reference python_scripts.py:169-195), the gold fact
+from silver (python_scripts.py:533-598), and each dashboard aggregate
+from the gold star — so the whole medallion flow is differentially
+verified stage by stage.  The streaming tumbling aggregate must equal
+the batch tumbling aggregate's SQL, and the mapInPandas feature
+extractor emits md5/byte-length values DuckDB recomputes directly — a
+real equivalence check on a non-relational execution path.
 """
 
 from __future__ import annotations
@@ -21,7 +26,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.rounding import round_fixed
+from ..functions.rounding import round_fixed, round_fixed_sql
 from ..multimodal.media import (
     attach_binary_payload,
     attach_image_metadata,
@@ -30,6 +35,7 @@ from ..multimodal.media import (
 )
 from ..schemas import OPENINGS_CSV_SCHEMA, RAW_GAME_SCHEMA
 from ..sources import demo
+from ..sources.tables import read_json
 from ..streaming.pipeline import (
     run_stream_to_memory,
     streaming_dedup,
@@ -47,43 +53,94 @@ from .gold import build_gold
 from .silver import bronze_to_silver
 
 
-def _demo_gold(spark: SparkSession) -> dict[str, DataFrame]:
-    raw = spark.createDataFrame(demo.month_payload(1), RAW_GAME_SCHEMA)
-    silver = bronze_to_silver(raw)
-    lookup = spark.createDataFrame(demo.OPENINGS_LOOKUP, OPENINGS_CSV_SCHEMA)
-    return build_gold(
-        spark, silver, demo.USERNAME, "2024-02-01 00:00:00", openings_lookup=lookup
-    )
+# Fixed staging path shared between the Spark queries and the DuckDB
+# oracle SQL strings (the driver may run them in separate processes, so
+# the path must be deterministic, not tempfile-random).  Every artifact
+# below is a pure function of the demo seed, so overwriting is idempotent.
+STAGE_DIR = "/tmp/spark_graft_chess_stage"
+_staged: set[str] = set()
+
+
+def _stage_bronze() -> str:
+    """Demo month as the reference's bronze JSON array document."""
+    path = os.path.join(STAGE_DIR, "games.json")
+    if "bronze" not in _staged:
+        os.makedirs(STAGE_DIR, exist_ok=True)
+        demo.write_month_json(path, month=1)
+        _staged.add("bronze")
+    return path
+
+
+def _stage_silver(spark: SparkSession) -> str:
+    """Spark-computed silver parquet — c02's input and the byte-identical
+    table the gold oracle recomputes from."""
+    path = os.path.join(STAGE_DIR, "silver")
+    if "silver" not in _staged:
+        raw = read_json(spark, _stage_bronze(), RAW_GAME_SCHEMA)
+        bronze_to_silver(raw).coalesce(1).write.mode("overwrite").parquet(path)
+        _staged.add("silver")
+    return path
+
+
+def _stage_gold(spark: SparkSession) -> str:
+    """Spark-computed gold star parquet — the analytics queries' input."""
+    if "gold" not in _staged:
+        silver = spark.read.parquet(_stage_silver(spark))
+        lookup = spark.createDataFrame(demo.OPENINGS_LOOKUP, OPENINGS_CSV_SCHEMA)
+        gold = build_gold(
+            spark, silver, demo.USERNAME, "2024-02-01 00:00:00",
+            openings_lookup=lookup,
+        )
+        for t in ("fact_games", "dim_openings", "dim_results"):
+            gold[t].coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(STAGE_DIR, t)
+            )
+        _staged.add("gold")
+    return STAGE_DIR
 
 
 def c01_chess_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bronze→silver medallion transform on the deterministic demo month
-    (rows-only: input is generated, not an oracle table)."""
-    raw = spark.createDataFrame(demo.month_payload(1), RAW_GAME_SCHEMA)
+    """Bronze→silver medallion transform (python_scripts.py:169-205) on
+    the staged demo month JSON; the oracle re-derives every silver column
+    (12 regex tags, strptime casts, move list, numbered PGN) from the
+    same file in DuckDB SQL."""
+    raw = read_json(spark, _stage_bronze(), RAW_GAME_SCHEMA)
     return bronze_to_silver(raw)
 
 
 def c02_chess_gold_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full gold fact build: role-playing CASEs, 5-way validation join,
-    latest-wins merge (rows-only)."""
-    return _demo_gold(spark)["fact_games"]
+    """Full gold fact build from the staged silver parquet: role-playing
+    CASEs, 5-way validation join, latest-wins merge.  The oracle
+    recomputes the fact projection (python_scripts.py:533-564) from the
+    identical silver bytes."""
+    silver = spark.read.parquet(_stage_silver(spark))
+    lookup = spark.createDataFrame(demo.OPENINGS_LOOKUP, OPENINGS_CSV_SCHEMA)
+    return build_gold(
+        spark, silver, demo.USERNAME, "2024-02-01 00:00:00",
+        openings_lookup=lookup,
+    )["fact_games"]
 
 
 def c03_chess_win_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The README's flagship dashboard question: win rate per opening
-    family × time control (rows-only)."""
-    gold = _demo_gold(spark)
+    family × time control, recomputed by the oracle from the staged star."""
+    stage = _stage_gold(spark)
     return win_rate_by_opening(
-        gold["fact_games"], gold["dim_openings"], gold["dim_results"]
+        spark.read.parquet(os.path.join(stage, "fact_games")),
+        spark.read.parquet(os.path.join(stage, "dim_openings")),
+        spark.read.parquet(os.path.join(stage, "dim_results")),
     )
 
 
 def c04_chess_openings_classified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Longest-prefix opening classification of whole demo games against
-    the openings book (rows-only)."""
-    gold = _demo_gold(spark)
+    the openings book (the reference's get_opening loop, test.ipynb cell
+    28); oracle = prefix-explode + max_by in DuckDB."""
+    stage = _stage_gold(spark)
     lookup = spark.createDataFrame(demo.OPENINGS_LOOKUP, OPENINGS_CSV_SCHEMA)
-    return classify_openings(gold["fact_games"], lookup)
+    return classify_openings(
+        spark.read.parquet(os.path.join(stage, "fact_games")), lookup
+    )
 
 
 def st01_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -109,14 +166,19 @@ def st01_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 def c05_chess_rating_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monthly rating trend: min/max/avg plus first/last rating within
     the month via max_by/min_by on timestamp — the measure the reference
-    leaves to Power BI DAX (rows-only)."""
-    return rating_trend(_demo_gold(spark)["fact_games"])
+    leaves to Power BI DAX (demo end_times are unique, so arg_min/arg_max
+    are deterministic on both engines)."""
+    stage = _stage_gold(spark)
+    return rating_trend(spark.read.parquet(os.path.join(stage, "fact_games")))
 
 
 def c06_chess_result_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Games per result code and category, dims broadcast (rows-only)."""
-    gold = _demo_gold(spark)
-    return result_distribution(gold["fact_games"], gold["dim_results"])
+    """Games per result code and category, dims broadcast."""
+    stage = _stage_gold(spark)
+    return result_distribution(
+        spark.read.parquet(os.path.join(stage, "fact_games")),
+        spark.read.parquet(os.path.join(stage, "dim_results")),
+    )
 
 
 def _staged_events_dir(sf_dir: str) -> str:
@@ -206,6 +268,162 @@ FROM geom
 """
 
 
+# --- chess oracle SQL: DuckDB recomputes each medallion stage from the
+# --- staged bytes (silver from raw JSON, fact from silver, aggregates
+# --- from the gold star).  Templates use @STAGE@ so regex braces/quotes
+# --- need no f-string escaping.
+
+_C01_SQL = r"""
+WITH raw AS (
+    SELECT *, REGEXP_EXTRACT_ALL(pgn, '\. (.*?) {\[', 1) AS __moves
+    FROM read_json_auto('@STAGE@/games.json')
+)
+SELECT url AS game_url, time_control, rated, time_class, rules,
+       CAST(white.rating AS INTEGER) AS white_rating,
+       white.result AS white_result,
+       CAST(black.rating AS INTEGER) AS black_rating,
+       black.result AS black_result,
+       REGEXP_EXTRACT(pgn, '\[Event "(.*?)"', 1) AS pgn_event,
+       REGEXP_EXTRACT(pgn, '\[Site "(.*?)"', 1) AS pgn_site,
+       STRPTIME(REPLACE(REGEXP_EXTRACT(pgn, '\[Date "(.*?)"', 1), '.', '/'), '%Y/%m/%d')::DATE AS game_date,
+       REGEXP_EXTRACT(pgn, '\[White "(.*?)"', 1) AS pgn_white_user,
+       REGEXP_EXTRACT(pgn, '\[Black "(.*?)"', 1) AS pgn_black_user,
+       REGEXP_EXTRACT(pgn, '\[Result "(.*?)"', 1) AS pgn_result,
+       REGEXP_EXTRACT(pgn, '\[CurrentPosition "(.*?)"', 1) AS pgn_current_position,
+       REGEXP_EXTRACT(pgn, '\[Timezone "(.*?)"', 1) AS pgn_timezone,
+       REGEXP_EXTRACT(pgn, '\[ECO "(.*?)"', 1) AS pgn_eco,
+       REGEXP_EXTRACT(pgn, '\[ECOUrl "(.*?)"', 1) AS pgn_eco_url,
+       STRPTIME(
+           REPLACE(REGEXP_EXTRACT(pgn, '\[Date "(.*?)"', 1), '.', '/')
+           || ' ' || REGEXP_EXTRACT(pgn, '\[StartTime "(.*?)"', 1),
+           '%Y/%m/%d %H:%M:%S') AS start_time,
+       STRPTIME(
+           REPLACE(REGEXP_EXTRACT(pgn, '\[EndDate "(.*?)"', 1), '.', '/')
+           || ' ' || REGEXP_EXTRACT(pgn, '\[EndTime "(.*?)"', 1),
+           '%Y/%m/%d %H:%M:%S') AS end_time,
+       STRPTIME(REPLACE(REGEXP_EXTRACT(pgn, '\[EndDate "(.*?)"', 1), '.', '/'), '%Y/%m/%d')::DATE AS end_game_date,
+       ARRAY_TO_STRING(__moves, ' ') AS pgn_raw,
+       ARRAY_TO_STRING(
+           LIST_TRANSFORM(
+               RANGE((LEN(__moves) + 1) // 2),
+               i -> CAST(i + 1 AS VARCHAR) || '. ' || __moves[2 * i + 1]
+                    || ' ' || COALESCE(__moves[2 * i + 2], '')),
+           ' ') AS pgn_trans
+FROM raw
+""".replace("@STAGE@", STAGE_DIR)
+
+_MY_WHITE = "LOWER(pgn_white_user) = 'rhythmbear1'"
+
+_C02_SQL = (
+    r"""
+SELECT game_url, game_date, start_time, end_time,
+       CAST(DATE_DIFF('second', start_time, end_time) AS BIGINT) AS game_duration_secs,
+       CASE WHEN CONTAINS(time_control, '+')
+            THEN CAST(CAST(STRING_SPLIT(time_control, '+')[1] AS BIGINT) // 60 AS VARCHAR)
+                 || '|' || STRING_SPLIT(time_control, '+')[2]
+            ELSE CAST(CAST(time_control AS BIGINT) // 60 AS VARCHAR)
+       END AS time_control,
+       CASE WHEN @MY@ THEN 'white' ELSE 'black' END AS my_color,
+       CASE WHEN @MY@ THEN pgn_white_user ELSE pgn_black_user END AS my_username,
+       CASE WHEN @MY@ THEN pgn_black_user ELSE pgn_white_user END AS opponent_username,
+       CASE WHEN @MY@ THEN white_rating ELSE black_rating END AS my_rating,
+       CASE WHEN @MY@ THEN black_rating ELSE white_rating END AS opponent_rating,
+       CASE WHEN @MY@ THEN white_result ELSE black_result END AS my_result,
+       CASE WHEN @MY@ THEN black_result ELSE white_result END AS opponent_result,
+       pgn_current_position AS game_fen,
+       pgn_eco_url AS opening_url,
+       pgn_trans AS game_pgn,
+       CAST(LEN(REGEXP_EXTRACT_ALL(pgn_trans, '(\d+\.)', 1)) AS INTEGER) AS moves,
+       TIMESTAMP '2024-02-01 00:00:00' AS last_updated
+FROM read_parquet('@STAGE@/silver/*.parquet')
+""".replace("@MY@", _MY_WHITE)
+    .replace("@STAGE@", STAGE_DIR)
+)
+
+_C03_SQL = (
+    """
+WITH f AS (SELECT * FROM read_parquet('@STAGE@/fact_games/*.parquet')),
+o AS (SELECT pgn_eco_url AS opening_url, opening_family
+      FROM read_parquet('@STAGE@/dim_openings/*.parquet')),
+r AS (SELECT result_code, result
+      FROM read_parquet('@STAGE@/dim_results/*.parquet'))
+SELECT o.opening_family, f.time_control,
+       COUNT(*) AS n_games,
+       CAST(SUM(CASE WHEN r.result = 'Win' THEN 1 ELSE 0 END) AS BIGINT) AS n_wins,
+       CAST(SUM(CASE WHEN r.result = 'Loss' THEN 1 ELSE 0 END) AS BIGINT) AS n_losses,
+       CAST(SUM(CASE WHEN r.result = 'Draw' THEN 1 ELSE 0 END) AS BIGINT) AS n_draws,
+       """
+    + round_fixed_sql(
+        "CAST(SUM(CASE WHEN r.result = 'Win' THEN 1 ELSE 0 END) AS BIGINT)"
+        " / COUNT(*)",
+        6,
+    )
+    + """ AS win_rate
+FROM f
+LEFT JOIN r ON f.my_result = r.result_code
+LEFT JOIN o ON f.opening_url = o.opening_url
+GROUP BY 1, 2
+""".replace("@STAGE@", STAGE_DIR)
+).replace("@STAGE@", STAGE_DIR)
+
+
+def _lex_values() -> str:
+    """demo.OPENINGS_LOOKUP as a VALUES list (deterministic constant
+    data embedded in both engines, per the oracle contract)."""
+    rows = [
+        "('{}', '{}')".format(pgn.replace("'", "''"), name.replace("'", "''"))
+        for (_fam, _eco, name, pgn) in demo.OPENINGS_LOOKUP
+    ]
+    return ", ".join(rows)
+
+
+_C04_SQL = (
+    """
+WITH lex(pgn, name) AS (VALUES @LEX@),
+f AS (SELECT game_url, game_pgn
+      FROM read_parquet('@STAGE@/fact_games/*.parquet')),
+toks AS (SELECT game_url, game_pgn, STRING_SPLIT(game_pgn, ' ') AS w FROM f),
+prefixes AS (
+    SELECT t.game_url, ARRAY_TO_STRING(t.w[1:CAST(r.i AS INTEGER)], ' ') AS prefix
+    FROM toks t, RANGE(1, 31) r(i) WHERE r.i <= LEN(t.w)),
+matches AS (
+    SELECT p.game_url,
+           MAX_BY(p.prefix, LENGTH(p.prefix)) AS opening_pgn,
+           MAX_BY(l.name, LENGTH(p.prefix)) AS opening_name
+    FROM prefixes p JOIN lex l ON p.prefix = l.pgn
+    GROUP BY p.game_url)
+SELECT t.game_url, t.game_pgn, m.opening_pgn, m.opening_name
+FROM toks t LEFT JOIN matches m ON t.game_url = m.game_url
+""".replace("@STAGE@", STAGE_DIR)
+    .replace("@LEX@", _lex_values())
+)
+
+_C05_SQL = (
+    """
+SELECT CAST(YEAR(game_date) AS INTEGER) AS year,
+       CAST(MONTH(game_date) AS INTEGER) AS month,
+       COUNT(*) AS n_games,
+       MIN(my_rating) AS min_rating,
+       MAX(my_rating) AS max_rating,
+       """
+    + round_fixed_sql("AVG(my_rating)", 2)
+    + """ AS avg_rating,
+       ARG_MIN(my_rating, end_time) AS first_rating,
+       ARG_MAX(my_rating, end_time) AS last_rating
+FROM read_parquet('@STAGE@/fact_games/*.parquet')
+GROUP BY 1, 2
+""".replace("@STAGE@", STAGE_DIR)
+).replace("@STAGE@", STAGE_DIR)
+
+_C06_SQL = """
+SELECT f.my_result, r.result, COUNT(*) AS n_games
+FROM read_parquet('@STAGE@/fact_games/*.parquet') f
+LEFT JOIN read_parquet('@STAGE@/dim_results/*.parquet') r
+  ON f.my_result = r.result_code
+GROUP BY 1, 2
+""".replace("@STAGE@", STAGE_DIR)
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c01_chess_silver": c01_chess_silver,
     "c02_chess_gold_fact": c02_chess_gold_fact,
@@ -220,9 +438,16 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "m02_multimodal_resize": m02_multimodal_resize,
 }
 
-# chess entries are rows-only by design (inputs are generated demo data);
-# streaming + multimodal carry real oracles.
+# every pipeline query carries a real oracle: the chess medallion is
+# verified stage-by-stage against the staged bytes; streaming aggregates
+# against their batch SQL; multimodal against DuckDB-recomputed features.
 PIPELINE_ORACLE: dict[str, str] = {
+    "c01_chess_silver": _C01_SQL,
+    "c02_chess_gold_fact": _C02_SQL,
+    "c03_chess_win_rate": _C03_SQL,
+    "c04_chess_openings_classified": _C04_SQL,
+    "c05_chess_rating_trend": _C05_SQL,
+    "c06_chess_result_distribution": _C06_SQL,
     "st01_streaming_tumbling": _X09_SQL,
     "st02_streaming_stateful_sessions": _X11_SQL,
     "st03_streaming_dedup": _ST03_SQL,
