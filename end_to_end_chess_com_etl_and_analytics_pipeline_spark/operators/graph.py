@@ -37,7 +37,13 @@ def connected_components(
     """Label every vertex of the undirected graph ``edges`` with the
     minimum vertex id reachable from it.  Returns (node, component).
     Vertex ids must be orderable (use numeric ids).  Isolated vertices
-    don't exist in an edge list; callers union them in if needed."""
+    don't exist in an edge list; callers union them in if needed.
+
+    Raises ``RuntimeError`` if the labeling is still changing after
+    ``max_rounds`` (graph diameter > max_rounds, e.g. a long near-dup
+    chain): plain min-label propagation would otherwise silently return
+    split components.  Raise ``max_rounds`` or switch to a
+    diameter-halving variant (large-star/small-star) for such graphs."""
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -69,4 +75,16 @@ def connected_components(
                 ).alias("component"),
             )
         )
+    else:
+        # loop exhausted without the fixpoint break: verify the final
+        # propagation round changed nothing, else labels are split.
+        labels = labels.localCheckpoint(eager=True)
+        final_sum = labels.agg(F.sum("component")).collect()[0][0]
+        if final_sum != prev_sum:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_rounds} "
+                "rounds (label sum still decreasing) — graph diameter "
+                "exceeds max_rounds; raise it or use a diameter-halving "
+                "formulation"
+            )
     return labels

@@ -545,6 +545,38 @@ def x15_skew_salted_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 _X15_SQL = "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type"
 
 
+def x24_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted-join path end-to-end: every events row carries one of a
+    handful of event_type values (maximal key skew), so the plain join
+    would funnel each key through one reducer.  ``salted_join`` spreads
+    each hot key over 8 (key, salt) buckets with the dim replicated per
+    salt.  The dim is derived deterministically from the type itself, so
+    the oracle is the equivalent plain join — proving the salted plan is
+    row-identical (no loss, no duplication)."""
+    from ..operators.skew import salted_join
+
+    events = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "event_type"
+    )
+    type_dim = events.select("event_type").distinct().select(
+        "event_type",
+        F.upper("event_type").alias("type_label"),
+        F.length("event_type").alias("type_len"),
+    )
+    return salted_join(events, type_dim, ["event_type"], salt_buckets=8)
+
+
+_X24_SQL = """
+WITH type_dim AS (
+    SELECT DISTINCT event_type,
+           UPPER(event_type) AS type_label,
+           CAST(LENGTH(event_type) AS INTEGER) AS type_len
+    FROM events)
+SELECT e.event_id, e.user_id, e.event_type, d.type_label, d.type_len
+FROM events e JOIN type_dim d ON e.event_type = d.event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # temporal joins (as-of, range)
 # ---------------------------------------------------------------------------
@@ -957,6 +989,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x21_approx_sketches": x21_approx_sketches,
     "x22_kmeans_clusters": x22_kmeans_clusters,
     "x23_profile": x23_profile,
+    "x24_salted_join": x24_salted_join,
 }
 
 EXT_ORACLE: dict[str, str] = {
@@ -981,6 +1014,7 @@ EXT_ORACLE: dict[str, str] = {
     "x19_tfidf_topk": _X19_SQL,
     "x20_dedup_clusters": _X20_SQL,
     "x23_profile": _X23_SQL,
+    "x24_salted_join": _X24_SQL,
     # x21/x22 intentionally absent: sketches are engine-specific and
     # float-mean order is nondeterministic (rows-only; accuracy pinned
     # in tests against exact aggregates / numpy)

@@ -37,6 +37,7 @@ from ..schemas import OPENINGS_CSV_SCHEMA, RAW_GAME_SCHEMA
 from ..sources import demo
 from ..sources.tables import read_json
 from ..streaming.pipeline import (
+    run_incremental_gold,
     run_stream_to_memory,
     streaming_dedup,
     streaming_stateful_sessions,
@@ -214,6 +215,31 @@ def st03_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ST03_SQL = "SELECT event_id, ts, user_id, event_type FROM events"
 
 
+def st04_incremental_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1/T2 hard signal: the file-source incremental gold build — one
+    bronze month per micro-batch, ``foreachBatch`` latest-wins merge
+    against the on-disk fact, ``availableNow`` backlog drain — must equal
+    the batch fact over the same two months.  The oracle recomputes raw
+    JSON → silver → merged fact wholly in DuckDB (no Spark intermediates),
+    so the entire streaming path is differentially verified."""
+    bronze_dir = os.path.join(STAGE_DIR, "bronze_2m")
+    os.makedirs(bronze_dir, exist_ok=True)
+    for m in (1, 2):
+        demo.write_month_json(
+            os.path.join(bronze_dir, f"2024-{m:02d}-games.json"), month=m
+        )
+    work = tempfile.mkdtemp(prefix="st04_gold_")
+    run_incremental_gold(
+        spark,
+        bronze_dir,
+        os.path.join(work, "gold"),
+        os.path.join(work, "ckpt"),
+        demo.USERNAME,
+        "2024-03-01 00:00:00",
+    )
+    return spark.read.parquet(os.path.join(work, "gold", "fact_games"))
+
+
 def m01_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline: documents → opaque binary payload + typed
     metadata → Arrow-batched mapInPandas feature extraction.  The
@@ -273,10 +299,10 @@ FROM geom
 # --- from the gold star).  Templates use @STAGE@ so regex braces/quotes
 # --- need no f-string escaping.
 
-_C01_SQL = r"""
+_SILVER_FROM_JSON_SQL = r"""
 WITH raw AS (
     SELECT *, REGEXP_EXTRACT_ALL(pgn, '\. (.*?) {\[', 1) AS __moves
-    FROM read_json_auto('@STAGE@/games.json')
+    FROM read_json_auto('@SRC@')
 )
 SELECT url AS game_url, time_control, rated, time_class, rules,
        CAST(white.rating AS INTEGER) AS white_rating,
@@ -310,11 +336,14 @@ SELECT url AS game_url, time_control, rated, time_class, rules,
                     || ' ' || COALESCE(__moves[2 * i + 2], '')),
            ' ') AS pgn_trans
 FROM raw
-""".replace("@STAGE@", STAGE_DIR)
+"""
+
+_C01_SQL = _SILVER_FROM_JSON_SQL.replace("@SRC@", f"{STAGE_DIR}/games.json")
 
 _MY_WHITE = "LOWER(pgn_white_user) = 'rhythmbear1'"
 
-_C02_SQL = (
+# fact projection over any silver-shaped relation named in @SILVER@
+_FACT_FROM_SILVER_SQL = (
     r"""
 SELECT game_url, game_date, start_time, end_time,
        CAST(DATE_DIFF('second', start_time, end_time) AS BIGINT) AS game_duration_secs,
@@ -334,11 +363,23 @@ SELECT game_url, game_date, start_time, end_time,
        pgn_eco_url AS opening_url,
        pgn_trans AS game_pgn,
        CAST(LEN(REGEXP_EXTRACT_ALL(pgn_trans, '(\d+\.)', 1)) AS INTEGER) AS moves,
-       TIMESTAMP '2024-02-01 00:00:00' AS last_updated
-FROM read_parquet('@STAGE@/silver/*.parquet')
+       TIMESTAMP '@RUN_TS@' AS last_updated
+FROM @SILVER@
 """.replace("@MY@", _MY_WHITE)
-    .replace("@STAGE@", STAGE_DIR)
 )
+
+_C02_SQL = (
+    _FACT_FROM_SILVER_SQL.replace(
+        "@SILVER@", f"read_parquet('{STAGE_DIR}/silver/*.parquet')"
+    ).replace("@RUN_TS@", "2024-02-01 00:00:00")
+)
+
+# st04: raw two-month bronze JSON straight to the merged fact, entirely in
+# DuckDB — the oracle for the *streaming incremental* gold build.
+_ST04_SQL = _FACT_FROM_SILVER_SQL.replace(
+    "@SILVER@",
+    "(" + _SILVER_FROM_JSON_SQL.replace("@SRC@", f"{STAGE_DIR}/bronze_2m/*.json") + ")",
+).replace("@RUN_TS@", "2024-03-01 00:00:00")
 
 _C03_SQL = (
     """
@@ -434,6 +475,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st01_streaming_tumbling": st01_streaming_tumbling,
     "st02_streaming_stateful_sessions": st02_streaming_stateful_sessions,
     "st03_streaming_dedup": st03_streaming_dedup,
+    "st04_incremental_gold": st04_incremental_gold,
     "m01_multimodal_features": m01_multimodal_features,
     "m02_multimodal_resize": m02_multimodal_resize,
 }
@@ -451,6 +493,7 @@ PIPELINE_ORACLE: dict[str, str] = {
     "st01_streaming_tumbling": _X09_SQL,
     "st02_streaming_stateful_sessions": _X11_SQL,
     "st03_streaming_dedup": _ST03_SQL,
+    "st04_incremental_gold": _ST04_SQL,
     "m01_multimodal_features": _M01_SQL,
     "m02_multimodal_resize": _M02_SQL,
 }

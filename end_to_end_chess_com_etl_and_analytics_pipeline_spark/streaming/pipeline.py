@@ -74,13 +74,25 @@ def run_incremental_gold(
         fact = gold["fact_games"].localCheckpoint()
         fact.write.mode("overwrite").parquet(fact_path)
 
-    (
-        silver_stream.writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    # micro-batches are month-sized, not table-sized: a vanilla
+    # 200-partition session spends longer scheduling empty tasks than
+    # merging, so scope the shuffle width to the batch for the drain
+    # (a real deployment sizes this to arrival volume instead).
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        (
+            silver_stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def streaming_tumbling_counts(
@@ -118,9 +130,13 @@ def streaming_tumbling_counts(
     )
 
 
-def _events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+def _events_stream(
+    spark: SparkSession, events_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """File-source stream over the events fixture with the nanos→micros
-    timestamp repair shared with the batch reader."""
+    timestamp repair shared with the batch reader.
+    ``max_files_per_trigger`` splits the backlog into one-file
+    micro-batches for multi-batch state tests."""
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
@@ -132,29 +148,40 @@ def _events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
         ]
     )
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(schema).parquet(events_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(events_dir)
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def streaming_stateful_sessions(
-    spark: SparkSession, events_dir: str, gap_seconds: int = 1800
+    spark: SparkSession, events_dir: str, gap_seconds: int = 1800,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Custom stateful streaming operator: per-user sessionization with
     ``applyInPandasWithState`` (arbitrary state the built-in window
-    operators can't express — session ordinal + running last-event
-    timestamp per user).
+    operators can't express — session ordinal, open-session start and
+    running event count per user).
 
     Each group invocation stitches its batch onto the carried state and
-    emits every session closed *or still open* in that batch; with an
-    ``availableNow`` single-batch drain this equals the batch
-    gaps-and-islands sessionize (operators.windows.sessionize), which is
-    the DuckDB oracle.  In continuous multi-batch operation the final
-    open session per user stays in state until the next batch extends or
-    closes it — at 100 TB state is bounded by |active users|, not data.
+    emits every session closed or extended in that batch.  A session
+    spanning micro-batches keeps its ordinal and is *re-emitted with
+    corrected totals* — the carried (start, n_events) accumulate, so in
+    append mode the latest emission per (user_id, session_seq) is always
+    the session's true current shape (earlier emissions are stale
+    prefixes, never wrong data).  With an ``availableNow`` single-batch
+    drain the output equals the batch gaps-and-islands sessionize
+    (operators.windows.sessionize), which is the DuckDB oracle; the
+    multi-batch corrected-totals behaviour is pinned by
+    ``test_stateful_sessions_multi_batch``.  At 100 TB state is bounded
+    by |active users|, not data volume.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    events = _events_stream(spark, events_dir).select("user_id", "ts")
+    events = _events_stream(spark, events_dir, max_files_per_trigger).select(
+        "user_id", "ts"
+    )
 
     def stitch(key, pdf_iter, state: "GroupState"):
         import pandas as pd
@@ -162,9 +189,9 @@ def streaming_stateful_sessions(
         rows = pd.concat(list(pdf_iter)).sort_values("ts")
         secs = rows["ts"].astype("datetime64[ns]").astype("int64") // 10**9
         if state.exists:
-            last_ts, seq = state.get
+            last_ts, seq, start_us, n_open = state.get
         else:
-            last_ts, seq = None, 0
+            last_ts, seq, start_us, n_open = None, 0, None, 0
         out = []
         cur = None  # [seq, start, end, n]
         for ts_val, sec in zip(rows["ts"], secs):
@@ -174,16 +201,26 @@ def streaming_stateful_sessions(
                 seq += 1
                 cur = [seq, ts_val, ts_val, 1]
             else:
-                if cur is None:  # continues the pre-batch open session
+                if cur is None:  # continues the pre-batch open session:
+                    # resume its ordinal, carried start and carried count
                     seq = max(seq, 1)
-                    cur = [seq, ts_val, ts_val, 1]
+                    start = (
+                        pd.Timestamp(start_us, unit="us")
+                        if start_us is not None
+                        else ts_val
+                    )
+                    cur = [seq, start, ts_val, n_open + 1]
                 else:
                     cur[2] = ts_val
                     cur[3] += 1
             last_ts = sec
         if cur is not None:
             out.append(cur)
-        state.update((int(last_ts), int(seq)))
+            open_start_us = int(pd.Timestamp(cur[1]).value // 1000)
+            open_n = int(cur[3])
+        else:  # no rows (cannot happen with NoTimeout) — keep carried state
+            open_start_us, open_n = start_us, n_open
+        state.update((int(last_ts), int(seq), open_start_us, open_n))
         yield pd.DataFrame(
             {
                 "user_id": [int(key[0])] * len(out),
@@ -200,7 +237,9 @@ def streaming_stateful_sessions(
             "user_id bigint, session_seq bigint, session_start timestamp, "
             "session_end timestamp, n_events bigint"
         ),
-        stateStructType="last_ts bigint, seq bigint",
+        stateStructType=(
+            "last_ts bigint, seq bigint, start_us bigint, n_open bigint"
+        ),
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

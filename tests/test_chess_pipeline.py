@@ -101,6 +101,32 @@ def test_silver_matches_duckdb_oracle(spark, silver, tmp_path_factory):
     compare(silver.drop("pgn_trans"), oracle)
 
 
+_REAL_PAYLOAD = "/root/reference/dev_files/Data/2024-01/games.json"
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists(_REAL_PAYLOAD),
+    reason="reference dev payload not present",
+)
+def test_silver_golden_real_payload(spark):
+    """Golden vectors against the REAL API payload (514 records,
+    SURVEY.md §5.2.2): the full silver transform — including pgn_trans,
+    which the demo-data oracle test drops — must be value-identical to
+    the DuckDB recomputation over the same file.  This is the
+    reference's own input, so divergence here is user-visible."""
+    import duckdb
+
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans.pipelines import (
+        _SILVER_FROM_JSON_SQL,
+    )
+
+    silver = bronze_to_silver(read_json(spark, _REAL_PAYLOAD, RAW_GAME_SCHEMA))
+    assert silver.count() == 514
+    assert silver.where(F.col("game_date").isNull()).count() == 0
+    con = duckdb.connect()
+    compare(silver, con.sql(_SILVER_FROM_JSON_SQL.replace("@SRC@", _REAL_PAYLOAD)))
+
+
 def test_silver_reads_real_json_files(spark, tmp_path_factory):
     """S2: the multiLine JSON source reads a monthly payload file with the
     declared raw schema (no inference)."""

@@ -96,6 +96,16 @@ def test_connected_components_long_chain(spark):
     assert got == {i: 0 for i in range(n)}
 
 
+def test_connected_components_nonconvergence_raises(spark):
+    """A diameter-11 path cannot settle in 3 rounds: the guard must
+    refuse to return silently-split components."""
+    import pytest
+
+    df = spark.createDataFrame([Row(src=i, dst=i + 1) for i in range(11)])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_rounds=3)
+
+
 def test_approx_sketches_error_bounds(spark):
     """x21 is rows-only for the driver (sketches are engine-specific);
     here we pin accuracy against the exact answers."""

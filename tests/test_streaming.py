@@ -81,6 +81,67 @@ def test_streaming_tumbling_equals_batch(spark, tmp_path):
     assert batch.exceptAll(streamed).count() == 0
 
 
+def test_stateful_sessions_multi_batch(spark, tmp_path):
+    """A session spanning micro-batches keeps its ordinal and is
+    re-emitted with corrected totals (carried start + accumulated count),
+    so the latest emission per (user, session_seq) equals the batch
+    sessionize — the multi-batch contract of streaming_stateful_sessions."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.streaming.pipeline import (
+        streaming_stateful_sessions,
+    )
+
+    d = tmp_path / "ev"
+    d.mkdir()
+
+    def write(name, rows):
+        table = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                # int64 nanos, like the fixture's TIMESTAMP(NANOS) column
+                "ts": pa.array([r[1] * 10**9 for r in rows], pa.int64()),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array(["view"] * len(rows)),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+        pq.write_table(table, str(d / name))
+
+    # batch 1: user 1 has an open 2-event session; user 2 one event
+    write("0.parquet", [(1, 1000, 1), (2, 1600, 1), (3, 1000, 2)])
+    # batch 2: user 1's session extends (gap 900s < 1800s) then a new one
+    # opens; user 2 starts a new session; user 3 appears fresh
+    write("1.parquet", [(4, 2500, 1), (5, 10000, 1), (6, 5000, 2), (7, 7000, 3)])
+
+    sessions = streaming_stateful_sessions(
+        spark, str(d), gap_seconds=1800, max_files_per_trigger=1
+    )
+    run_stream_to_memory(sessions, "t_sessions_mb", output_mode="append")
+    rows = spark.table("t_sessions_mb").collect()
+
+    def ep(ts):
+        return int(ts.timestamp())
+
+    latest = {}
+    for r in rows:
+        k = (r.user_id, r.session_seq)
+        if k not in latest or r.n_events > latest[k][2]:
+            latest[k] = (ep(r.session_start), ep(r.session_end), r.n_events)
+    assert latest == {
+        (1, 1): (1000, 2500, 3),  # corrected: original start, full count
+        (1, 2): (10000, 10000, 1),
+        (2, 1): (1000, 1000, 1),
+        (2, 2): (5000, 5000, 1),
+        (3, 1): (7000, 7000, 1),
+    }
+    # the spanning session really was emitted in both batches (stale
+    # prefix in batch 1, corrected totals in batch 2)
+    assert sum(1 for r in rows if (r.user_id, r.session_seq) == (1, 1)) == 2
+
+
 def test_multimodal_features_roundtrip(spark):
     """mapInPandas media features: Arrow batch plumbing produces exact
     deterministic features for every row."""
