@@ -31,6 +31,17 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def cosine_staged(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    """:func:`cosine` with the norms supplied as pre-staged columns.
+
+    For pairwise scoring (N_pairs >> N_vectors) computing ``norm`` once
+    per *vector* instead of once per *pair* removes two thirds of the
+    aggregation work.  Bit-identical to :func:`cosine`: the norm column
+    holds the same double the inline expression would produce, and the
+    final ``dot / (na * nb)`` arithmetic is unchanged."""
+    return dot(a, b) / (norm_a * norm_b)
+
+
 def norm_sq_sql(expr: str) -> str:
     """DuckDB rendering of squared L2 norm (list_aggregate on squares)."""
     return f"list_sum(list_transform({expr}, x -> CAST(x AS DOUBLE) * x))"

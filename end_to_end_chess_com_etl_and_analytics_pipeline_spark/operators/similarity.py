@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.rounding import round_fixed
-from ..functions.vectors import cosine
+from ..functions.vectors import cosine_staged, norm
 
 
 def brute_force_topk(
@@ -36,16 +36,32 @@ def brute_force_topk(
     """Exact top-k by cosine for each query vector.
 
     Ties break on candidate id (ascending) so results are deterministic
-    and oracle-comparable.  Self-matches (same id) are excluded.
+    and oracle-comparable.  Self-matches (same id) are excluded.  Norms
+    are staged once per vector (cosine_staged), so each of the q × n
+    score rows does a single dot-product aggregation.
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("__qn"),
     )
-    c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"))
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("__cn"),
+    )
     scored = (
         c.join(F.broadcast(q))
         .where(F.col("query_id") != F.col("cand_id"))
-        .withColumn("cos", round_fixed(cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn(
+            "cos",
+            round_fixed(
+                cosine_staged(
+                    F.col("qv"), F.col("cv"), F.col("__qn"), F.col("__cn")
+                ),
+                6,
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("cand_id").asc()
@@ -71,23 +87,39 @@ def assign_cells(
     The assignment score is rounded to 6 decimals and ties break on the
     lower centroid id (max_by over a (score, -id) struct), so the
     assignment is deterministic and reproducible by the DuckDB oracle's
-    ROW_NUMBER(ORDER BY score DESC, id ASC) formulation."""
+    ROW_NUMBER(ORDER BY score DESC, id ASC) formulation.  The shuffle is
+    keyed on ``id_col`` only — the embedding rides as an aggregated
+    payload (every row of an id group carries the identical vector), so
+    the wide array never becomes a shuffle key.  Norms are staged once
+    per vector/centroid."""
     cent = centroids.select(
-        F.col(centroid_id), F.col(centroid_vec).alias("__cv")
+        F.col(centroid_id),
+        F.col(centroid_vec).alias("__cv"),
+        norm(F.col(centroid_vec)).alias("__cn"),
     )
-    scored = corpus.join(F.broadcast(cent)).withColumn(
-        "__score", round_fixed(cosine(F.col(vec_col), F.col("__cv")), 6)
+    staged = corpus.select(
+        F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("__vn")
+    )
+    scored = staged.join(F.broadcast(cent)).withColumn(
+        "__score",
+        round_fixed(
+            cosine_staged(
+                F.col(vec_col), F.col("__cv"), F.col("__vn"), F.col("__cn")
+            ),
+            6,
+        ),
     )
     return (
-        scored.groupBy(id_col, vec_col)
+        scored.groupBy(id_col)
         .agg(
+            F.first(vec_col).alias(vec_col),
             F.max_by(
                 F.col(centroid_id),
                 F.struct(
                     F.col("__score").alias("s"),
                     (-F.col(centroid_id)).alias("t"),
                 ),
-            ).alias("cell")
+            ).alias("cell"),
         )
     )
 
@@ -107,9 +139,22 @@ def ivf_topk(
     query.  Recall < 1.0 by design; the bench pairs it with
     brute_force_topk to report recall@k."""
     cells = assign_cells(corpus, centroids, vec_col, id_col, centroid_id, centroid_vec)
-    cent = centroids.select(F.col(centroid_id), F.col(centroid_vec).alias("__cv"))
-    q_scored = queries.join(F.broadcast(cent)).withColumn(
-        "__score", round_fixed(cosine(F.col(vec_col), F.col("__cv")), 6)
+    cent = centroids.select(
+        F.col(centroid_id),
+        F.col(centroid_vec).alias("__cv"),
+        norm(F.col(centroid_vec)).alias("__ccn"),
+    )
+    q_staged = queries.select(
+        F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("__qn")
+    )
+    q_scored = q_staged.join(F.broadcast(cent)).withColumn(
+        "__score",
+        round_fixed(
+            cosine_staged(
+                F.col(vec_col), F.col("__cv"), F.col("__qn"), F.col("__ccn")
+            ),
+            6,
+        ),
     )
     wq = Window.partitionBy(id_col).orderBy(
         F.col("__score").desc(), F.col(centroid_id).asc()
@@ -120,16 +165,28 @@ def ivf_topk(
         .select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qv"),
+            F.col("__qn"),
             F.col(centroid_id).alias("cell"),
         )
     )
     cand = cells.select(
-        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"), "cell"
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("__cn"),
+        "cell",
     )
     scored = (
         cand.join(F.broadcast(q_cells), "cell")
         .where(F.col("query_id") != F.col("cand_id"))
-        .withColumn("cos", round_fixed(cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn(
+            "cos",
+            round_fixed(
+                cosine_staged(
+                    F.col("qv"), F.col("cv"), F.col("__qn"), F.col("__cn")
+                ),
+                6,
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("cand_id").asc()

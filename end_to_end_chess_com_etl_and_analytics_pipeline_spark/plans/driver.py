@@ -651,6 +651,72 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q20_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS semi-join: customers with at least one urgent order.
+    ``left_semi`` emits each qualifying customer exactly once however
+    many orders match (an inner join would duplicate), and only the
+    customer columns flow — the probe side never widens.  At scale the
+    filter on orders prunes before the shuffle; when the distinct key
+    set is small AQE can broadcast it."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir).where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+_Q20_SQL = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT')
+"""
+
+
+def q21_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window functions beyond ROW_NUMBER: lag/lead neighbors,
+    a running (cumulative) aggregate, and dense_rank — one shuffle on
+    user_id serves every window.  The running sum accumulates an exact
+    integer (floor-cents of value) because engines disagree on the
+    float association of incremental window sums; ordering carries an
+    event_id tie-break so every function is deterministic."""
+    e = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "ts", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wrank = Window.partitionBy("user_id").orderBy(F.col("value").desc())
+    return e.select(
+        "event_id",
+        "user_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.sum(F.floor(F.col("value") * 100).cast("long")).over(wcum).alias(
+            "running_cents"
+        ),
+        F.row_number().over(w).alias("event_no"),
+        F.dense_rank().over(wrank).alias("value_rank"),
+    )
+
+
+_Q21_SQL = """
+SELECT event_id, user_id,
+       LAG(value) OVER w AS prev_value,
+       LEAD(value) OVER w AS next_value,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS running_cents,
+       CAST(ROW_NUMBER() OVER w AS INTEGER) AS event_no,
+       CAST(DENSE_RANK() OVER (PARTITION BY user_id ORDER BY value DESC)
+           AS INTEGER) AS value_rank
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -675,6 +741,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q17_intersect_except": q17_intersect_except,
     "q18_unpivot": q18_unpivot,
     "q19_exact_median": q19_exact_median,
+    "q20_semi_join": q20_semi_join,
+    "q21_window_suite": q21_window_suite,
 }
 
 ORACLE: dict[str, str] = {
@@ -697,4 +765,6 @@ ORACLE: dict[str, str] = {
     "q17_intersect_except": _Q17_SQL,
     "q18_unpivot": _Q18_SQL,
     "q19_exact_median": _Q19_SQL,
+    "q20_semi_join": _Q20_SQL,
+    "q21_window_suite": _Q21_SQL,
 }

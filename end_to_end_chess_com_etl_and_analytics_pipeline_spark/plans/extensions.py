@@ -577,6 +577,42 @@ FROM events e JOIN type_dim d ON e.event_type = d.event_type
 """
 
 
+def x25_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: a different keep-rate per
+    class (all purchases, half the clicks, a tenth of the views, a
+    quarter of everything else), decided by the cross-engine md5 bucket
+    of the row key — reproducible across runs, engines and partition
+    layouts, unlike ``df.sample``/``sampleBy``.  Zero-shuffle projection
+    + filter; the training-data curation primitive for rebalancing
+    class-skewed corpora."""
+    from ..operators.sampling import split_bucket
+
+    rate = (
+        F.when(F.col("event_type") == "purchase", 100)
+        .when(F.col("event_type") == "click", 50)
+        .when(F.col("event_type") == "view", 10)
+        .otherwise(25)
+    )
+    return (
+        load_table(spark, "events", sf_dir)
+        .select("event_id", "user_id", "event_type")
+        .where(split_bucket(F.col("event_id"), "strat0") < rate)
+    )
+
+
+def _x25_sql() -> str:
+    from ..operators.sampling import split_bucket_sql
+
+    bucket = split_bucket_sql("event_id", "strat0")
+    return f"""
+SELECT event_id, user_id, event_type FROM events
+WHERE {bucket} < CASE event_type WHEN 'purchase' THEN 100
+                                 WHEN 'click' THEN 50
+                                 WHEN 'view' THEN 10
+                                 ELSE 25 END
+"""
+
+
 # ---------------------------------------------------------------------------
 # temporal joins (as-of, range)
 # ---------------------------------------------------------------------------
@@ -990,6 +1026,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x22_kmeans_clusters": x22_kmeans_clusters,
     "x23_profile": x23_profile,
     "x24_salted_join": x24_salted_join,
+    "x25_stratified_sample": x25_stratified_sample,
 }
 
 EXT_ORACLE: dict[str, str] = {
@@ -1015,6 +1052,7 @@ EXT_ORACLE: dict[str, str] = {
     "x20_dedup_clusters": _X20_SQL,
     "x23_profile": _X23_SQL,
     "x24_salted_join": _X24_SQL,
+    "x25_stratified_sample": _x25_sql(),
     # x21/x22 intentionally absent: sketches are engine-specific and
     # float-mean order is nondeterministic (rows-only; accuracy pinned
     # in tests against exact aggregates / numpy)

@@ -240,6 +240,58 @@ def st04_incremental_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(work, "gold", "fact_games"))
 
 
+def st05_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join: each view event joins
+    the same user's purchase events within the following hour.  Both
+    sides carry watermarks so the join state is bounded by the interval
+    + late-data allowance (the 100 TB requirement: state is GC'd as the
+    watermark passes, never grows with the stream).  Drained with
+    availableNow the inner join must equal the batch self-join — the
+    oracle."""
+    from ..streaming.pipeline import _events_stream
+
+    stream_dir = _staged_events_dir(sf_dir)
+    views = (
+        _events_stream(spark, stream_dir)
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, stream_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            "user_id = p_user_id AND purchase_ts >= view_ts "
+            "AND purchase_ts <= view_ts + interval 1 hour"
+        ),
+    ).select("user_id", "view_id", "purchase_id")
+    name = f"st_ssj_{uuid.uuid4().hex[:8]}"
+    run_stream_to_memory(joined, name, output_mode="append")
+    return spark.table(name)
+
+
+_ST05_SQL = """
+SELECT v.user_id, v.event_id AS view_id, c.event_id AS purchase_id
+FROM events v JOIN events c
+  ON v.user_id = c.user_id
+ AND v.event_type = 'view' AND c.event_type = 'purchase'
+ AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+"""
+
+
 def m01_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline: documents → opaque binary payload + typed
     metadata → Arrow-batched mapInPandas feature extraction.  The
@@ -476,6 +528,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st02_streaming_stateful_sessions": st02_streaming_stateful_sessions,
     "st03_streaming_dedup": st03_streaming_dedup,
     "st04_incremental_gold": st04_incremental_gold,
+    "st05_stream_stream_join": st05_stream_stream_join,
     "m01_multimodal_features": m01_multimodal_features,
     "m02_multimodal_resize": m02_multimodal_resize,
 }
@@ -494,6 +547,7 @@ PIPELINE_ORACLE: dict[str, str] = {
     "st02_streaming_stateful_sessions": _X11_SQL,
     "st03_streaming_dedup": _ST03_SQL,
     "st04_incremental_gold": _ST04_SQL,
+    "st05_stream_stream_join": _ST05_SQL,
     "m01_multimodal_features": _M01_SQL,
     "m02_multimodal_resize": _M02_SQL,
 }
