@@ -717,6 +717,268 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def q22_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: every grouping combination of (status, priority) in ONE
+    pass — q14's ROLLUP generalized to the full lattice.  Spark plans a
+    single Expand (4 replicas of each input row) feeding one hash
+    aggregate, so the scan happens once however many grouping sets are
+    requested; grouping_id disambiguates subtotal NULLs from data
+    NULLs.  Money flows as integer cents (module docstring)."""
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        o.select(
+            "o_orderstatus",
+            "o_orderpriority",
+            cents(F.col("o_totalprice")).alias("price_cents"),
+        )
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n_orders"),
+            F.sum("price_cents").alias("revenue_cents"),
+        )
+    )
+
+
+_Q22_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def q23_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull a typed value out of the JSON
+    ``props`` payload and aggregate on it — the schema-on-read shape
+    every event pipeline needs.  ``get_json_object`` is a JVM-side
+    expression (Jackson under codegen), so extraction rides the scan
+    projection with no shuffle of the raw JSON; only (event_type, k)
+    flows into the aggregate.  avg is computed as exact-integer
+    sum/count so both engines divide the same two integers."""
+    e = load_table(spark, "events", sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            (F.sum("k") / F.count("k")).alias("avg_k"),
+        )
+    )
+
+
+_Q23_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(k) AS n_with_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       CAST(SUM(k) AS BIGINT) / COUNT(k) AS avg_k
+FROM (SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k FROM events)
+GROUP BY event_type
+"""
+
+
+def q24_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG/STRING_AGG): the distinct
+    event types each user has fired, joined into one deterministic
+    CSV.  Spark composes it as collect_set → array_sort → array_join —
+    partial-aggregable (sets merge map-side), and the explicit sort
+    makes the result order-insensitive, which STRING_AGG alone does not
+    guarantee.  State per group is bounded by the distinct-value count,
+    not the row count."""
+    e = load_table(spark, "events", sf_dir)
+    return e.groupBy("user_id").agg(
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias(
+            "event_types"
+        ),
+        F.count_distinct(F.col("event_type")).alias("n_types"),
+        F.count("*").alias("n_events"),
+    )
+
+
+_Q24_SQL = """
+SELECT user_id,
+       string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS event_types,
+       COUNT(DISTINCT event_type) AS n_types,
+       COUNT(*) AS n_events
+FROM events GROUP BY user_id
+"""
+
+
+def q25_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension build: collapse each user's
+    event stream into attribute *runs* (rows only where event_type
+    changed), then derive [valid_from, valid_to) intervals and the
+    is_current flag with LEAD.  Both window passes share one shuffle on
+    user_id (same partitioning, Spark reuses the exchange).  This is
+    the standard warehouse history-table shape the reference's
+    dim tables would need under updates (create_dim_*.sql are
+    truncate-reload; SCD2 is the incremental form)."""
+    e = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    runs = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .drop("prev_type")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return runs.select(
+        "user_id",
+        F.col("event_type").alias("attr_value"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+        F.lead("ts").over(w2).isNull().alias("is_current"),
+    )
+
+
+_Q25_SQL = """
+WITH ordered AS (
+    SELECT user_id, event_type, ts, event_id,
+           LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+    FROM events),
+runs AS (
+    SELECT user_id, event_type, ts, event_id FROM ordered
+    WHERE prev_type IS NULL OR prev_type <> event_type)
+SELECT user_id,
+       event_type AS attr_value,
+       ts AS valid_from,
+       LEAD(ts) OVER w AS valid_to,
+       LEAD(ts) OVER w IS NULL AS is_current
+FROM runs
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q26_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (stddev, correlation) computed the
+    cross-engine-exact way: accumulate integer moments (n, Σv, Σv²,
+    Σk, Σk², Σvk — all exact BIGINTs, order-independent), then derive
+    the floating-point statistics from those identical integers with
+    an identical expression tree.  Native stddev_samp/corr are
+    float-accumulating and order-dependent, so their last bits differ
+    run-to-run under Spark's nondeterministic partial-agg order — the
+    moment form is how you get a *deterministic* answer at any scale.
+    value flows as cents; k comes out of the JSON props."""
+    e = load_table(spark, "events", sf_dir)
+    v = cents(F.col("value"))
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    base = e.select("event_type", v.alias("v"), k.alias("k"))
+    agg = base.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("v") * F.col("v")).alias("svv"),
+        F.sum("k").alias("sk"),
+        F.sum(F.col("k") * F.col("k")).alias("skk"),
+        F.sum(F.col("v") * F.col("k")).alias("svk"),
+    )
+    n, sv, svv = F.col("n"), F.col("sv"), F.col("svv")
+    sk, skk, svk = F.col("sk"), F.col("skk"), F.col("svk")
+    var_v = (n * svv - sv * sv) / (n * (n - F.lit(1)))
+    dv = F.sqrt((n * svv - sv * sv).cast("double"))
+    dk = F.sqrt((n * skk - sk * sk).cast("double"))
+    return agg.select(
+        "event_type",
+        "n",
+        "sv",
+        "sk",
+        F.sqrt(var_v).alias("stddev_cents"),
+        ((n * svk - sv * sk).cast("double") / (dv * dk)).alias("corr_vk"),
+    )
+
+
+_Q26_SQL = """
+WITH base AS (
+    SELECT event_type,
+           CAST(ROUND(value * 100, 0) AS BIGINT) AS v,
+           CAST(props->>'$.k' AS BIGINT) AS k
+    FROM events),
+agg AS (
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(v) AS BIGINT) AS sv,
+           CAST(SUM(v * v) AS BIGINT) AS svv,
+           CAST(SUM(k) AS BIGINT) AS sk,
+           CAST(SUM(k * k) AS BIGINT) AS skk,
+           CAST(SUM(v * k) AS BIGINT) AS svk
+    FROM base GROUP BY event_type)
+SELECT event_type, n, sv, sk,
+       sqrt((n * svv - sv * sv) / (n * (n - 1))) AS stddev_cents,
+       CAST(n * svk - sv * sk AS DOUBLE)
+           / (sqrt(CAST(n * svv - sv * sv AS DOUBLE))
+              * sqrt(CAST(n * skk - sk * sk AS DOUBLE))) AS corr_vk
+FROM agg
+"""
+
+
+def q27_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel analysis: how many users progressed
+    view → click → purchase *in time order*.  One aggregation computes
+    each user's first timestamp per stage (conditional MIN — no
+    self-joins, no window), a projection tests stage-ordering, and a
+    single-row final agg counts survivors.  The classic N-way
+    self-join funnel shuffles the events table N times; this shape
+    shuffles it once regardless of funnel depth."""
+    e = load_table(spark, "events", sf_dir)
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+            "t_click"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    tv, tc, tp = F.col("t_view"), F.col("t_click"), F.col("t_purchase")
+    s1 = tv.isNotNull()
+    s2 = s1 & tc.isNotNull() & (tc > tv)
+    s3 = s2 & tp.isNotNull() & (tp > tc)
+    return per_user.select(
+        s1.cast("long").alias("s1"),
+        s2.cast("long").alias("s2"),
+        s3.cast("long").alias("s3"),
+    ).agg(
+        F.count("*").alias("n_users"),
+        F.sum("s1").alias("n_view"),
+        F.sum("s2").alias("n_view_click"),
+        F.sum("s3").alias("n_full_funnel"),
+    )
+
+
+_Q27_SQL = """
+WITH per_user AS (
+    SELECT user_id,
+           MIN(ts) FILTER (event_type = 'view') AS t_view,
+           MIN(ts) FILTER (event_type = 'click') AS t_click,
+           MIN(ts) FILTER (event_type = 'purchase') AS t_purchase
+    FROM events GROUP BY user_id),
+stages AS (
+    SELECT CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS s1,
+           CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+                     AND t_click > t_view THEN 1 ELSE 0 END AS s2,
+           CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+                     AND t_click > t_view AND t_purchase IS NOT NULL
+                     AND t_purchase > t_click THEN 1 ELSE 0 END AS s3
+    FROM per_user)
+SELECT COUNT(*) AS n_users,
+       CAST(SUM(s1) AS BIGINT) AS n_view,
+       CAST(SUM(s2) AS BIGINT) AS n_view_click,
+       CAST(SUM(s3) AS BIGINT) AS n_full_funnel
+FROM stages
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -743,6 +1005,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q19_exact_median": q19_exact_median,
     "q20_semi_join": q20_semi_join,
     "q21_window_suite": q21_window_suite,
+    "q22_cube": q22_cube,
+    "q23_json_extract": q23_json_extract,
+    "q24_string_agg": q24_string_agg,
+    "q25_scd2": q25_scd2,
+    "q26_stats_moments": q26_stats_moments,
+    "q27_funnel": q27_funnel,
 }
 
 ORACLE: dict[str, str] = {
@@ -767,4 +1035,10 @@ ORACLE: dict[str, str] = {
     "q19_exact_median": _Q19_SQL,
     "q20_semi_join": _Q20_SQL,
     "q21_window_suite": _Q21_SQL,
+    "q22_cube": _Q22_SQL,
+    "q23_json_extract": _Q23_SQL,
+    "q24_string_agg": _Q24_SQL,
+    "q25_scd2": _Q25_SQL,
+    "q26_stats_moments": _Q26_SQL,
+    "q27_funnel": _Q27_SQL,
 }
