@@ -50,6 +50,9 @@ HEADLINE = [
     "x19_tfidf_topk",
     "x20_dedup_clusters",
     "q14_rollup",
+    "q22_cube",
+    "q25_scd2",
+    "q27_funnel",
 ]
 
 
@@ -85,11 +88,18 @@ def main() -> None:
     for name in HEADLINE:
         # time the build call too: iterative operators (connected
         # components, k-means) do their work eagerly inside it, and a
-        # post-build timer would only measure their cached final frame
-        t0 = time.perf_counter()
-        df = registry[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # post-build timer would only measure their cached final frame.
+        # best-of-2 runs: the min is the query's cost with warm code
+        # paths; the max folds in GC pauses and machine contention noise
+        # that says nothing about the plan.
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = registry[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
