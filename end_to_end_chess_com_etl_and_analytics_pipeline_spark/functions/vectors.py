@@ -42,6 +42,26 @@ def cosine_staged(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Colum
     return dot(a, b) / (norm_a * norm_b)
 
 
+def max_abs(a: Column) -> Column:
+    """Largest |component| — the symmetric-quantization scale base.
+    max is order-independent, so this is deterministic without any
+    summation-order care."""
+    return F.array_max(F.transform(a, lambda v: F.abs(v.cast("double"))))
+
+
+def quantize_int8(a: Column, scale: Column) -> Column:
+    """Symmetric int8 quantization: q_i = round(v_i / scale) ∈ [-127,127]
+    with ``scale = max_abs/127``.  Scale-0 rounding of identical doubles
+    is cross-engine portable (functions.rounding); the guard keeps
+    all-zero vectors at q=0 instead of 0/0."""
+    return F.transform(
+        a,
+        lambda v: F.when(scale == 0.0, F.lit(0))
+        .otherwise(F.round(v.cast("double") / scale, 0))
+        .cast("long"),
+    )
+
+
 def norm_sq_sql(expr: str) -> str:
     """DuckDB rendering of squared L2 norm (list_aggregate on squares)."""
     return f"list_sum(list_transform({expr}, x -> CAST(x AS DOUBLE) * x))"
