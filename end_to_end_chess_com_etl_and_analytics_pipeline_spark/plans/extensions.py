@@ -1094,6 +1094,26 @@ FROM quantized
 """
 
 
+def x28_stable_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense 0-based row enumeration without a global sort
+    (operators.ids): per-shard rank + broadcast cumulative offsets.
+    The oracle states the semantic contract directly — the distributed
+    two-phase plan must equal ``ROW_NUMBER() OVER (ORDER BY shard,
+    key) - 1`` computed the single-threaded way."""
+    from ..operators.ids import stable_row_ids
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    return stable_row_ids(docs, "doc_id", n_shards=8)
+
+
+_X28_SQL = """
+SELECT doc_id, doc_id % 8 AS shard,
+       CAST(ROW_NUMBER() OVER (ORDER BY doc_id % 8, doc_id) - 1 AS BIGINT)
+           AS row_id
+FROM documents
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x01_exact_dedup": x01_exact_dedup,
     "x02_minhash_signatures": x02_minhash_signatures,
@@ -1122,6 +1142,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x25_stratified_sample": x25_stratified_sample,
     "x26_pack_sequences": x26_pack_sequences,
     "x27_quantize_embeddings": x27_quantize_embeddings,
+    "x28_stable_row_ids": x28_stable_row_ids,
 }
 
 EXT_ORACLE: dict[str, str] = {
@@ -1150,6 +1171,7 @@ EXT_ORACLE: dict[str, str] = {
     "x25_stratified_sample": _x25_sql(),
     "x26_pack_sequences": _x26_sql(),
     "x27_quantize_embeddings": _X27_SQL,
+    "x28_stable_row_ids": _X28_SQL,
     # x21/x22 intentionally absent: sketches are engine-specific and
     # float-mean order is nondeterministic (rows-only; accuracy pinned
     # in tests against exact aggregates / numpy)
