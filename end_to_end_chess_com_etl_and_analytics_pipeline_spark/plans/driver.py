@@ -979,6 +979,77 @@ FROM stages
 """
 
 
+def q28_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries through the SQL-first interface:
+    orders priced above their customer's average.  Catalyst
+    *decorrelates* each subquery into an aggregate + equi-join — no
+    per-row re-execution (observed plan: 2 joins, 3 scans; Spark does
+    not merge the two sibling subqueries, so the hand-fused form — one
+    groupBy computing (count, sum) and a single join — is the plan to
+    write at 100 TB; this query exists to prove the SQL path gives the
+    *correct* answer either way).  The comparison cross-multiplies
+    exact integer cents (price*n > sum) instead of comparing against a
+    float AVG, whose last bits depend on Spark's nondeterministic
+    partial-agg order."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir, tables=["orders"])
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders o
+        WHERE CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                  * (SELECT COUNT(*) FROM orders i
+                     WHERE i.o_custkey = o.o_custkey)
+              > (SELECT SUM(CAST(ROUND(i.o_totalprice * 100, 0) AS BIGINT))
+                 FROM orders i WHERE i.o_custkey = o.o_custkey)
+        """
+    )
+
+
+_Q28_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders o
+WHERE CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+          * (SELECT COUNT(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
+      > (SELECT CAST(SUM(CAST(ROUND(i.o_totalprice * 100, 0) AS BIGINT))
+                     AS BIGINT)
+         FROM orders i WHERE i.o_custkey = o.o_custkey)
+"""
+
+
+def q29_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind q14's ROLLUP and
+    q22's CUBE): status-only, priority-only, and grand-total groupings
+    in ONE Expand + one hash aggregate — disjoint marginal reports from
+    a single scan, the shape that otherwise takes N passes."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir, tables=["orders"])
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping_id() AS BIGINT) AS gid,
+               COUNT(*) AS n_orders,
+               SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                   AS revenue_cents
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+_Q29_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1011,6 +1082,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q25_scd2": q25_scd2,
     "q26_stats_moments": q26_stats_moments,
     "q27_funnel": q27_funnel,
+    "q28_correlated_subquery": q28_correlated_subquery,
+    "q29_grouping_sets": q29_grouping_sets,
 }
 
 ORACLE: dict[str, str] = {
@@ -1041,4 +1114,6 @@ ORACLE: dict[str, str] = {
     "q25_scd2": _Q25_SQL,
     "q26_stats_moments": _Q26_SQL,
     "q27_funnel": _Q27_SQL,
+    "q28_correlated_subquery": _Q28_SQL,
+    "q29_grouping_sets": _Q29_SQL,
 }
