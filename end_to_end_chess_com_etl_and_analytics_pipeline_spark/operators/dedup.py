@@ -167,6 +167,33 @@ def minhash_signature_table(
     )
 
 
+def _band_bucket_pairs(band_sig: DataFrame, id_col: str) -> DataFrame:
+    """Candidate pairs (id_a < id_b) from a (id, band, band_key) table.
+
+    The band table is staged with ``localCheckpoint`` so the expensive
+    signature subtree above it is evaluated ONCE (a plain self-join
+    would clone it into both join sides); a warehouse deployment stages
+    to parquet instead — same plan shape, durable.  Candidates then come
+    from a self-equi-join on (band, band_key).  Versus the previous
+    collect_list-then-explode bucket expansion, a hot bucket (one viral
+    duplicate cluster) is no longer concentrated into a single task and
+    a single giant array row (2 GB array ceiling at 100 TB): the join
+    shuffles both sides by key and AQE skew-join splitting
+    (spark.sql.adaptive.skewJoin) breaks oversized buckets across
+    tasks.  Pair expansion inside a bucket is still O(|bucket|²) — that
+    is inherent to LSH — but it is now parallel and bounded per task.
+    """
+    staged = band_sig.localCheckpoint(eager=False)
+    a = staged.select(F.col(id_col).alias("id_a"), "band", "band_key")
+    b = staged.select(F.col(id_col).alias("id_b"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -179,9 +206,10 @@ def minhash_lsh_pairs(
     their MinHash signature.  rows = (id_a, id_b) with id_a < id_b.
 
     Band signatures are computed per-row from the signature array (pure
-    projection); the only shuffle in the whole pipeline is the bucket
-    self-join on (band, band_key) — each bucket holds only colliding
-    docs, so candidate generation is bucket-local, never O(n²) global."""
+    projection); the staged band table then self-joins on
+    (band, band_key) — each bucket holds only colliding docs, so
+    candidate generation is bucket-local, never O(n²) global, and hot
+    buckets are skew-split across tasks (see _band_bucket_pairs)."""
     rows_per_band = num_hashes // bands
     sig = minhash_signature_array(df, text_col, id_col, num_hashes, shingle_len)
     # Explode a FOLDABLE band-index literal (not an expression over the
@@ -209,28 +237,7 @@ def minhash_lsh_pairs(
             )
         ).alias("band_key"),
     )
-    # Bucket docs by band signature with ONE shuffle (a self-join here
-    # would evaluate the whole signature subtree once per join side),
-    # then expand each bucket's sorted id list into ordered pairs
-    # bucket-locally.
-    buckets = band_sig.groupBy("band", "band_key").agg(
-        F.sort_array(F.collect_list(F.col(id_col))).alias("ids")
-    )
-    pair_list = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
-    return (
-        buckets.where(F.size("ids") >= 2)
-        .select(F.explode(pair_list).alias("p"))
-        .select("p.id_a", "p.id_b")
-        .distinct()
-    )
+    return _band_bucket_pairs(band_sig, id_col)
 
 
 def ngram_jaccard_pairs(
@@ -349,27 +356,31 @@ def embedding_lsh_near_dup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dim: int = 64,
-    n_planes: int = 16,
+    n_planes: int = 32,
     bands: int = 4,
-    threshold: float = 0.2,
+    threshold: float = 0.9,
 ) -> DataFrame:
     """Embedding near-dup at scale: signed-random-projection LSH.
 
     Signature bit j = sign(v · plane_j); docs sharing any band of the
-    bit signature become candidate pairs (same one-shuffle bucket
-    expansion as MinHash LSH), then candidates are verified with exact
-    cosine ≥ threshold.  Unlike the brute-force kernel
+    bit signature become candidate pairs (same skew-safe band self-join
+    as MinHash LSH, _band_bucket_pairs), then candidates are verified
+    with exact cosine ≥ threshold.  Unlike the brute-force kernel
     (:func:`embedding_near_dup_pairs`, O(n²)), the pairwise step is
     bucket-local — the 100 TB path.  Norms are staged once per vector so
     the verify (which dominates: |candidates| >> |vectors|) does one
     aggregation per pair, not three.  Returns (id_a, id_b, cos).
 
-    Selectivity is governed by bits-per-band (``n_planes // bands``): on
-    the isotropic fixture the default 4-bit bands admit ~23% of all
-    pairs as candidates — appropriate for the low demo threshold (0.2);
-    a production near-dup run (threshold ≥ 0.9, clustered vectors) wants
-    8-16 bits per band, which cuts candidates by orders of magnitude at
-    negligible recall cost for high-cosine pairs."""
+    Selectivity is governed by bits-per-band (``n_planes // bands``).
+    The default 8-bit bands give a 256-key space per band: a random
+    (cos≈0) pair collides in a band with p≈2^-8, while a near-dup pair
+    at cos ≥ 0.9 (angle ≤ 26°) collides with p ≈ (1-θ/π)^8 ≈ 0.29 per
+    band → ≈ 0.75 over 4 bands — candidates shrink by orders of
+    magnitude versus the earlier 4-bit geometry (which admitted ~23% of
+    ALL pairs) at modest recall cost for high-cosine pairs.  For still
+    larger corpora, grow bits-per-band with log2(n) (and add bands to
+    hold recall): collision probability per band must shrink faster
+    than the O(n²) pair space grows."""
     from ..functions.vectors import cosine_staged, norm
 
     rows_per_band = n_planes // bands
@@ -408,24 +419,7 @@ def embedding_lsh_near_dup_pairs(
             lambda acc, b: acc * 2 + b,
         ).alias("band_key"),
     )
-    buckets = band_sig.groupBy("band", "band_key").agg(
-        F.sort_array(F.collect_list(F.col(id_col))).alias("ids")
-    )
-    pair_list = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
-    cand = (
-        buckets.where(F.size("ids") >= 2)
-        .select(F.explode(pair_list).alias("p"))
-        .select("p.id_a", "p.id_b")
-        .distinct()
-    )
+    cand = _band_bucket_pairs(band_sig, id_col)
     va = df.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("__va"),
