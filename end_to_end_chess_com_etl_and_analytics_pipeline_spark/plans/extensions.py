@@ -444,22 +444,33 @@ FROM documents
 """
 
 
+# ONE source of truth for the SRP-LSH geometry: the Spark call and the
+# DuckDB oracle both derive from these constants (a hardcoded-oracle /
+# drifted-default mismatch cost x14 its round-3 parity).
+_X14_N_PLANES, _X14_BANDS, _X14_DIM = 32, 4, 64
+_X14_THRESHOLD = 0.2
+
+
 def x14_embedding_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup via signed-random-projection LSH: 16-bit
-    hyperplane-sign signatures, 4-bit band bucketing, exact cosine
-    verify on candidates only — the bucket-local scale path next to the
-    brute-force kernel (x06)."""
+    """Embedding near-dup via signed-random-projection LSH: 32-bit
+    hyperplane-sign signatures, 8-bit band bucketing (4 bands), exact
+    cosine verify on candidates only — the bucket-local scale path next
+    to the brute-force kernel (x06)."""
     from ..operators.dedup import embedding_lsh_near_dup_pairs
 
     return embedding_lsh_near_dup_pairs(
-        load_table(spark, "embeddings", sf_dir), threshold=0.2
+        load_table(spark, "embeddings", sf_dir),
+        dim=_X14_DIM,
+        n_planes=_X14_N_PLANES,
+        bands=_X14_BANDS,
+        threshold=_X14_THRESHOLD,
     )
 
 
 def _x14_sql() -> str:
     from ..operators.dedup import srp_planes
 
-    n_planes, bands, dim = 16, 4, 64
+    n_planes, bands, dim = _X14_N_PLANES, _X14_BANDS, _X14_DIM
     rpb = n_planes // bands
     planes = srp_planes(n_planes, dim)
     # bit j of the signature, as an integer expression over embedding e
@@ -491,7 +502,7 @@ SELECT c.id_a, c.id_b,
 FROM cand c
 JOIN embeddings ea ON ea.vec_id = c.id_a
 JOIN embeddings eb ON eb.vec_id = c.id_b
-WHERE {round_fixed_sql(cosine_sql('ea.embedding', 'eb.embedding'), 6)} >= 0.2
+WHERE {round_fixed_sql(cosine_sql('ea.embedding', 'eb.embedding'), 6)} >= {_X14_THRESHOLD}
 """
 
 

@@ -20,6 +20,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..schemas import (
@@ -34,27 +35,68 @@ from ..schemas import (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def repair_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``ts`` to TimestampType whatever flavor the file held.
+
+    Fixture generations have shipped events.ts as TIMESTAMP(NANOS)
+    (readable only as raw int64 via ``nanosAsLong``) and as plain
+    timestamp[us] (read as TIMESTAMP_NTZ).  Dispatch on the dtype that
+    actually came back from the footer instead of assuming either:
+
+    - LongType  → raw nanos: truncate to micros with exact integer
+      division (matching DuckDB's ns→µs truncation).
+    - TIMESTAMP_NTZ → cast to TimestampType.  The cast interprets the
+      wall-clock in the session zone and collect() renders it back in
+      the same zone, so the round-trip is identity for any session tz —
+      values agree with DuckDB's naive reading of the same file.
+    - already TimestampType → pass through.
+    """
+    t = df.schema["ts"].dataType
+    if isinstance(t, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(t, T.TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+def read_events_raw(spark: SparkSession, path: str) -> DataFrame:
+    """Flavor-aware raw read of an events-shaped parquet path (no ts
+    repair — see :func:`repair_events_ts`).
+
+    A plain read fails on TIMESTAMP(NANOS) footers
+    ([PARQUET_TYPE_ILLEGAL]); only then is ``nanosAsLong`` enabled, and
+    it is restored immediately — the footer schema is captured at
+    load(), so later actions don't re-consult the conf (pinned by
+    tests/test_events_fixture_flavors.py).  No session state leaks
+    either way.
+    """
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        try:
+            return spark.read.parquet(path)
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     """Parquet scan of a driver fixture table (S3).
 
     Parquet is self-describing, so the footer schema is authoritative
-    (the fixture files mix ms/ns timestamp physical types, which a
-    declared TimestampType would misread); TESTDATA_SCHEMAS documents the
-    logical contract and is asserted post-hoc in tests.
+    (fixture generations have shipped events.ts under different physical
+    types, which a declared TimestampType would misread);
+    TESTDATA_SCHEMAS documents the logical contract and is asserted
+    post-hoc in tests.
     """
     sf_dir = sf_dir or DEFAULT_SF_DIR
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-        # reader rejects; read the raw int64 nanos and truncate to micros
-        # with exact integer division (matching DuckDB's ns→µs truncation).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        from pyspark.sql import functions as F
-
-        raw = spark.read.parquet(path)
-        return raw.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        return repair_events_ts(read_events_raw(spark, path))
     return spark.read.parquet(path)
 
 

@@ -31,6 +31,7 @@ from pyspark.sql import types as T
 from ..plans.gold import build_gold
 from ..plans.silver import bronze_to_silver
 from ..schemas import RAW_GAME_SCHEMA
+from ..sources.tables import read_events_raw, repair_events_ts
 
 
 def stream_bronze_to_silver(
@@ -104,19 +105,7 @@ def streaming_tumbling_counts(
     """Watermarked tumbling-window aggregate over the events stream —
     the same F.window expression as the batch operator
     (operators.windows.tumbling_agg), plus late-data bounds."""
-    schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) as int64
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(schema).parquet(events_dir)
-    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    events = _events_stream(spark, events_dir)
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window_size).alias("w"), "event_type")
@@ -133,26 +122,27 @@ def streaming_tumbling_counts(
 def _events_stream(
     spark: SparkSession, events_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
-    """File-source stream over the events fixture with the nanos→micros
-    timestamp repair shared with the batch reader.
+    """File-source stream over the events fixture, sharing the batch
+    reader's flavor probe and ts repair (sources.tables): the declared
+    readStream schema is whatever a batch read of the same footers
+    yields, never an assumption about the physical timestamp type.
     ``max_files_per_trigger`` splits the backlog into one-file
     micro-batches for multi-batch state tests."""
-    schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) as int64
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(schema)
+    raw_schema = read_events_raw(spark, events_dir).schema
+    if any(
+        f.name == "ts" and isinstance(f.dataType, T.LongType)
+        for f in raw_schema.fields
+    ):
+        # TIMESTAMP(NANOS) flavor: the stream's tasks re-read footers on
+        # every micro-batch, so the conf must outlive this call — set it
+        # unscoped (documented exception to the scoped-conf rule; the
+        # current fixtures are timestamp[us], which never takes this
+        # branch).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(raw_schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    raw = reader.parquet(events_dir)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return repair_events_ts(reader.parquet(events_dir))
 
 
 def streaming_stateful_sessions(
