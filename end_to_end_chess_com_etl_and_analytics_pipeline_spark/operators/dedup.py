@@ -312,7 +312,17 @@ def simhash_signatures(
     (+1/-1) votes weighted by token frequency; signature bit = 1 where
     the sum is positive.  Computed as a pure per-row projection (nested
     higher-order aggregates over the token-hash array) — no explode, no
-    shuffle; at 100 TB this is scan-speed."""
+    shuffle; at 100 TB this is scan-speed.
+
+    Cost note (r2 bench regression investigated in r4, sf0.1=5000 docs):
+    ~0.57s is the md5→60-bit token hashing (the shared oracle contract)
+    and ~0.65s the vote aggregation.  Measured alternatives — one
+    aggregate per bit, and packed 16-bit-lane scalar accumulators — run
+    1.19s and 1.71s against this form's 1.23s: Spark evaluates
+    higher-order functions interpreted, so per-token work, not the
+    accumulator shape, is the floor.  The remaining alternative
+    (explode + groupBy vote sum) would trade a scan-local projection
+    for a full-corpus shuffle — worse at every scale that matters."""
     toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
     with_hashes = df.select(
         F.col(id_col), F.transform(toks, lambda t: md5_long(t)).alias("hs")

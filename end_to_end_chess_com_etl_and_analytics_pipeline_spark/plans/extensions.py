@@ -342,7 +342,17 @@ def x08_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     CollapseProject keeps materialized), and every stat derives from
     them — instead of each stat expression re-running split+filter over
     the raw text.  Semantics identical to the functions.text building
-    blocks (same SQL oracle)."""
+    blocks (same SQL oracle).
+
+    Cost note (r2 bench regression investigated in r4, sf0.1=5000 docs):
+    the stages cost ~0.19s tokens / 0.22s BPE-ish count / 0.16s punct /
+    0.19s fingerprint / 0.46s stopword hits.  A packed-lane map-lookup
+    rewrite of the stopword stage measured 0.45s — no gain, because
+    Spark interprets higher-order functions and the per-token lambda
+    invocation, not the comparison count, is the floor.  The non-HOF
+    alternative (explode + broadcast-join a stopword table + re-group)
+    adds a corpus-wide shuffle; this stays a single scan-local
+    projection, which is the right trade at 100 TB."""
     from ..functions.text import tokens
 
     docs = load_table(spark, "documents", sf_dir)

@@ -37,6 +37,7 @@ from ..schemas import OPENINGS_CSV_SCHEMA, RAW_GAME_SCHEMA
 from ..sources import demo
 from ..sources.tables import read_json
 from ..streaming.pipeline import (
+    read_gold_fact,
     run_incremental_gold,
     run_stream_to_memory,
     streaming_dedup,
@@ -104,9 +105,41 @@ def c01_chess_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bronze→silver medallion transform (python_scripts.py:169-205) on
     the staged demo month JSON; the oracle re-derives every silver column
     (12 regex tags, strptime casts, move list, numbered PGN) from the
-    same file in DuckDB SQL."""
+    same file in DuckDB SQL.
+
+    Plus the three chess-domain derivations that otherwise only had
+    pytest evidence: D4 opening variation (udfs.py:78-101 quirk),
+    D7 move-pairs map (notebook ``generate_pgn_dict``) — emitted in a
+    canonical ``k:w,b|…`` string serialization so the oracle can
+    recompute it — and D9 time-class bucketing
+    (load_fact_and_dim_fiiles.ipynb cell 3)."""
+    from ..functions.pgn import (
+        move_pairs_map,
+        opening_name_from_url,
+        opening_variation,
+        time_class_of,
+    )
+
     raw = read_json(spark, _stage_bronze(), RAW_GAME_SCHEMA)
-    return bronze_to_silver(raw)
+    silver = bronze_to_silver(raw)
+    slug_name = opening_name_from_url(F.col("pgn_eco_url"))
+    pairs = F.map_entries(move_pairs_map(F.col("pgn_trans")))
+    return silver.select(
+        "*",
+        opening_variation(slug_name).alias("opening_variation"),
+        time_class_of(F.col("time_control")).alias("time_class_bucket"),
+        F.array_join(
+            F.transform(
+                pairs,
+                lambda e: F.concat(
+                    e["key"].cast("string"),
+                    F.lit(":"),
+                    F.array_join(e["value"], ","),
+                ),
+            ),
+            "|",
+        ).alias("move_pairs"),
+    )
 
 
 def c02_chess_gold_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -237,7 +270,7 @@ def st04_incremental_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
         demo.USERNAME,
         "2024-03-01 00:00:00",
     )
-    return spark.read.parquet(os.path.join(work, "gold", "fact_games"))
+    return read_gold_fact(spark, os.path.join(work, "gold"))
 
 
 def st05_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -390,7 +423,32 @@ SELECT url AS game_url, time_control, rated, time_class, rules,
 FROM raw
 """
 
-_C01_SQL = _SILVER_FROM_JSON_SQL.replace("@SRC@", f"{STAGE_DIR}/games.json")
+# slug-derived opening name (functions.pgn.opening_name_from_url) in
+# DuckDB; referenced twice in the variation CASE below
+_SLUG_NAME_SQL = (
+    "replace(regexp_replace(regexp_extract(pgn_eco_url, '([^/]+)$', 1),"
+    " '-[0-9].*$', ''), '-', ' ')"
+)
+
+_C01_SQL = f"""
+SELECT s.*,
+       CASE WHEN contains({_SLUG_NAME_SQL}, ':')
+            THEN string_split({_SLUG_NAME_SQL}, ':')[2]
+            ELSE {_SLUG_NAME_SQL} END AS opening_variation,
+       CASE WHEN CAST(string_split(time_control, '+')[1] AS BIGINT) < 180
+                 THEN 'bullet'
+            WHEN CAST(string_split(time_control, '+')[1] AS BIGINT) < 600
+                 THEN 'blitz'
+            ELSE 'rapid' END AS time_class_bucket,
+       array_to_string(
+           list_transform(
+               list_filter(
+                   regexp_split_to_array(pgn_trans, '\\s*[0-9]+\\.\\s*'),
+                   x -> x <> ''),
+               (x, i) -> CAST(i AS VARCHAR) || ':' || replace(rtrim(x), ' ', ',')),
+           '|') AS move_pairs
+FROM ({_SILVER_FROM_JSON_SQL.replace("@SRC@", f"{STAGE_DIR}/games.json")}) s
+"""
 
 _MY_WHITE = "LOWER(pgn_white_user) = 'rhythmbear1'"
 

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..plans.gold import build_gold
+from ..plans.gold import build_gold, merge_fact
 from ..plans.silver import bronze_to_silver
 from ..schemas import RAW_GAME_SCHEMA
 from ..sources.tables import read_events_raw, repair_events_ts
@@ -48,6 +48,14 @@ def stream_bronze_to_silver(
     return bronze_to_silver(raw)
 
 
+def read_gold_fact(spark: SparkSession, gold_dir: str) -> DataFrame:
+    """Read the incremental gold fact back without its (year, month)
+    partition-layout columns — the logical fact schema."""
+    return spark.read.parquet(os.path.join(gold_dir, "fact_games")).drop(
+        "year", "month"
+    )
+
+
 def run_incremental_gold(
     spark: SparkSession,
     bronze_dir: str,
@@ -59,21 +67,65 @@ def run_incremental_gold(
     """Incremental gold build: each arriving bronze month merges into the
     gold fact with the latest-wins kernel; dims append-if-absent.
     ``availableNow`` processes the backlog then stops (the Airflow
-    catchup=True equivalent)."""
+    catchup=True equivalent).
+
+    The fact lives partitioned by (year, month) of game_date, and each
+    micro-batch is **partition-scoped**: only the months the batch's
+    games actually fall in are read for the latest-wins merge
+    (partition pruning on the scan) and only those partitions are
+    rewritten (dynamic partition overwrite).  A month's arrival costs
+    O(that month), not O(table) — the difference between a working and
+    a seized pipeline when the fact is 100 TB.  Months already on disk
+    that the batch doesn't touch are left byte-identical (pinned by
+    test_incremental_gold_untouched_partitions)."""
+    from functools import reduce
+
+    from ..sources.tables import write_parquet
+
     silver_stream = stream_bronze_to_silver(spark, bronze_dir)
     fact_path = os.path.join(gold_dir, "fact_games")
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # Build this batch's gold fact first (dims + projection +
+        # in-batch latest-wins); localCheckpoint pins it so the month
+        # probe below and the merge/write share one computation and the
+        # write cannot read-from-while-writing.
+        batch_fact = build_gold(spark, batch_df, username, run_ts)[
+            "fact_games"
+        ].localCheckpoint()
+        # Months this batch touches — driver-sized (one row per month;
+        # a monthly re-pull touches 1-2). Re-pulled games may carry
+        # game_dates outside the bronze file's nominal month, so probe
+        # the transformed rows, never the file name.
+        months = [
+            (r["y"], r["m"])
+            for r in batch_fact.select(
+                F.year("game_date").alias("y"), F.month("game_date").alias("m")
+            )
+            .distinct()
+            .collect()
+        ]
         existing = None
-        if os.path.exists(fact_path):
-            existing = spark.read.parquet(fact_path)
-        gold = build_gold(
-            spark, batch_df, username, run_ts, existing_fact=existing
+        if os.path.exists(fact_path) and months:
+            hit = reduce(
+                lambda a, b: a | b,
+                [
+                    F.col("year").eqNullSafe(F.lit(y))
+                    & F.col("month").eqNullSafe(F.lit(m))
+                    for (y, m) in months
+                ],
+            )
+            # partition pruning: only the overlapping months are read
+            existing = (
+                spark.read.parquet(fact_path).where(hit).drop("year", "month")
+            )
+        merged = merge_fact(existing, batch_fact).localCheckpoint()
+        out = merged.withColumn("year", F.year("game_date")).withColumn(
+            "month", F.month("game_date")
         )
-        # localCheckpoint breaks lineage onto this batch's plan so the
-        # overwrite below cannot read-from-while-writing
-        fact = gold["fact_games"].localCheckpoint()
-        fact.write.mode("overwrite").parquet(fact_path)
+        # dynamic overwrite: only partitions present in `out` (= the
+        # batch's months) are replaced; all other months' files untouched
+        write_parquet(out, fact_path, partition_by=["year", "month"])
 
     # micro-batches are month-sized, not table-sized: a vanilla
     # 200-partition session spends longer scheduling empty tasks than

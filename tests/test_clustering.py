@@ -66,13 +66,13 @@ def test_assign_nearest_is_shuffle_free(spark):
 def test_new_query_plan_shapes(spark):
     """The plans we designed are the plans that run: broadcast where a
     side is small, a single key shuffle where one suffices."""
-    import __spark_entry__ as ep
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans import suites
 
     # x19 tf-idf: no join at all — df is a window over the collapsed tf
     # table, so the exploded corpus is shuffled exactly once and the two
     # window shuffles move only distinct (doc, token) rows
     plan = (
-        ep.queries()["x19_tfidf_topk"](spark, SF_DIR)
+        suites.FULL_QUERIES["x19_tfidf_topk"](spark, SF_DIR)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
@@ -82,7 +82,7 @@ def test_new_query_plan_shapes(spark):
 
     # q15 group top-k: exactly one hash-partition exchange (the window)
     plan = (
-        ep.queries()["q15_group_topk"](spark, SF_DIR)
+        suites.FULL_QUERIES["q15_group_topk"](spark, SF_DIR)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
@@ -91,7 +91,7 @@ def test_new_query_plan_shapes(spark):
 
     # q14 rollup: Expand feeding ONE aggregation shuffle
     plan = (
-        ep.queries()["q14_rollup"](spark, SF_DIR)
+        suites.FULL_QUERIES["q14_rollup"](spark, SF_DIR)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
@@ -101,7 +101,7 @@ def test_new_query_plan_shapes(spark):
 
     # x18 hash split: pure projection over the scan — no exchange at all
     plan = (
-        ep.queries()["x18_hash_split"](spark, SF_DIR)
+        suites.FULL_QUERIES["x18_hash_split"](spark, SF_DIR)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()

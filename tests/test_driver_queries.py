@@ -7,17 +7,27 @@ from __future__ import annotations
 import pytest
 
 import __spark_entry__ as entrypoint
+from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans import suites
 
 from .conftest import SF_DIR
 from .oracle_compare import compare
 
-QUERY_NAMES = sorted(entrypoint.queries().keys())
+# FULL registry: the ≤50 scored entries plus every fine-grained query
+# the suites subsume — a suite regression must be attributable to one
+# sub-query, and the fine-grained forms are product surface too.
+QUERY_NAMES = sorted(suites.FULL_QUERIES.keys())
+
+
+def test_registry_fits_driver_window():
+    """The driver scores at most 50 registry rows; overflow silently
+    drops evidence (the round-3 lesson)."""
+    assert len(entrypoint.queries()) <= 50
 
 
 @pytest.mark.parametrize("name", QUERY_NAMES)
 def test_query_matches_oracle(spark, duck, name):
-    q = entrypoint.queries()[name]
-    oracle = entrypoint.oracle_sql().get(name)
+    q = suites.FULL_QUERIES[name]
+    oracle = suites.FULL_ORACLE.get(name)
     df = q(spark, SF_DIR)
     if oracle is None:
         # rows-only contract (non-SQL-expressible op): smoke the query

@@ -17,6 +17,7 @@ from end_to_end_chess_com_etl_and_analytics_pipeline_spark.schemas import (
 )
 from end_to_end_chess_com_etl_and_analytics_pipeline_spark.sources import demo
 from end_to_end_chess_com_etl_and_analytics_pipeline_spark.streaming.pipeline import (
+    read_gold_fact,
     run_incremental_gold,
     run_stream_to_memory,
     streaming_tumbling_counts,
@@ -49,7 +50,7 @@ def test_incremental_gold_matches_batch(spark, tmp_path):
         demo.USERNAME,
         "2024-03-01 00:00:00",
     )
-    streamed = spark.read.parquet(str(gold / "fact_games"))
+    streamed = read_gold_fact(spark, str(gold))
 
     both = spark.createDataFrame(
         demo.month_payload(1) + demo.month_payload(2), RAW_GAME_SCHEMA
@@ -61,6 +62,49 @@ def test_incremental_gold_matches_batch(spark, tmp_path):
     assert streamed.count() == batch.count() == 90
     assert streamed.exceptAll(batch).count() == 0
     assert batch.exceptAll(streamed).count() == 0
+
+
+def test_incremental_gold_untouched_partitions(spark, tmp_path):
+    """Partition-scoped merge: when a new month arrives, months the
+    batch doesn't touch must remain byte-identical on disk (the merge
+    is O(arriving month), not O(table))."""
+    bronze = tmp_path / "bronze"
+    gold = tmp_path / "gold"
+    ckpt = tmp_path / "ckpt"
+    bronze.mkdir()
+    demo.write_month_json(str(bronze / "2024-01-games.json"), month=1)
+    run_incremental_gold(
+        spark, str(bronze), str(gold), str(ckpt), demo.USERNAME,
+        "2024-03-01 00:00:00",
+    )
+
+    def month1_files():
+        out = {}
+        for root, _dirs, files in os.walk(str(gold / "fact_games")):
+            if "year=2024" in root and "month=1" in root:
+                for f in files:
+                    p = os.path.join(root, f)
+                    with open(p, "rb") as fh:
+                        out[p] = fh.read()
+        return out
+
+    before = month1_files()
+    assert before, "month-1 partition should exist"
+
+    demo.write_month_json(str(bronze / "2024-02-games.json"), month=2)
+    run_incremental_gold(
+        spark, str(bronze), str(gold), str(ckpt), demo.USERNAME,
+        "2024-03-01 00:00:00",
+    )
+    assert month1_files() == before
+    months = sorted(
+        tuple(r)
+        for r in spark.read.parquet(str(gold / "fact_games"))
+        .select("year", "month")
+        .distinct()
+        .collect()
+    )
+    assert (2024, 2) in months
 
 
 def test_streaming_tumbling_equals_batch(spark, tmp_path):

@@ -32,13 +32,15 @@ TABLES = (
 def main() -> int:
     import duckdb
 
-    import __spark_entry__ as entry_mod
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans import suites
     from end_to_end_chess_com_etl_and_analytics_pipeline_spark.session import get_spark
     from oracle_compare import _canon
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    queries = entry_mod.queries()
-    oracles = entry_mod.oracle_sql()
+    # FULL registry: the ≤50 scored entries plus every fine-grained query
+    # the suites subsume — the committed sweep covers all of them.
+    queries = suites.FULL_QUERIES
+    oracles = suites.FULL_ORACLE
     wanted = sys.argv[2:] or list(queries)
 
     spark = get_spark()
