@@ -859,15 +859,31 @@ def x22_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     3 rounds, k=8, deterministic init/ties.  Per round the corpus sees
     one narrow assignment pass (centroid literals — no join, no corpus
     shuffle) and one k×dim-group mean; that's the 100 TB-shaped loop
-    that produces IVF's coarse centroids (x12).  Rows-only for the
-    driver (float mean order); numpy-differential test pins accuracy."""
+    that produces IVF's coarse centroids (x12).
+
+    Centroid floats depend on partial-agg order, so raw per-cluster
+    sizes can't hash-match an oracle; like x21, the query emits the
+    invariants an oracle CAN check exactly: every vector assigned to
+    exactly one of k non-empty clusters.  The numpy-differential test
+    (tests/test_clustering.py) pins centroid accuracy."""
     from ..operators.clustering import kmeans
 
     emb = load_table(spark, "embeddings", sf_dir)
     assigned, _ = kmeans(emb, k=8, rounds=3)
-    return assigned.groupBy("cluster_id").agg(
-        F.count("*").alias("n_vectors"), F.min("vec_id").alias("min_vec_id")
+    sizes = assigned.groupBy("cluster_id").agg(F.count("*").alias("n"))
+    return sizes.agg(
+        F.count("*").cast("bigint").alias("n_clusters"),
+        F.sum("n").alias("n_vectors_total"),
+        (F.min("n") > 0).alias("all_clusters_nonempty"),
     )
+
+
+_X22_SQL = """
+SELECT CAST(8 AS BIGINT) AS n_clusters,
+       COUNT(*) AS n_vectors_total,
+       TRUE AS all_clusters_nonempty
+FROM embeddings
+"""
 
 
 def x23_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -936,25 +952,57 @@ def x21_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based approximate aggregates — the 100 TB path where exact
     DISTINCT/median would shuffle the world: HyperLogLog++ distinct
     customers and approximate price quantiles per order priority, one
-    partial-aggregable pass, constant memory per group.  Sketches are
-    engine-specific by nature → rows-only driver check; the error bound
-    vs exact is pinned in tests/test_sampling_graph.py."""
+    partial-aggregable pass, constant memory per group.
+
+    Sketch *values* are engine-specific, so raw outputs can't hash-match
+    a DuckDB oracle.  Instead the query emits a bounded-error contract
+    the oracle CAN check exactly: the exact counts (hash-compared) plus
+    booleans asserting each sketch landed inside its published error
+    bound — |HLL − exact| ≤ 3·rsd·exact, quantiles within 2% of the
+    exact percentile.  The oracle recomputes the exact columns and
+    expects every bound-flag TRUE, so a sketch drifting out of spec now
+    hash-fails the driver run instead of passing rows-only (round-3
+    feedback: rows-only was the weakest evidence tier).  The exact
+    aggregates here are the verification harness, not the operator — at
+    100 TB you ship only the sketch columns."""
     o = load_table(spark, "orders", sf_dir)
     # The two quantiles come out of ONE percentile_approx sketch pass but
-    # are emitted as flat scalar columns: the driver's rows-only check
-    # canonicalizes by sorting cell values, which array cells break
-    # (round-1 lesson: TypeError unhashable type 'list').
-    return o.groupBy("o_orderpriority").agg(
-        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
-        F.percentile_approx("o_totalprice", [0.5, 0.95], 10000).alias("_q"),
+    # are emitted as flat scalar columns: the driver's canonicalizer
+    # sorts cell values, which array cells break (round-1 lesson).
+    agg = o.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_orders"),
-    ).select(
-        "o_orderpriority",
-        "approx_customers",
-        F.element_at("_q", 1).alias("price_q50"),
-        F.element_at("_q", 2).alias("price_q95"),
-        "n_orders",
+        F.countDistinct("o_custkey").alias("exact_customers"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("_acd"),
+        F.percentile_approx("o_totalprice", [0.5, 0.95], 10000).alias("_q"),
+        F.percentile("o_totalprice", F.lit(0.5)).alias("_p50"),
+        F.percentile("o_totalprice", F.lit(0.95)).alias("_p95"),
     )
+    exact = F.col("exact_customers")
+    return agg.select(
+        "o_orderpriority",
+        "n_orders",
+        "exact_customers",
+        (F.abs(F.col("_acd") - exact) <= 0.06 * exact).alias("acd_within_3sigma"),
+        (
+            F.abs(F.element_at("_q", 1) - F.col("_p50"))
+            <= 0.02 * F.col("_p50")
+        ).alias("q50_within_2pct"),
+        (
+            F.abs(F.element_at("_q", 2) - F.col("_p95"))
+            <= 0.02 * F.col("_p95")
+        ).alias("q95_within_2pct"),
+    )
+
+
+_X21_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       COUNT(DISTINCT o_custkey) AS exact_customers,
+       TRUE AS acd_within_3sigma,
+       TRUE AS q50_within_2pct,
+       TRUE AS q95_within_2pct
+FROM orders GROUP BY o_orderpriority
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1193,7 +1241,10 @@ EXT_ORACLE: dict[str, str] = {
     "x26_pack_sequences": _x26_sql(),
     "x27_quantize_embeddings": _X27_SQL,
     "x28_stable_row_ids": _X28_SQL,
-    # x21/x22 intentionally absent: sketches are engine-specific and
-    # float-mean order is nondeterministic (rows-only; accuracy pinned
-    # in tests against exact aggregates / numpy)
+    # x21/x22 ship contract views — exact columns plus invariant/bound
+    # booleans the oracle checks exactly — because raw sketch values and
+    # k-means centroids are engine/float-order specific; accuracy is
+    # pinned in tests against exact aggregates / numpy
+    "x21_approx_sketches": _X21_SQL,
+    "x22_kmeans_clusters": _X22_SQL,
 }

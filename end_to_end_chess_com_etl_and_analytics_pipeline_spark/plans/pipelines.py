@@ -379,6 +379,95 @@ FROM geom
 """
 
 
+def s01_io_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver evidence for the CSV scan (S4), CSV sink, JSON sink (S7),
+    and warehouse DDL (S9).
+
+    ``io`` part: a deterministic projection of documents is written
+    through the engine's own CSV and NDJSON sinks, read back through
+    the declared-schema scans, and joined — n_chars flows through the
+    CSV path and text_md5 through the JSON path, so a corruption in
+    either format breaks the hash.  The oracle reads the same staged
+    bytes with DuckDB's read_csv/read_json.
+
+    ``ddl`` part: create_warehouse runs its idempotent star-schema DDL
+    (create_datawarehouse.sql:2-61 shape) and the catalog is read back;
+    the oracle pins the expected table set as literals."""
+    from pyspark.sql import types as T
+
+    from ..sources.tables import (
+        WAREHOUSE_SCHEMA,
+        create_warehouse,
+        load_table,
+        read_csv,
+        write_json,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    base = docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.md5("text").alias("text_md5"),
+    )
+    out = os.path.join(STAGE_DIR, "io_formats")
+    csv_dir = os.path.join(out, "csv")
+    json_dir = os.path.join(out, "json")
+    base.write.mode("overwrite").option("header", "true").csv(csv_dir)
+    write_json(base, json_dir)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("text_md5", T.StringType()),
+        ]
+    )
+    from_csv = read_csv(spark, csv_dir, schema)
+    from_json = spark.read.schema(schema).json(json_dir)
+    io_part = (
+        from_csv.alias("c")
+        .join(from_json.alias("j"), "doc_id")
+        .select(
+            F.lit("io").alias("part"),
+            "doc_id",
+            F.col("c.n_chars").alias("n_chars"),
+            F.col("j.text_md5").alias("text_md5"),
+        )
+    )
+    create_warehouse(spark)
+    ddl_part = (
+        spark.sql(f"SHOW TABLES IN {WAREHOUSE_SCHEMA}")
+        .where(~F.col("isTemporary"))
+        .select(
+            F.lit("ddl").alias("part"),
+            F.col("tableName").alias("table_name"),
+        )
+    )
+    return io_part.unionByName(ddl_part, allowMissingColumns=True)
+
+
+def _s01_sql() -> str:
+    from ..sources.tables import WAREHOUSE_TABLES
+
+    ddl_values = ", ".join(f"('{t}')" for t in sorted(WAREHOUSE_TABLES))
+    return """
+SELECT 'io' AS part, c.doc_id, c.n_chars, j.text_md5,
+       CAST(NULL AS VARCHAR) AS table_name
+FROM read_csv('@STAGE@/io_formats/csv/*.csv', header=true,
+              columns={'doc_id': 'BIGINT', 'n_chars': 'BIGINT',
+                       'text_md5': 'VARCHAR'}) c
+JOIN read_json('@STAGE@/io_formats/json/*.json',
+               format='newline_delimited',
+               columns={'doc_id': 'BIGINT', 'n_chars': 'BIGINT',
+                        'text_md5': 'VARCHAR'}) j
+  USING (doc_id)
+UNION ALL BY NAME
+SELECT 'ddl' AS part, CAST(NULL AS BIGINT) AS doc_id,
+       CAST(NULL AS BIGINT) AS n_chars, CAST(NULL AS VARCHAR) AS text_md5,
+       t.name AS table_name
+FROM (VALUES @DDL@) t(name)
+""".replace("@STAGE@", STAGE_DIR).replace("@DDL@", ddl_values)
+
+
 # --- chess oracle SQL: DuckDB recomputes each medallion stage from the
 # --- staged bytes (silver from raw JSON, fact from silver, aggregates
 # --- from the gold star).  Templates use @STAGE@ so regex braces/quotes
@@ -589,6 +678,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st05_stream_stream_join": st05_stream_stream_join,
     "m01_multimodal_features": m01_multimodal_features,
     "m02_multimodal_resize": m02_multimodal_resize,
+    "s01_io_formats": s01_io_formats,
 }
 
 # every pipeline query carries a real oracle: the chess medallion is
@@ -608,4 +698,5 @@ PIPELINE_ORACLE: dict[str, str] = {
     "st05_stream_stream_join": _ST05_SQL,
     "m01_multimodal_features": _M01_SQL,
     "m02_multimodal_resize": _M02_SQL,
+    "s01_io_formats": _s01_sql(),
 }

@@ -122,6 +122,11 @@ _SUITE_PARTS: dict[str, list[str]] = {
         "x09_tumbling_window",
         "x10_sliding_window",
     ],
+    # as-of + range join: the two temporal-join kernels (one family)
+    "x16_temporal_joins": [
+        "x16_asof_join",
+        "x17_range_join",
+    ],
     # mapInPandas feature extraction + resize/frame-sample plumbing
     "m01_multimodal_suite": [
         "m01_multimodal_features",

@@ -107,27 +107,14 @@ def test_connected_components_nonconvergence_raises(spark):
 
 
 def test_approx_sketches_error_bounds(spark):
-    """x21 is rows-only for the driver (sketches are engine-specific);
-    here we pin accuracy against the exact answers."""
+    """x21's bounded-error contract: every sketch must land inside its
+    published bound (the same flags the driver oracle hash-checks)."""
     import __spark_entry__ as ep
 
-    o = load_table(spark, "orders", SF_DIR)
-    exact = {
-        r.o_orderpriority: r
-        for r in o.groupBy("o_orderpriority")
-        .agg(
-            F.countDistinct("o_custkey").alias("exact_customers"),
-            F.expr("percentile(o_totalprice, 0.5)").alias("exact_q50"),
-        )
-        .collect()
-    }
-    approx = {
-        r.o_orderpriority: r
-        for r in ep.queries()["x21_approx_sketches"](spark, SF_DIR).collect()
-    }
-    assert approx.keys() == exact.keys()
-    for k, a in approx.items():
-        e = exact[k]
-        assert abs(a.approx_customers - e.exact_customers) <= 0.05 * e.exact_customers + 2
-        assert abs(a.price_q50 - e.exact_q50) <= 0.05 * e.exact_q50
-        assert a.price_q50 <= a.price_q95
+    rows = ep.queries()["x21_approx_sketches"](spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.acd_within_3sigma, r
+        assert r.q50_within_2pct, r
+        assert r.q95_within_2pct, r
+        assert r.n_orders >= r.exact_customers > 0

@@ -1,11 +1,13 @@
 """Local replica of the driver's per-query correctness sweep.
 
-Runs each registered ``queries()`` entry at a given sf dir, compares it
-against the matching ``oracle_sql()`` via DuckDB over the same parquet
-tables (row-count + schema + order-insensitive canonical value
+Runs every ``plans.suites.FULL_QUERIES`` entry (the ≤50-entry scored
+registry plus each fine-grained query the suites subsume) at a given sf
+dir, compares each against its oracle SQL via DuckDB over the same
+parquet tables (row-count + schema + order-insensitive canonical value
 comparison), and prints one status line per query.  Queries with no
 oracle get a rows-only check (the canonicalizer must still not crash —
-that is what broke x21 in round 1).
+that is what broke x21 in round 1).  The full-run output is committed
+per round as ``SWEEP_r{N}.txt``.
 
 Usage:
     python tools/local_sweep.py [sf_dir] [query ...]
