@@ -40,15 +40,22 @@ def assign_nearest(
 ) -> DataFrame:
     """Add ``cluster_id`` = argmin squared-L2 centroid (ties → lower id).
     Centroids ride along as a foldable literal array-of-structs: pure
-    projection, no join, no shuffle."""
-    cent = F.array(
-        *[
-            F.struct(
-                F.lit(cid).alias("cid"),
-                F.array(*[F.lit(float(v)) for v in vec]).alias("cv"),
-            )
+    projection, no join, no shuffle.
+
+    The literal is built as ONE parsed expression rather than k×dim
+    F.lit calls — each F.lit is a py4j round trip and a plan node, and
+    kmeans re-enters here every round (same driver-side-cost fix as the
+    SRP plane literals in operators.dedup; 'D' keeps values DoubleType,
+    repr() round-trips float64 exactly)."""
+    cent = F.expr(
+        "array("
+        + ", ".join(
+            f"named_struct('cid', {int(cid)}, 'cv', array("
+            + ", ".join(repr(float(v)) + "D" for v in vec)
+            + "))"
             for cid, vec in centroids
-        ]
+        )
+        + ")"
     )
     # (d, cid) structs compare lexicographically → array_min IS argmin
     # with the lower-id tie-break, one distance evaluation per centroid

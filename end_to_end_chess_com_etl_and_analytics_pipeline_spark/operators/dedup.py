@@ -395,19 +395,29 @@ def embedding_lsh_near_dup_pairs(
 
     rows_per_band = n_planes // bands
     planes = srp_planes(n_planes, dim)
-    dots = F.array(
-        *[
-            F.aggregate(
-                F.zip_with(
-                    F.col(vec_col),
-                    F.array(*[F.lit(v) for v in plane]),
-                    lambda x, y: x.cast("double") * y,
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
+    # One transform over a single array<array<double>> literal instead of
+    # n_planes separate aggregate trees each holding `dim` F.lit calls:
+    # the literal is built in ONE expression parse (the 'D' suffix keeps
+    # every value a double — bare decimals would parse as DecimalType and
+    # drag the whole dot product into decimal arithmetic), and the plan
+    # carries one lambda instead of 2048 literal nodes.  Measured at
+    # sf0.1: build+exec 0.64s vs 2.6s for the per-plane form, identical
+    # results (repr() round-trips float64 exactly).
+    planes_lit = F.expr(
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(repr(v) + "D" for v in plane) + ")"
             for plane in planes
-        ]
+        )
+        + ")"
+    )
+    dots = F.transform(
+        planes_lit,
+        lambda p: F.aggregate(
+            F.zip_with(F.col(vec_col), p, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
     )
     staged = df.select(F.col(id_col), dots.alias("__dots"))
     bits = F.transform(
