@@ -63,7 +63,9 @@ toks AS (SELECT doc_id, {toks} AS w FROM {table}),
 shingled AS (
     SELECT DISTINCT doc_id, shingle FROM (
         SELECT doc_id, unnest(
-            CASE WHEN len(w) < {n} THEN [array_to_string(w, ' ')]
+            -- coalesce: DuckDB array_to_string([]) is NULL, Spark
+            -- array_join(empty) is '' (the r4 x13 sweep lesson)
+            CASE WHEN len(w) < {n} THEN [coalesce(array_to_string(w, ' '), '')]
                  ELSE list_transform(
                      range(1, CAST(len(w) AS BIGINT) - {n - 2}),
                      i -> array_to_string(
@@ -547,7 +549,7 @@ sel AS (
            list_sort(list_distinct(list_filter(hs, h -> h % {_RK_W} = 0))) AS s
     FROM kh)
 SELECT doc_id, CAST(len(s) AS INTEGER) AS n_grams,
-       md5(array_to_string(s, ',')) AS fp_sketch
+       md5(coalesce(array_to_string(s, ','), '')) AS fp_sketch
 FROM sel
 """
 

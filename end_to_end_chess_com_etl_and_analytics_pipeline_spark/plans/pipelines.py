@@ -529,13 +529,13 @@ SELECT s.*,
             WHEN CAST(string_split(time_control, '+')[1] AS BIGINT) < 600
                  THEN 'blitz'
             ELSE 'rapid' END AS time_class_bucket,
-       array_to_string(
+       coalesce(array_to_string(
            list_transform(
                list_filter(
                    regexp_split_to_array(pgn_trans, '\\s*[0-9]+\\.\\s*'),
                    x -> x <> ''),
                (x, i) -> CAST(i AS VARCHAR) || ':' || replace(rtrim(x), ' ', ',')),
-           '|') AS move_pairs
+           '|'), '') AS move_pairs
 FROM ({_SILVER_FROM_JSON_SQL.replace("@SRC@", f"{STAGE_DIR}/games.json")}) s
 """
 

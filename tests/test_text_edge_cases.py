@@ -60,6 +60,29 @@ def test_rolling_fingerprint_handles_short_docs(edge_df):
     assert all(n >= 0 for n, _ in rows.values())
 
 
+def test_rolling_fingerprint_empty_selection_matches_oracle(spark, duck):
+    """A doc long enough to produce grams but whose winnowed selection
+    (h % W == 0) is EMPTY must agree across engines.  Found at sf0.1
+    (doc 2055): Spark's array_join('') vs DuckDB's array_to_string → NULL
+    on empty lists — the oracle must coalesce (sweep r4 regression)."""
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans.extensions import (
+        _X13_SQL,
+    )
+
+    # the sf0.1 fixture text that exposed the mismatch
+    text = (
+        "column row row group big slow merge order the agg order slow "
+        "small agg stream sort fast"
+    )
+    df = spark.createDataFrame([(0, text)], "doc_id: long, text: string")
+    assert rolling_fingerprint(df).collect()[0].n_grams == 0  # the trap
+    got = rolling_fingerprint(df).collect()[0]
+    duck.sql("CREATE OR REPLACE TABLE __edge(doc_id BIGINT, text VARCHAR)")
+    duck.sql(f"INSERT INTO __edge VALUES (0, '{text}')")
+    want = duck.sql(_X13_SQL.replace("FROM documents", "FROM __edge")).fetchall()[0]
+    assert (got.doc_id, got.n_grams, got.fp_sketch) == want
+
+
 def test_exact_dedup_determinism(edge_df):
     a = sorted(map(tuple, exact_dedup(edge_df).collect()))
     b = sorted(map(tuple, exact_dedup(edge_df).collect()))
