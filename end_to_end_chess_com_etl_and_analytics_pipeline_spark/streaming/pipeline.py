@@ -85,14 +85,36 @@ def run_incremental_gold(
     silver_stream = stream_bronze_to_silver(spark, bronze_dir)
     fact_path = os.path.join(gold_dir, "fact_games")
 
+    from ..operators.merge import insert_if_absent
+
+    DIM_KEYS = {
+        "dim_openings": ["pgn_eco_url"],
+        "dim_date": ["game_date"],
+        "dim_time_control": ["time_control"],
+        "dim_results": ["result_code"],
+    }
+
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        # Build this batch's gold fact first (dims + projection +
-        # in-batch latest-wins); localCheckpoint pins it so the month
-        # probe below and the merge/write share one computation and the
-        # write cannot read-from-while-writing.
-        batch_fact = build_gold(spark, batch_df, username, run_ts)[
-            "fact_games"
-        ].localCheckpoint()
+        # Build this batch's gold layer first (dims + projection +
+        # in-batch latest-wins); localCheckpoint pins the fact so the
+        # month probe below and the merge/write share one computation
+        # and the write cannot read-from-while-writing.
+        gold = build_gold(spark, batch_df, username, run_ts)
+        batch_fact = gold["fact_games"].localCheckpoint()
+        # T5: dims append-if-absent per micro-batch (the reference's
+        # monthly create_dim_* tasks).  Dims are broadcast-sized at any
+        # data scale, so a full-file rewrite per batch is O(dim), fine.
+        for dim, keys in DIM_KEYS.items():
+            dim_path = os.path.join(gold_dir, dim)
+            existing_dim = (
+                spark.read.parquet(dim_path)
+                if os.path.exists(dim_path)
+                else None
+            )
+            merged_dim = insert_if_absent(
+                existing_dim, gold[dim], keys
+            ).localCheckpoint()
+            merged_dim.write.mode("overwrite").parquet(dim_path)
         # Months this batch touches — driver-sized (one row per month;
         # a monthly re-pull touches 1-2). Re-pulled games may carry
         # game_dates outside the bronze file's nominal month, so probe

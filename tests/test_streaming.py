@@ -55,13 +55,22 @@ def test_incremental_gold_matches_batch(spark, tmp_path):
     both = spark.createDataFrame(
         demo.month_payload(1) + demo.month_payload(2), RAW_GAME_SCHEMA
     )
-    batch = build_gold(
+    batch_gold = build_gold(
         spark, bronze_to_silver(both), demo.USERNAME, "2024-03-01 00:00:00"
-    )["fact_games"]
+    )
+    batch = batch_gold["fact_games"]
 
     assert streamed.count() == batch.count() == 90
     assert streamed.exceptAll(batch).count() == 0
     assert batch.exceptAll(streamed).count() == 0
+
+    # T5: dims persisted append-if-absent per micro-batch must equal the
+    # batch dim builds over both months
+    for dim in ("dim_openings", "dim_date", "dim_time_control", "dim_results"):
+        streamed_dim = spark.read.parquet(str(gold / dim))
+        expected = batch_gold[dim]
+        assert streamed_dim.exceptAll(expected).count() == 0, dim
+        assert expected.exceptAll(streamed_dim).count() == 0, dim
 
 
 def test_incremental_gold_untouched_partitions(spark, tmp_path):
