@@ -19,7 +19,10 @@ scale:
   non-increasing, strictly decreasing until fixpoint — instead of a
   full join-and-compare of consecutive labelings.
 - ``localCheckpoint`` each round cuts the exponentially-growing lineage
-  (a 10-round loop otherwise replans 10 nested shuffles).
+  (a 10-round loop otherwise replans 10 nested shuffles).  The
+  checkpoints are *non-eager*: the convergence-sum action materializes
+  the checkpoint as a side effect, so each round is ONE Spark job
+  (checkpoint + scalar agg fused) instead of two.
 """
 
 from __future__ import annotations
@@ -48,14 +51,14 @@ def connected_components(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     labels = sym.groupBy("a").agg(F.min("b").alias("lbl")).select(
         F.col("a").alias("node"), F.least("node", "lbl").alias("component")
     )
     prev_sum = None
     for _ in range(max_rounds):
-        labels = labels.localCheckpoint(eager=True)
+        labels = labels.localCheckpoint(eager=False)
         cur_sum = labels.agg(F.sum("component")).collect()[0][0]
         if cur_sum == prev_sum:
             break
@@ -78,7 +81,7 @@ def connected_components(
     else:
         # loop exhausted without the fixpoint break: verify the final
         # propagation round changed nothing, else labels are split.
-        labels = labels.localCheckpoint(eager=True)
+        labels = labels.localCheckpoint(eager=False)
         final_sum = labels.agg(F.sum("component")).collect()[0][0]
         if final_sum != prev_sum:
             raise RuntimeError(

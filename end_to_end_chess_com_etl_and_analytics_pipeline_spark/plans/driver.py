@@ -414,8 +414,12 @@ def q13_prefix_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``get_opening`` interpreter loop (test.ipynb cell 28) as one
     set-oriented job: explode token-prefixes → broadcast equi-join →
     max_by(match, length).  Lexicon = 2- and 3-word leading phrases of
-    every 20th document (deterministic, derived from the fixture)."""
-    docs = load_table(spark, "documents", sf_dir)
+    every 20th document (deterministic, derived from the fixture).
+
+    spread=False: the lexicon side is broadcast-bound and the probe
+    side's map work (split + ≤3 slices) is lighter than the exchange a
+    spread would insert."""
+    docs = load_table(spark, "documents", sf_dir, spread=False)
     words = F.split(F.col("text"), F.lit(" "))
     # both phrase lengths from ONE scan of the sampled docs (a union of
     # two filtered selects would scan the table twice)

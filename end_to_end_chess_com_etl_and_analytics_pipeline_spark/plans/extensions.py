@@ -132,7 +132,10 @@ sig AS (
 def x01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: one shuffle on a uniform 60-bit fingerprint of the
     normalized text; keeps the lowest doc_id per group."""
-    return exact_dedup(load_table(spark, "documents", sf_dir))
+    # spread=False: one fingerprint hash then a map-side-combined
+    # groupBy — the exchange a spread inserts costs more than the map
+    # work it would parallelize.
+    return exact_dedup(load_table(spark, "documents", sf_dir, spread=False))
 
 
 _X01_SQL = f"""
@@ -748,7 +751,9 @@ def x18_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle verifies (not just split sizes)."""
     from ..operators.sampling import hash_split
 
-    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    # spread=False: a one-column projection with one cheap hash — no map
+    # work worth parallelizing, and hash_split itself never shuffles.
+    docs = load_table(spark, "documents", sf_dir, spread=False).select("doc_id")
     return hash_split(docs, key="doc_id", splits=_SPLITS)
 
 
@@ -1173,7 +1178,9 @@ def x28_stable_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     key) - 1`` computed the single-threaded way."""
     from ..operators.ids import stable_row_ids
 
-    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    # spread=False: one-column input that stable_row_ids immediately
+    # re-shuffles by shard — a spread exchange would be a dead stage.
+    docs = load_table(spark, "documents", sf_dir, spread=False).select("doc_id")
     return stable_row_ids(docs, "doc_id", n_shards=8)
 
 

@@ -84,7 +84,55 @@ def read_events_raw(spark: SparkSession, path: str) -> DataFrame:
                 spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
 
 
-def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
+def spread_small_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Round-robin repartition a scan to the session's core count — but
+    ONLY when the scan yields fewer partitions than cores.
+
+    Why it exists: a parquet file holds whole row groups, so byte-range
+    splitting cannot parallelize a single-row-group file — the fixture
+    tables all scan as ONE partition no matter what
+    ``maxPartitionBytes`` says, serializing every CPU-heavy projection
+    (MinHash, SimHash, text stats) onto one core.  Why it scales: on a
+    real cluster a 100 TB table scans as hundreds of thousands of splits
+    — far more than the core count — so the condition is false and no
+    shuffle is ever introduced; the repartition fires exactly in the
+    undersplit-small-input regime, where the data moved is by definition
+    tiny.  Callers must only rely on it for partitioning-independent
+    plans (every operator here derives shards/ordering from ids, not
+    physical placement).
+
+    The undersplit test is a file-size estimate (``size /
+    maxPartitionBytes`` vs core count) rather than
+    ``df.rdd.getNumPartitions()``: the RDD conversion plans the whole
+    query just to count splits, which costs more than the repartition
+    it is trying to decide.
+    """
+    cores = spark.sparkContext.defaultParallelism
+    try:
+        max_split = int(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+            .lower()
+            .removesuffix("b")
+        )
+    except ValueError:
+        max_split = 134217728
+    total = 0
+    for f in df.inputFiles():
+        try:
+            total += os.path.getsize(f.removeprefix("file:"))
+        except OSError:
+            return df  # non-local storage: scan splitting is healthy there
+    if total and -(-total // max_split) < cores:
+        return df.repartition(cores)
+    return df
+
+
+def load_table(
+    spark: SparkSession,
+    name: str,
+    sf_dir: str | None = None,
+    spread: bool | None = None,
+) -> DataFrame:
     """Parquet scan of a driver fixture table (S3).
 
     Parquet is self-describing, so the footer schema is authoritative
@@ -92,12 +140,23 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     types, which a declared TimestampType would misread);
     TESTDATA_SCHEMAS documents the logical contract and is asserted
     post-hoc in tests.
+
+    The text/embedding corpora feed compute-bound per-row operators
+    (hashing, signatures, vector math), so their scans go through
+    :func:`spread_small_scan` by default — a no-op whenever the scan is
+    already at least core-parallel.  Callers whose map-side work is
+    trivial (single hash-agg, broadcast-bound sides) pass
+    ``spread=False``: for them the extra exchange is pure overhead at
+    any scale.
     """
     sf_dir = sf_dir or DEFAULT_SF_DIR
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         return repair_events_ts(read_events_raw(spark, path))
-    return spark.read.parquet(path)
+    df = spark.read.parquet(path)
+    if spread is None:
+        spread = name in ("documents", "embeddings")
+    return spread_small_scan(spark, df) if spread else df
 
 
 def read_json(

@@ -53,7 +53,10 @@ def test_kmeans_matches_numpy(spark):
 
 
 def test_assign_nearest_is_shuffle_free(spark):
-    emb = load_table(spark, "embeddings", SF_DIR)
+    # spread=False isolates the operator's own plan: the adaptive
+    # small-scan spread adds a round-robin exchange at the SCAN stage,
+    # which is not what this contract is about.
+    emb = load_table(spark, "embeddings", SF_DIR, spread=False)
     plan = (
         assign_nearest(emb, [(0, [0.0] * 64), (1, [1.0] * 64)])
         ._jdf.queryExecution()

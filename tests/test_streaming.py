@@ -205,7 +205,9 @@ def test_multimodal_features_roundtrip(spark):
         extract_media_features,
     )
 
-    docs = load_table(spark, "documents", SF_DIR).limit(50)
+    # deterministic subset: a bare limit() after the adaptive small-scan
+    # spread picks different rows per evaluation
+    docs = load_table(spark, "documents", SF_DIR).where(F.col("doc_id") < 50)
     feats = extract_media_features(attach_binary_payload(docs)).collect()
     texts = {r.doc_id: r.text for r in docs.collect()}
     assert len(feats) == 50
