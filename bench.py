@@ -26,6 +26,9 @@ from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans import (  # noq
 from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans import (  # noqa: E402
     extensions as _ext,
 )
+from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans import (  # noqa: E402
+    quality as _quality,
+)
 
 # headline set: the scan/agg flagship, the heavy relational shapes, the
 # prefix-match custom operator, and the extension operators that matter
@@ -49,6 +52,8 @@ HEADLINE = [
     "x16_asof_join",
     "x19_tfidf_topk",
     "x20_dedup_clusters",
+    "x29_repetition_filters",
+    "x31_contamination",
     "q14_rollup",
     "q22_cube",
     "q25_scd2",
@@ -60,7 +65,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="bench")
-    registry = {**_driver.QUERIES, **_ext.EXT_QUERIES}
+    registry = {**_driver.QUERIES, **_ext.EXT_QUERIES, **_quality.QUALITY_QUERIES}
 
     # warm the JVM / codegen / noop-sink / vectorized-parquet-reader /
     # broadcast and window exec paths, so the first timed queries measure

@@ -1,0 +1,325 @@
+"""Training-data quality gates: repetition filters, PII scan, benchmark
+contamination (driver contract part 3).
+
+Three first-class corpus-hygiene operators a 100 TB LLM-training-data
+pipeline runs before anything else touches the text:
+
+- x29: Gopher-style repetition filters (Rae et al. 2021 §A1.1), adapted
+  word-level because the fixture documents are single-line — duplicate
+  token fraction, most-frequent-token fraction, duplicate 2-/3-gram
+  fractions, and a composite keep flag.
+- x30: PII detection + redaction — email / phone / IPv4 / SSN regex
+  counts and a deterministically-ordered redaction chain.
+- x31: benchmark-contamination check (GPT-3 appendix C style): n-gram
+  overlap of every training document against a held-out benchmark set.
+
+Scale notes (the 100 TB shape):
+- x29/x30 are single-scan codegen projections: no shuffle, no UDF, no
+  driver materialization.  Filters compose with any downstream plan.
+- x31 is ONE shuffle: per-doc distinct n-grams are built array-side in
+  the projection (array_distinct, zero shuffle), the benchmark n-gram
+  set — test sets are small by construction — is broadcast, and the
+  only exchange is the per-doc count aggregation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rounding import round_fixed, round_fixed_sql
+from ..functions.text import tokens
+from ..sources.tables import load_table
+
+# whitespace tokenization with empties dropped (functions.text.tokens)
+_TOKS_SQL = "list_filter(string_split_regex({c}, '\\s+'), t -> t <> '')"
+
+# repetition keep-flag thresholds (chosen at fixture quartiles so both
+# outcomes occur; the *filter mechanics* are the operator under test)
+REP_TOP_TOKEN_MAX = 0.10
+REP_DUP_2GRAM_MAX = 0.05
+
+
+def _ngrams(toks, total, n: int):
+    """Plain word n-grams as an array column; empty when total < n.
+
+    NOT word_shingles: repetition metrics must see zero n-grams for
+    short docs, not the whole-text fallback shingle.  The explicit
+    when-guard matters — Spark sequence(1, 0) yields a DESCENDING
+    [1, 0], not an empty array."""
+    return F.when(
+        total >= n,
+        F.transform(
+            F.sequence(F.lit(1), total - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def x29_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-level repetition quality gate (Gopher §A1.1 adapted).
+
+    One staged projection: tokens once, n-gram arrays derived from them,
+    every fraction scale-6 rounded (functions.rounding contract).  The
+    most-frequent-token count is an O(distinct·n) array fold per row —
+    still scan-local, no shuffle anywhere."""
+    docs = load_table(spark, "documents", sf_dir)
+    staged = docs.select(
+        "doc_id", tokens("text").alias("__toks")
+    ).select(
+        "doc_id",
+        "__toks",
+        F.size("__toks").alias("__n"),
+        F.size(F.array_distinct("__toks")).alias("__nd"),
+        _ngrams(F.col("__toks"), F.size("__toks"), 2).alias("__g2"),
+        _ngrams(F.col("__toks"), F.size("__toks"), 3).alias("__g3"),
+    )
+    n = F.col("__n").cast("double")
+    top_cnt = F.coalesce(
+        F.array_max(
+            F.transform(
+                F.array_distinct("__toks"),
+                lambda d: F.size(F.filter(F.col("__toks"), lambda t: t == d)),
+            )
+        ),
+        F.lit(0),
+    )
+
+    def _dup_frac(g) -> F.Column:
+        return F.when(F.size(g) == 0, F.lit(0.0)).otherwise(
+            F.lit(1.0) - F.size(F.array_distinct(g)).cast("double") / F.size(g)
+        )
+
+    top_frac = F.when(F.col("__n") == 0, F.lit(0.0)).otherwise(
+        top_cnt.cast("double") / n
+    )
+    dup_tok = F.when(F.col("__n") == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.col("__nd").cast("double") / n
+    )
+    dup2 = _dup_frac(F.col("__g2"))
+    dup3 = _dup_frac(F.col("__g3"))
+    return staged.select(
+        "doc_id",
+        F.col("__n").alias("rep_n_tokens"),
+        round_fixed(dup_tok, 6).alias("dup_token_frac"),
+        round_fixed(top_frac, 6).alias("top_token_frac"),
+        round_fixed(dup2, 6).alias("dup_2gram_frac"),
+        round_fixed(dup3, 6).alias("dup_3gram_frac"),
+        (
+            (round_fixed(top_frac, 6) <= REP_TOP_TOKEN_MAX)
+            & (round_fixed(dup2, 6) <= REP_DUP_2GRAM_MAX)
+        ).alias("keep_repetition"),
+    )
+
+
+def _ngrams_sql(n: int) -> str:
+    """DuckDB twin of _ngrams over a token-list column ``w``."""
+    return (
+        f"list_transform(range(1, CAST(len(w) AS BIGINT) - {n - 2}),"
+        f" i -> array_to_string(w[CAST(i AS INTEGER):CAST(i + {n - 1} AS INTEGER)], ' '))"
+    )
+
+
+def _dup_frac_sql(g: str) -> str:
+    return (
+        f"CASE WHEN len({g}) = 0 THEN 0.0"
+        f" ELSE 1.0 - CAST(len(list_distinct({g})) AS DOUBLE) / len({g}) END"
+    )
+
+
+_X29_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL.format(c='text')} AS w FROM documents),
+staged AS (
+    SELECT doc_id, w, len(w) AS n, len(list_distinct(w)) AS nd,
+           {_ngrams_sql(2)} AS g2,
+           {_ngrams_sql(3)} AS g3,
+           coalesce(list_max(list_transform(list_distinct(w),
+               d -> len(list_filter(w, t -> t = d)))), 0) AS top_cnt
+    FROM toks)
+SELECT doc_id,
+       CAST(n AS INTEGER) AS rep_n_tokens,
+       {round_fixed_sql("CASE WHEN n = 0 THEN 0.0 ELSE 1.0 - CAST(nd AS DOUBLE) / n END", 6)} AS dup_token_frac,
+       {round_fixed_sql("CASE WHEN n = 0 THEN 0.0 ELSE CAST(top_cnt AS DOUBLE) / n END", 6)} AS top_token_frac,
+       {round_fixed_sql(_dup_frac_sql("g2"), 6)} AS dup_2gram_frac,
+       {round_fixed_sql(_dup_frac_sql("g3"), 6)} AS dup_3gram_frac,
+       ({round_fixed_sql("CASE WHEN n = 0 THEN 0.0 ELSE CAST(top_cnt AS DOUBLE) / n END", 6)} <= {REP_TOP_TOKEN_MAX}
+        AND {round_fixed_sql(_dup_frac_sql("g2"), 6)} <= {REP_DUP_2GRAM_MAX}) AS keep_repetition
+FROM staged
+"""
+
+
+# PII patterns: RE2 ∩ Java-regex common dialect (no lookaround, no
+# backrefs) so Spark and DuckDB compile the identical expression.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"(\+?\d{1,3}[-. ]?)?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}",
+}
+# redaction applies in PII_PATTERNS order: email before the numeric
+# patterns, SSN/IPv4 before the looser phone pattern — the chain is
+# identical in both engines, so order changes never break parity.
+PII_TOKENS: dict[str, str] = {
+    "email": "[EMAIL]",
+    "ssn": "[SSN]",
+    "ipv4": "[IP]",
+    "phone": "[PHONE]",
+}
+
+
+def pii_counts(text) -> dict[str, F.Column]:
+    """Per-kind PII match counts (JVM regex, zero-shuffle projection)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return {
+        kind: F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
+        for kind, pat in PII_PATTERNS.items()
+    }
+
+
+def pii_redact(text) -> F.Column:
+    """Deterministic redaction chain over PII_PATTERNS order."""
+    c = F.col(text) if isinstance(text, str) else text
+    for kind, pat in PII_PATTERNS.items():
+        c = F.regexp_replace(c, pat, PII_TOKENS[kind])
+    return c
+
+
+def x30_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scan + redaction over documents.
+
+    The fixture corpus is deliberately PII-free, so the driver oracle
+    pins the all-zero counts AND byte-identical redaction pass-through;
+    tests/test_quality.py proves detection/redaction on synthetic PII.
+    Single scan-local projection — composes with any downstream write."""
+    docs = load_table(spark, "documents", sf_dir, spread=False)
+    counts = pii_counts("text")
+    n_total = None
+    for c in counts.values():
+        n_total = c if n_total is None else n_total + c
+    return docs.select(
+        "doc_id",
+        counts["email"].alias("n_emails"),
+        counts["phone"].alias("n_phones"),
+        counts["ipv4"].alias("n_ips"),
+        counts["ssn"].alias("n_ssns"),
+        (n_total > 0).alias("has_pii"),
+        pii_redact("text").alias("redacted"),
+    )
+
+
+def _pii_count_sql(kind: str) -> str:
+    return f"len(regexp_extract_all(text, '{PII_PATTERNS[kind]}'))"
+
+
+def _pii_redact_sql() -> str:
+    expr = "text"
+    for kind, pat in PII_PATTERNS.items():
+        expr = f"regexp_replace({expr}, '{pat}', '{PII_TOKENS[kind]}', 'g')"
+    return expr
+
+
+_X30_SQL = f"""
+SELECT doc_id,
+       CAST({_pii_count_sql('email')} AS INTEGER) AS n_emails,
+       CAST({_pii_count_sql('phone')} AS INTEGER) AS n_phones,
+       CAST({_pii_count_sql('ipv4')} AS INTEGER) AS n_ips,
+       CAST({_pii_count_sql('ssn')} AS INTEGER) AS n_ssns,
+       ({_pii_count_sql('email')} + {_pii_count_sql('phone')}
+        + {_pii_count_sql('ipv4')} + {_pii_count_sql('ssn')}) > 0 AS has_pii,
+       {_pii_redact_sql()} AS redacted
+FROM documents
+"""
+
+
+# contamination geometry: n-gram size, benchmark selector, flag cutoff
+CONTAM_NGRAM = 3
+CONTAM_BENCH_MOD = 37  # fixture "benchmark set" = doc_id % 37 == 0
+CONTAM_FLAG_FRAC = 0.05
+
+
+def contamination_check(
+    docs: DataFrame,
+    bench_docs: DataFrame,
+    n: int = CONTAM_NGRAM,
+    flag_frac: float = CONTAM_FLAG_FRAC,
+) -> DataFrame:
+    """Benchmark n-gram contamination for every training document.
+
+    Shape at 100 TB: per-doc DISTINCT n-grams are computed array-side
+    (array_distinct inside the projection — no explode-then-distinct
+    shuffle), the benchmark n-gram set is broadcast (benchmark suites
+    are tiny by construction), and the left broadcast join + per-doc
+    count is the single exchange in the plan."""
+
+    def _doc_ngrams(d: DataFrame) -> DataFrame:
+        toks = tokens("text")
+        return d.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(_ngrams(toks, F.size(toks), n))
+            ).alias("g"),
+        )
+
+    bench_ngrams = bench_docs.select(
+        F.explode(F.array_distinct(_ngrams(tokens("text"), F.size(tokens("text")), n))).alias("g")
+    ).distinct()
+    hits = _doc_ngrams(docs).join(
+        F.broadcast(bench_ngrams.withColumn("__hit", F.lit(1))), "g", "left"
+    )
+    frac = F.col("contam_ngrams").cast("double") / F.col("total_ngrams")
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("total_ngrams"),
+            F.count("__hit").alias("contam_ngrams"),
+        )
+        .select(
+            "doc_id",
+            "total_ngrams",
+            "contam_ngrams",
+            round_fixed(frac, 6).alias("contam_frac"),
+            (frac >= flag_frac).alias("contaminated"),
+        )
+    )
+
+
+def x31_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination of the fixture corpus against its own held-out
+    doc_id % 37 == 0 slice (standing in for a benchmark test set).
+    Docs too short for any n-gram drop out of both engines identically
+    (no n-grams → no group)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return contamination_check(
+        docs.where(F.col("doc_id") % CONTAM_BENCH_MOD != 0),
+        docs.where(F.col("doc_id") % CONTAM_BENCH_MOD == 0),
+    )
+
+
+_X31_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL.format(c='text')} AS w FROM documents),
+ng AS (SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id, unnest({_ngrams_sql(CONTAM_NGRAM)}) AS g FROM toks)),
+bench AS (SELECT DISTINCT g FROM ng WHERE doc_id % {CONTAM_BENCH_MOD} = 0),
+train AS (SELECT * FROM ng WHERE doc_id % {CONTAM_BENCH_MOD} <> 0)
+SELECT t.doc_id,
+       count(*) AS total_ngrams,
+       count(b.g) AS contam_ngrams,
+       {round_fixed_sql("CAST(count(b.g) AS DOUBLE) / count(*)", 6)} AS contam_frac,
+       CAST(count(b.g) AS DOUBLE) / count(*) >= {CONTAM_FLAG_FRAC} AS contaminated
+FROM train t LEFT JOIN bench b ON t.g = b.g
+GROUP BY t.doc_id
+"""
+
+
+QUALITY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "x29_repetition_filters": x29_repetition_filters,
+    "x30_pii_scan": x30_pii_scan,
+    "x31_contamination": x31_contamination,
+}
+QUALITY_ORACLE: dict[str, str] = {
+    "x29_repetition_filters": _X29_SQL,
+    "x30_pii_scan": _X30_SQL,
+    "x31_contamination": _X31_SQL,
+}

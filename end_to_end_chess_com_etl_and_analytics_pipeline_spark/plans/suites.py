@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from . import driver as _driver
 from . import extensions as _ext
 from . import pipelines as _pipe
+from . import quality as _quality
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -116,6 +117,14 @@ _SUITE_PARTS: dict[str, list[str]] = {
         "q16_pivot",
         "q18_unpivot",
     ],
+    # text stats + the corpus-hygiene gates (repetition filters, PII
+    # scan/redaction, benchmark contamination) — one text-quality family
+    "x08_text_quality_suite": [
+        "x08_text_stats",
+        "x29_repetition_filters",
+        "x30_pii_scan",
+        "x31_contamination",
+    ],
     # tumbling + sliding time windows (x11 session stays separate as
     # st02's batch oracle twin)
     "x09_time_windows": [
@@ -137,11 +146,13 @@ _SUITE_PARTS: dict[str, list[str]] = {
 _FINE_QUERIES: dict[str, QueryFn] = {
     **_pipe.PIPELINE_QUERIES,
     **_ext.EXT_QUERIES,
+    **_quality.QUALITY_QUERIES,
     **_driver.QUERIES,
 }
 _FINE_ORACLE: dict[str, str] = {
     **_pipe.PIPELINE_ORACLE,
     **_ext.EXT_ORACLE,
+    **_quality.QUALITY_ORACLE,
     **_driver.ORACLE,
 }
 

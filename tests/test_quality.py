@@ -1,0 +1,143 @@
+"""Corpus-hygiene gates (plans.quality): repetition filters, PII
+scan/redaction, benchmark contamination.
+
+The driver oracle (x29/x30/x31 in the x08_text_quality_suite) pins
+fixture parity; these tests pin the *semantics* on constructed inputs —
+in particular PII detection, which the deliberately PII-free fixture
+cannot exercise."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans.quality import (
+    CONTAM_BENCH_MOD,
+    PII_PATTERNS,
+    contamination_check,
+    pii_counts,
+    pii_redact,
+    x29_repetition_filters,
+    x30_pii_scan,
+    x31_contamination,
+)
+from tests.conftest import SF_DIR
+
+
+def _pii_df(spark):
+    rows = [
+        (1, "contact alice@example.com or bob.smith+tag@mail.co.uk today"),
+        (2, "call +1-555-123-4567 or (555) 987-6543 now"),
+        (3, "server at 192.168.1.10 and 10.0.0.255 responded"),
+        (4, "ssn 123-45-6789 leaked"),
+        (5, "clean text with no identifiers at all"),
+        (6, ""),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_pii_counts_detect_each_kind(spark):
+    df = _pii_df(spark)
+    counts = pii_counts("text")
+    got = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", *[c.alias(k) for k, c in counts.items()]
+        ).collect()
+    }
+    assert got[1]["email"] == 2 and got[1]["phone"] == 0
+    assert got[2]["phone"] == 2 and got[2]["email"] == 0
+    assert got[3]["ipv4"] == 2
+    assert got[4]["ssn"] == 1
+    assert all(got[5][k] == 0 for k in PII_PATTERNS)
+    assert all(got[6][k] == 0 for k in PII_PATTERNS)
+
+
+def test_pii_redaction_replaces_all_and_only_pii(spark):
+    df = _pii_df(spark)
+    got = {r["doc_id"]: r["red"] for r in df.select(
+        "doc_id", pii_redact("text").alias("red")).collect()}
+    assert got[1] == "contact [EMAIL] or [EMAIL] today"
+    assert got[2] == "call [PHONE] or [PHONE] now"
+    assert got[3] == "server at [IP] and [IP] responded"
+    assert got[4] == "ssn [SSN] leaked"
+    assert got[5] == "clean text with no identifiers at all"
+
+
+def test_x30_fixture_is_pii_free_and_passthrough(spark):
+    out = x30_pii_scan(spark, SF_DIR)
+    agg = out.agg(
+        F.sum("n_emails").alias("e"),
+        F.sum("n_phones").alias("p"),
+        F.sum("n_ips").alias("i"),
+        F.sum("n_ssns").alias("s"),
+        F.sum(F.when(F.col("has_pii"), 1).otherwise(0)).alias("flagged"),
+    ).collect()[0]
+    assert (agg["e"], agg["p"], agg["i"], agg["s"], agg["flagged"]) == (0, 0, 0, 0, 0)
+
+
+def test_repetition_metrics_on_constructed_docs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),  # one token repeated: max repetition
+            (2, "a b c d e f g h i j"),  # all distinct
+            (3, "x"),  # too short for any n-gram
+        ],
+        ["doc_id", "text"],
+    )
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans import quality
+
+    orig = quality.load_table
+    quality.load_table = lambda spark, name, sf_dir, **kw: df
+    try:
+        got = {r["doc_id"]: r for r in
+               x29_repetition_filters(spark, "ignored").collect()}
+    finally:
+        quality.load_table = orig
+    assert got[1]["dup_token_frac"] == 0.75
+    assert got[1]["top_token_frac"] == 1.0
+    assert got[1]["dup_2gram_frac"] == 0.666667  # 3 bigrams, 1 distinct (scale-6)
+    assert not got[1]["keep_repetition"]
+    assert got[2]["dup_token_frac"] == 0.0
+    assert got[2]["top_token_frac"] == 0.1
+    assert got[2]["dup_2gram_frac"] == 0.0
+    assert got[2]["keep_repetition"]
+    assert got[3]["dup_2gram_frac"] == 0.0 and got[3]["dup_3gram_frac"] == 0.0
+
+
+def test_contamination_known_answer(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),  # shares 3-grams with bench
+            (2, "totally unrelated words here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox leaps")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r for r in
+           contamination_check(train, bench, n=3).collect()}
+    # doc 1: 3-grams {the quick brown, quick brown fox, brown fox jumps};
+    # bench has the first two
+    assert got[1]["total_ngrams"] == 3 and got[1]["contam_ngrams"] == 2
+    assert got[1]["contaminated"]
+    assert got[2]["contam_ngrams"] == 0 and not got[2]["contaminated"]
+
+
+def test_x31_benchmark_docs_excluded_from_output(spark):
+    out = x31_contamination(spark, SF_DIR)
+    n_bench_rows = out.where(
+        F.col("doc_id") % CONTAM_BENCH_MOD == 0
+    ).count()
+    assert n_bench_rows == 0
+    # the held-out slice must contaminate at least one training doc on
+    # the word-salad fixture (tiny vocabulary → shared 3-grams)
+    assert out.agg(F.sum("contam_ngrams")).collect()[0][0] > 0
+
+
+def test_contamination_plan_broadcasts_bench_side(spark):
+    out = x31_contamination(spark, SF_DIR)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # the per-doc count agg is the only exchange over the train side
+    assert plan.count("Exchange hashpartitioning") <= 2
