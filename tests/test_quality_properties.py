@@ -1,0 +1,150 @@
+"""Property-based tests (hypothesis) for the corpus-hygiene gates
+(plans.quality): redaction is idempotent and never leaves a detectable
+match behind; repetition fractions are bounded and consistent;
+contamination counts are bounded by totals and respond monotonically to
+benchmark growth.
+
+Example counts are small because each example runs Spark jobs; the
+generators still cover empty strings, PII-dense strings, and
+single-token documents.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans.quality import (
+    contamination_check,
+    pii_counts,
+    pii_redact,
+)
+
+_SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+# text fragments that interleave clean words with every PII kind
+_PII_BITS = st.sampled_from(
+    [
+        "hello world",
+        "a@b.io",
+        "first.last+x@corp.example.com",
+        "555-123-4567",
+        "+44 202 555 0199",
+        "10.0.0.1",
+        "255.255.255.255",
+        "123-45-6789",
+        "",
+        "punct !!! ###",
+    ]
+)
+_TEXTS = st.lists(
+    st.lists(_PII_BITS, max_size=6).map(" ".join), min_size=1, max_size=6
+)
+
+
+@given(texts=_TEXTS)
+@settings(**_SETTINGS)
+def test_redaction_idempotent_and_complete(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id: long, text: string"
+    )
+    once = df.select("doc_id", pii_redact("text").alias("text"))
+    twice = once.select("doc_id", pii_redact("text").alias("text"))
+    got_once = {r["doc_id"]: r["text"] for r in once.collect()}
+    got_twice = {r["doc_id"]: r["text"] for r in twice.collect()}
+    # idempotent: redacting redacted text changes nothing
+    assert got_once == got_twice
+    # complete: no pattern matches anything in the redacted output
+    residual = once.select(
+        *[c.alias(k) for k, c in pii_counts("text").items()]
+    ).agg(*[F.sum(k).alias(k) for k in pii_counts("text")]).collect()[0]
+    assert all(residual[k] == 0 for k in pii_counts("text"))
+
+
+@given(texts=_TEXTS)
+@settings(**_SETTINGS)
+def test_pii_counts_nonnegative_and_zero_on_clean(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id: long, text: string"
+    )
+    counts = df.select(
+        "doc_id", *[c.alias(k) for k, c in pii_counts("text").items()]
+    ).collect()
+    for r in counts:
+        for k in pii_counts("text"):
+            assert r[k] >= 0
+
+
+_WORDS = st.lists(
+    st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=10
+).map(" ".join)
+
+
+@given(texts=st.lists(_WORDS, min_size=1, max_size=5))
+@settings(**_SETTINGS)
+def test_repetition_fractions_bounded(spark, texts):
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans import quality
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id: long, text: string"
+    )
+    orig = quality.load_table
+    quality.load_table = lambda spark, name, sf_dir, **kw: df
+    try:
+        rows = quality.x29_repetition_filters(spark, "ignored").collect()
+    finally:
+        quality.load_table = orig
+    assert len(rows) == len(texts)
+    for r in rows:
+        for col in (
+            "dup_token_frac",
+            "top_token_frac",
+            "dup_2gram_frac",
+            "dup_3gram_frac",
+        ):
+            assert 0.0 <= r[col] <= 1.0, (col, r)
+        # a non-empty doc's most frequent token occurs at least once
+        if r["rep_n_tokens"] > 0:
+            assert r["top_token_frac"] >= 1.0 / r["rep_n_tokens"] - 1e-9
+
+
+@given(
+    train=st.lists(_WORDS, min_size=1, max_size=4),
+    bench_small=st.lists(_WORDS, max_size=2),
+    bench_extra=st.lists(_WORDS, max_size=2),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_contamination_bounded_and_monotone_in_benchmark(
+    spark, train, bench_small, bench_extra
+):
+    train_df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(train)], "doc_id: long, text: string"
+    )
+
+    def _bench(texts):
+        return spark.createDataFrame(
+            [(1000 + i, t) for i, t in enumerate(texts)],
+            "doc_id: long, text: string",
+        )
+
+    small = {
+        r["doc_id"]: r
+        for r in contamination_check(train_df, _bench(bench_small), n=2).collect()
+    }
+    big = {
+        r["doc_id"]: r
+        for r in contamination_check(
+            train_df, _bench(bench_small + bench_extra), n=2
+        ).collect()
+    }
+    assert set(small) == set(big)  # output docs depend only on the train side
+    for doc_id, r in small.items():
+        assert 0 <= r["contam_ngrams"] <= r["total_ngrams"]
+        # growing the benchmark can only find MORE contaminated n-grams
+        assert big[doc_id]["contam_ngrams"] >= r["contam_ngrams"]
+        assert big[doc_id]["total_ngrams"] == r["total_ngrams"]
