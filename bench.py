@@ -29,6 +29,9 @@ from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans import (  # noq
 from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans import (  # noqa: E402
     quality as _quality,
 )
+from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans import (  # noqa: E402
+    selection as _selection,
+)
 
 # headline set: the scan/agg flagship, the heavy relational shapes, the
 # prefix-match custom operator, and the extension operators that matter
@@ -54,6 +57,9 @@ HEADLINE = [
     "x20_dedup_clusters",
     "x29_repetition_filters",
     "x31_contamination",
+    "x32_canonical_docs",
+    "x33_token_budget_select",
+    "x35_incremental_dedup",
     "q14_rollup",
     "q22_cube",
     "q25_scd2",
@@ -65,7 +71,12 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="bench")
-    registry = {**_driver.QUERIES, **_ext.EXT_QUERIES, **_quality.QUALITY_QUERIES}
+    registry = {
+        **_driver.QUERIES,
+        **_ext.EXT_QUERIES,
+        **_quality.QUALITY_QUERIES,
+        **_selection.SELECTION_QUERIES,
+    }
 
     # warm the JVM / codegen / noop-sink / vectorized-parquet-reader /
     # broadcast and window exec paths, so the first timed queries measure

@@ -194,7 +194,7 @@ def _band_bucket_pairs(band_sig: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-def minhash_lsh_pairs(
+def band_signatures(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -202,22 +202,19 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_len: int = 3,
 ) -> DataFrame:
-    """Candidate near-dup pairs via LSH banding: docs sharing any band of
-    their MinHash signature.  rows = (id_a, id_b) with id_a < id_b.
+    """The LSH band index: one (id, band, band_key) row per doc per band.
+    This is the table a warehouse *persists* (partitioned by band) so
+    later batches can probe it without touching corpus text again —
+    see :func:`incremental_lsh_matches`.
 
-    Band signatures are computed per-row from the signature array (pure
-    projection); the staged band table then self-joins on
-    (band, band_key) — each bucket holds only colliding docs, so
-    candidate generation is bucket-local, never O(n²) global, and hot
-    buckets are skew-split across tasks (see _band_bucket_pairs)."""
+    Explodes a FOLDABLE band-index literal (not an expression over the
+    signature): InferFiltersFromGenerate would otherwise clone the full
+    signature expression into an inferred filter and double the md5
+    pass.  The Generate barrier keeps ``signature`` computed once per
+    doc; the per-band key is then a cheap slice+md5 over 2 bigints."""
     rows_per_band = num_hashes // bands
     sig = minhash_signature_array(df, text_col, id_col, num_hashes, shingle_len)
-    # Explode a FOLDABLE band-index literal (not an expression over the
-    # signature): InferFiltersFromGenerate would otherwise clone the full
-    # signature expression into an inferred filter and double the md5
-    # pass.  The Generate barrier keeps `signature` computed once per doc;
-    # the per-band key is then a cheap slice+md5 over 2 bigints.
-    band_sig = sig.select(
+    return sig.select(
         F.col(id_col),
         F.col("signature"),
         F.explode(F.array(*[F.lit(b) for b in range(bands)])).alias("band"),
@@ -237,7 +234,79 @@ def minhash_lsh_pairs(
             )
         ).alias("band_key"),
     )
-    return _band_bucket_pairs(band_sig, id_col)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_len: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding: docs sharing any band of
+    their MinHash signature.  rows = (id_a, id_b) with id_a < id_b.
+
+    Band signatures are computed per-row from the signature array (pure
+    projection); the staged band table then self-joins on
+    (band, band_key) — each bucket holds only colliding docs, so
+    candidate generation is bucket-local, never O(n²) global, and hot
+    buckets are skew-split across tasks (see _band_bucket_pairs)."""
+    return _band_bucket_pairs(
+        band_signatures(df, text_col, id_col, num_hashes, bands, shingle_len),
+        id_col,
+    )
+
+
+def incremental_lsh_matches(
+    corpus_index: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_len: int = 3,
+) -> DataFrame:
+    """Probe a NEW batch against an EXISTING corpus LSH index — the
+    daily-ingest shape of dedup at 100 TB: the corpus index
+    (:func:`band_signatures` output, persisted) is never rebuilt and
+    never self-joined; each arriving batch computes its own band
+    signatures (O(batch)) and equi-joins the index on (band, band_key).
+
+    Returns one row per batch doc: the number of DISTINCT colliding
+    corpus docs, the smallest colliding corpus id (NULL when none), and
+    ``is_novel``.  Batch-internal duplicates are out of scope here —
+    run :func:`minhash_lsh_pairs` within the batch for those.
+
+    Scale: the join shuffles by (band, band_key); a viral band bucket
+    is split by AQE skew-join exactly as in the self-join path.  The
+    per-doc aggregation shuffles only batch ids."""
+    probe = band_signatures(
+        batch, text_col, id_col, num_hashes, bands, shingle_len
+    ).select(F.col(id_col).alias("__bid"), "band", "band_key")
+    idx = corpus_index.select(
+        F.col(id_col).alias("__cid"), "band", "band_key"
+    )
+    hits = (
+        probe.join(idx, ["band", "band_key"])
+        .groupBy("__bid")
+        .agg(
+            F.countDistinct("__cid").alias("n_corpus_collisions"),
+            F.min("__cid").alias("first_match"),
+        )
+    )
+    return (
+        batch.select(F.col(id_col))
+        .join(hits, F.col(id_col) == F.col("__bid"), "left")
+        .select(
+            id_col,
+            F.coalesce("n_corpus_collisions", F.lit(0)).alias(
+                "n_corpus_collisions"
+            ),
+            "first_match",
+            F.col("first_match").isNull().alias("is_novel"),
+        )
+    )
 
 
 def ngram_jaccard_pairs(

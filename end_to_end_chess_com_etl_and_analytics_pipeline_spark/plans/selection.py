@@ -1,0 +1,415 @@
+"""Corpus-selection operators: the step AFTER dedup and quality gating
+in a training-data pipeline — deciding which documents ship, in what
+order (driver contract part 3).
+
+Five first-class operators:
+
+- x32: canonical-document selection — collapse every near-duplicate
+  cluster (MinHash-LSH pairs → connected components, the x20 kernel) to
+  its single best-quality member; unclustered docs keep themselves.
+  "Keep one per cluster" made concrete: the keep *policy* is
+  highest-quality-wins, not lowest-id-wins.
+- x33: token-budget selection — greedy best-quality-first selection
+  under a hard token budget (the "we can afford N tokens this run"
+  cut).  Needs a TOTAL-ORDER running sum, implemented without a global
+  sort: quality-bucket sharding + per-shard window + broadcast offsets
+  (the operators.ids two-phase pattern).
+- x34: deterministic epoch shuffle — block-wise training-order shuffle
+  keyed by a seeded hash, so every run/epoch reproduces the same order
+  with zero RNG state.  One shuffle on the block key; the only
+  sequential step touches n_blocks rows.
+- x35: incremental dedup — an arriving batch probed against the
+  persisted corpus LSH index (operators.dedup.incremental_lsh_matches);
+  the corpus is never re-paired, the daily cost is O(batch).
+- x36: temperature-balanced domain mixture — per-``source`` sampling at
+  rate ∝ 1/√n_source (the √-temperature rebalancing multilingual/
+  multi-domain corpora use), gated by a deterministic seeded hash so
+  the mixture is reproducible.  Formulated WITHOUT a cross-domain
+  normalizing sum: each domain's keep-threshold is an integer derived
+  from its own count alone, so there is no float-summation-order
+  divergence between engines.
+
+Scale notes (the 100 TB shape):
+- x32 adds ONE window shuffle (by cluster_id) on top of x20; the
+  cluster-map join is left to AQE (broadcast while the near-dup set
+  fits, shuffled join beyond).
+- x33's shard key is *monotone in the global order* (quality buckets),
+  so shard-ascending concatenation of the per-shard orders IS the
+  global order — the running sum never funnels the corpus through one
+  partition.  The single-threaded fraction is the n_shards-row offset
+  table.
+- x34 is the same two-phase shape over hash blocks; block sizes are
+  near-uniform by construction, so there is no skew to mitigate.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_long, md5_long_sql
+from ..functions.text import bpe_ish_token_count, quality_score
+from ..sources.tables import load_table
+
+# x33: quality-bucket shard count and the token budget.  The budget is
+# chosen at fixture scale so BOTH outcomes occur at sf0.01 and sf0.1
+# (total BPE tokens: ~27k / ~270k); the selection mechanics are the
+# operator under test.
+N_QSHARDS = 32
+TOKEN_BUDGET = 10_000
+
+# x34: training-order shuffle blocks and the epoch seed.
+N_BLOCKS = 64
+EPOCH_SEED = "epoch0"
+
+
+def x32_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-one-per-cluster with a quality policy: near-dup clusters
+    from the x20 kernel (same MinHash-LSH constants), each labeled doc
+    joined back to its quality score, and ``is_canonical`` = the
+    cluster's (quality DESC, doc_id ASC) winner.  Docs in no cluster
+    are their own singleton cluster and always canonical.
+
+    Reference parity: the reference has no corpus operators at all —
+    this extends the latest-wins "keep one" idea (python_scripts.py
+    merge semantics) from exact keys to near-duplicate clusters."""
+    from ..operators.graph import connected_components
+    from ..plans.extensions import (
+        _MINHASH_BANDS,
+        _MINHASH_N,
+        _MINHASH_SHINGLE,
+    )
+    from ..operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = minhash_lsh_pairs(
+        docs,
+        num_hashes=_MINHASH_N,
+        bands=_MINHASH_BANDS,
+        shingle_len=_MINHASH_SHINGLE,
+    )
+    clusters = connected_components(pairs, src="id_a", dst="id_b")
+    scored = docs.select("doc_id", quality_score("text").alias("quality"))
+    labeled = (
+        scored.join(clusters, scored.doc_id == clusters.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("cluster_id"),
+            "quality",
+        )
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return labeled.select(
+        "doc_id",
+        "cluster_id",
+        "quality",
+        (F.row_number().over(w) == 1).alias("is_canonical"),
+    )
+
+
+def x33_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget selection: rank the corpus best-quality-first
+    and keep documents while the running BPE-token total stays within
+    TOKEN_BUDGET (inclusive of the doc's own tokens).
+
+    The running sum is over a TOTAL order (quality DESC, doc_id ASC) —
+    the naive ``SUM() OVER (ORDER BY ...)`` is a single-partition
+    window, the classic scale cliff.  Distributed form: shard by
+    quality bucket ``floor((1-q)·32)`` — monotone non-increasing in q,
+    so shard order extends to the global order — rank/sum within each
+    shard, then add broadcast per-shard offsets.  Same-quality docs
+    always share a bucket, so the tie-break never crosses shards."""
+    docs = load_table(spark, "documents", sf_dir)
+    stats = docs.select(
+        "doc_id",
+        quality_score("text").alias("quality"),
+        bpe_ish_token_count("text").cast("bigint").alias("n_bpe_tokens"),
+    )
+    qshard = F.least(
+        F.floor((F.lit(1.0) - F.col("quality")) * N_QSHARDS),
+        F.lit(N_QSHARDS - 1),
+    ).cast("long")
+    base = stats.withColumn("__shard", qshard)
+    w_local = Window.partitionBy("__shard").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    ranked = base.withColumn(
+        "__rank", F.row_number().over(w_local)
+    ).withColumn(
+        "__cum",
+        F.sum("n_bpe_tokens").over(
+            w_local.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    # n_shards rows — the whole sequential fraction of this plan
+    counts = base.groupBy("__shard").agg(
+        F.count("*").alias("__n"), F.sum("n_bpe_tokens").alias("__tok")
+    )
+    w_off = Window.orderBy("__shard").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "__shard",
+        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__n_off"),
+        F.coalesce(F.sum("__tok").over(w_off), F.lit(0)).alias("__tok_off"),
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "__shard")
+        .select(
+            "doc_id",
+            "quality",
+            "n_bpe_tokens",
+            (F.col("__n_off") + F.col("__rank")).cast("bigint").alias("sel_rank"),
+            (F.col("__tok_off") + F.col("__cum")).cast("bigint").alias("cum_tokens"),
+            (
+                (F.col("__tok_off") + F.col("__cum")) <= F.lit(TOKEN_BUDGET)
+            ).alias("selected"),
+        )
+    )
+
+
+def x34_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic block-wise training-order shuffle: a seeded 60-bit
+    md5 key per doc, blocks = key mod N_BLOCKS, order within a block by
+    (key, doc_id), and a dense global epoch position via broadcast
+    block offsets.  Re-running with the same seed reproduces the order
+    bit-for-bit on any cluster size; changing the seed is a fresh
+    epoch.  Readers stream blocks sequentially — the standard
+    block-shuffle layout for training shards."""
+    docs = load_table(spark, "documents", sf_dir)
+    keyed = docs.select(
+        "doc_id",
+        md5_long(
+            F.concat(
+                F.lit(EPOCH_SEED), F.lit("|"), F.col("doc_id").cast("string")
+            )
+        ).alias("shuffle_key"),
+    ).withColumn("block", F.pmod(F.col("shuffle_key"), F.lit(N_BLOCKS)))
+    w_local = Window.partitionBy("block").orderBy("shuffle_key", "doc_id")
+    ranked = keyed.withColumn("__rank", F.row_number().over(w_local))
+    counts = keyed.groupBy("block").agg(F.count("*").alias("__n"))
+    w_off = Window.orderBy("block").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "block", F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off")
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "block")
+        .select(
+            "doc_id",
+            "block",
+            "shuffle_key",
+            (F.col("__rank") - 1).cast("bigint").alias("pos_in_block"),
+            (F.col("__off") + F.col("__rank") - 1).cast("bigint").alias(
+                "epoch_pos"
+            ),
+        )
+    )
+
+
+# x35: every 5th doc plays the arriving batch; the rest are the
+# already-indexed corpus.
+BATCH_MOD = 5
+
+
+def x35_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: probe an arriving batch against the persisted
+    corpus LSH index (operators.dedup.incremental_lsh_matches) — the
+    corpus is never re-paired, only the O(batch) probe joins the index.
+    The batch/corpus split is deterministic (doc_id mod 5) so the
+    oracle can reproduce it."""
+    from ..operators.dedup import band_signatures, incremental_lsh_matches
+    from ..plans.extensions import (
+        _MINHASH_BANDS,
+        _MINHASH_N,
+        _MINHASH_SHINGLE,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    batch = docs.where(F.col("doc_id") % BATCH_MOD == 0)
+    corpus = docs.where(F.col("doc_id") % BATCH_MOD != 0)
+    index = band_signatures(
+        corpus,
+        num_hashes=_MINHASH_N,
+        bands=_MINHASH_BANDS,
+        shingle_len=_MINHASH_SHINGLE,
+    )
+    return incremental_lsh_matches(
+        index,
+        batch,
+        num_hashes=_MINHASH_N,
+        bands=_MINHASH_BANDS,
+        shingle_len=_MINHASH_SHINGLE,
+    )
+
+
+def _x35_sql() -> str:
+    # band_sig re-derived with the x20 oracle's geometry (same
+    # constants), split into probe/index sides by the same doc_id mod
+    from ..plans.extensions import _MINHASH_N, _MINHASH_BANDS, _minhash_sig_cte
+
+    rpb = _MINHASH_N // _MINHASH_BANDS
+    return f"""
+WITH {_minhash_sig_cte()},
+banded AS (
+    SELECT doc_id, CAST(seed // {rpb} AS INTEGER) AS band, minhash
+    FROM sig),
+band_sig AS (
+    SELECT doc_id, band,
+           md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY minhash)) AS band_key
+    FROM banded GROUP BY doc_id, band),
+hits AS (
+    SELECT p.doc_id,
+           COUNT(DISTINCT c.doc_id) AS n_corpus_collisions,
+           MIN(c.doc_id) AS first_match
+    FROM band_sig p JOIN band_sig c
+      ON p.band = c.band AND p.band_key = c.band_key
+    WHERE p.doc_id % {BATCH_MOD} = 0 AND c.doc_id % {BATCH_MOD} <> 0
+    GROUP BY p.doc_id)
+SELECT d.doc_id,
+       coalesce(h.n_corpus_collisions, 0) AS n_corpus_collisions,
+       h.first_match,
+       h.first_match IS NULL AS is_novel
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id % {BATCH_MOD} = 0
+"""
+
+
+def _x32_sql() -> str:
+    # the x20 transitive-closure CTE re-used verbatim as a derived
+    # table (single source of truth for the cluster geometry), then the
+    # quality policy on top
+    from ..plans.extensions import _QUALITY_SQL, _X20_SQL
+
+    return f"""
+WITH comp AS (SELECT * FROM ({_X20_SQL}) t),
+scored AS (SELECT doc_id, {_QUALITY_SQL} AS quality FROM documents),
+labeled AS (
+    SELECT s.doc_id, coalesce(c.cluster_id, s.doc_id) AS cluster_id, s.quality
+    FROM scored s LEFT JOIN comp c ON s.doc_id = c.doc_id)
+SELECT doc_id, cluster_id, quality,
+       (ROW_NUMBER() OVER (
+            PARTITION BY cluster_id ORDER BY quality DESC, doc_id ASC) = 1)
+           AS is_canonical
+FROM labeled
+"""
+
+
+def _x33_sql() -> str:
+    from ..plans.extensions import _QUALITY_SQL
+
+    bpe = "CAST(len(regexp_extract_all(text, '([A-Za-z]+|\\d|[^A-Za-z\\d\\s]+)', 1)) AS BIGINT)"
+    return f"""
+WITH stats AS (
+    SELECT doc_id, {_QUALITY_SQL} AS quality, {bpe} AS n_bpe_tokens
+    FROM documents)
+SELECT doc_id, quality, n_bpe_tokens,
+       CAST(ROW_NUMBER() OVER (ORDER BY quality DESC, doc_id ASC) AS BIGINT)
+           AS sel_rank,
+       CAST(SUM(n_bpe_tokens) OVER (
+            ORDER BY quality DESC, doc_id ASC ROWS UNBOUNDED PRECEDING)
+           AS BIGINT) AS cum_tokens,
+       CAST(SUM(n_bpe_tokens) OVER (
+            ORDER BY quality DESC, doc_id ASC ROWS UNBOUNDED PRECEDING)
+           AS BIGINT) <= {TOKEN_BUDGET} AS selected
+FROM stats
+"""
+
+
+def _x34_sql() -> str:
+    key = md5_long_sql(f"concat('{EPOCH_SEED}', '|', CAST(doc_id AS VARCHAR))")
+    return f"""
+WITH keyed AS (
+    SELECT doc_id, {key} AS shuffle_key FROM documents),
+b AS (
+    SELECT doc_id, shuffle_key, shuffle_key % {N_BLOCKS} AS block FROM keyed)
+SELECT doc_id, block, shuffle_key,
+       CAST(ROW_NUMBER() OVER (
+            PARTITION BY block ORDER BY shuffle_key, doc_id) - 1 AS BIGINT)
+           AS pos_in_block,
+       CAST(ROW_NUMBER() OVER (
+            ORDER BY block, shuffle_key, doc_id) - 1 AS BIGINT) AS epoch_pos
+FROM b
+"""
+
+
+# x36: expected take per domain = MIX_C·√n_docs (capped at n_docs);
+# hash gate over a 2^20 modulus.  MIX_C chosen so fixture domains land
+# strictly between 0 and 1 keep probability at sf0.01 and sf0.1.
+MIX_C = 8.0
+MIX_H = 1 << 20
+MIX_SEED = "mix0"
+
+
+def x36_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """√-temperature domain rebalancing: sample each ``source`` domain
+    at rate min(1, MIX_C/√n) — large domains are downsampled toward
+    √-proportional representation, small domains kept whole.  The gate
+    is a seeded md5 over doc_id, so membership is stable across runs
+    and cluster sizes.
+
+    Plan shape: one tiny per-source count aggregation, broadcast back
+    onto the corpus, then a scan-local projection — the corpus itself
+    is never shuffled.  The per-domain threshold is
+    floor(MIX_C·MIX_H/√n): integer-valued from scalar double ops that
+    are IEEE-identical across engines (no normalizing sum across
+    domains, whose addition order would differ)."""
+    docs = load_table(spark, "documents", sf_dir)
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_source"))
+    thresholds = counts.select(
+        "source",
+        "n_source",
+        F.floor(
+            F.lit(MIX_C * MIX_H) / F.sqrt(F.col("n_source").cast("double"))
+        )
+        .cast("bigint")
+        .alias("__thr"),
+    )
+    gate = md5_long(
+        F.concat(F.lit(MIX_SEED), F.lit("|"), F.col("doc_id").cast("string"))
+    ) % F.lit(MIX_H)
+    return (
+        docs.join(F.broadcast(thresholds), "source")
+        .select(
+            "doc_id",
+            "source",
+            "n_source",
+            F.least(F.lit(MIX_H), F.col("__thr")).alias("keep_threshold"),
+            (gate < F.col("__thr")).alias("sampled"),
+        )
+    )
+
+
+def _x36_sql() -> str:
+    gate = md5_long_sql(f"concat('{MIX_SEED}', '|', CAST(doc_id AS VARCHAR))")
+    return f"""
+WITH counts AS (
+    SELECT source, COUNT(*) AS n_source,
+           CAST(FLOOR({MIX_C * MIX_H} / SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT)
+               AS thr
+    FROM documents GROUP BY source)
+SELECT d.doc_id, d.source, c.n_source,
+       LEAST({MIX_H}, c.thr) AS keep_threshold,
+       ({gate}) % {MIX_H} < c.thr AS sampled
+FROM documents d JOIN counts c ON d.source = c.source
+"""
+
+
+SELECTION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "x32_canonical_docs": x32_canonical_docs,
+    "x33_token_budget_select": x33_token_budget_select,
+    "x34_epoch_shuffle": x34_epoch_shuffle,
+    "x35_incremental_dedup": x35_incremental_dedup,
+    "x36_mixture_sample": x36_mixture_sample,
+}
+
+SELECTION_ORACLE: dict[str, str] = {
+    "x32_canonical_docs": _x32_sql(),
+    "x33_token_budget_select": _x33_sql(),
+    "x34_epoch_shuffle": _x34_sql(),
+    "x35_incremental_dedup": _x35_sql(),
+    "x36_mixture_sample": _x36_sql(),
+}

@@ -34,6 +34,7 @@ from . import driver as _driver
 from . import extensions as _ext
 from . import pipelines as _pipe
 from . import quality as _quality
+from . import selection as _selection
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -131,10 +132,25 @@ _SUITE_PARTS: dict[str, list[str]] = {
         "x09_tumbling_window",
         "x10_sliding_window",
     ],
+    # skew mitigation: two-phase hot-key count + salted join (one family)
+    "x15_skew_suite": [
+        "x15_skew_salted_count",
+        "x24_salted_join",
+    ],
     # as-of + range join: the two temporal-join kernels (one family)
     "x16_temporal_joins": [
         "x16_asof_join",
         "x17_range_join",
+    ],
+    # corpus selection & maintenance: canonical-doc-per-cluster,
+    # token-budget greedy selection, deterministic epoch shuffle,
+    # batch-vs-index incremental dedup (one family)
+    "x32_corpus_selection": [
+        "x32_canonical_docs",
+        "x33_token_budget_select",
+        "x34_epoch_shuffle",
+        "x35_incremental_dedup",
+        "x36_mixture_sample",
     ],
     # mapInPandas feature extraction + resize/frame-sample plumbing
     "m01_multimodal_suite": [
@@ -147,12 +163,14 @@ _FINE_QUERIES: dict[str, QueryFn] = {
     **_pipe.PIPELINE_QUERIES,
     **_ext.EXT_QUERIES,
     **_quality.QUALITY_QUERIES,
+    **_selection.SELECTION_QUERIES,
     **_driver.QUERIES,
 }
 _FINE_ORACLE: dict[str, str] = {
     **_pipe.PIPELINE_ORACLE,
     **_ext.EXT_ORACLE,
     **_quality.QUALITY_ORACLE,
+    **_selection.SELECTION_ORACLE,
     **_driver.ORACLE,
 }
 

@@ -1,0 +1,214 @@
+"""Semantic invariants for the corpus-selection operators
+(plans.selection) beyond the oracle hash comparison in
+test_driver_queries: canonical uniqueness and quality-maximality (x32),
+budget feasibility and greedy maximality (x33), permutation and
+determinism properties of the epoch shuffle (x34).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans import (
+    selection as S,
+)
+
+from tests.conftest import SF_DIR
+
+
+def test_canonical_unique_and_quality_max_per_cluster(spark):
+    out = S.x32_canonical_docs(spark, SF_DIR).cache()
+    per_cluster = out.groupBy("cluster_id").agg(
+        F.sum(F.col("is_canonical").cast("int")).alias("n_canon"),
+        F.max("quality").alias("max_q"),
+        F.max(F.when(F.col("is_canonical"), F.col("quality"))).alias(
+            "canon_q"
+        ),
+    )
+    bad = per_cluster.where(
+        (F.col("n_canon") != 1) | (F.col("canon_q") != F.col("max_q"))
+    ).count()
+    assert bad == 0
+    # every document appears exactly once
+    n_docs = out.count()
+    assert out.select("doc_id").distinct().count() == n_docs
+    out.unpersist()
+
+
+def test_singleton_docs_are_their_own_canonical_cluster(spark):
+    out = S.x32_canonical_docs(spark, SF_DIR)
+    singletons = (
+        out.groupBy("cluster_id")
+        .agg(F.count("*").alias("n"), F.min("doc_id").alias("only_doc"))
+        .where(F.col("n") == 1)
+    )
+    labeled = out.join(singletons, "cluster_id")
+    # a singleton's cluster_id is its own doc_id and it is canonical
+    bad = labeled.where(
+        (F.col("cluster_id") != F.col("doc_id")) | (~F.col("is_canonical"))
+    ).count()
+    assert bad == 0
+
+
+def test_token_budget_feasible_and_greedy_maximal(spark):
+    out = S.x33_token_budget_select(spark, SF_DIR).cache()
+    sel = out.where("selected")
+    # feasibility: the selected set fits the budget
+    total = sel.agg(F.sum("n_bpe_tokens")).collect()[0][0] or 0
+    assert total <= S.TOKEN_BUDGET
+    # greedy maximality: the best-ranked rejected doc would overflow
+    first_rejected = (
+        out.where(~F.col("selected")).orderBy("sel_rank").limit(1).collect()
+    )
+    if first_rejected:
+        assert first_rejected[0]["cum_tokens"] > S.TOKEN_BUDGET
+    # sel_rank is a dense permutation 1..n and cum_tokens is
+    # non-decreasing along it (token counts are non-negative)
+    n = out.count()
+    ranks = [r["sel_rank"] for r in out.select("sel_rank").collect()]
+    assert sorted(ranks) == list(range(1, n + 1))
+    rows = out.orderBy("sel_rank").select("cum_tokens", "n_bpe_tokens").collect()
+    prev = 0
+    for r in rows:
+        assert r["cum_tokens"] == prev + r["n_bpe_tokens"]
+        prev = r["cum_tokens"]
+    out.unpersist()
+
+
+def test_epoch_shuffle_is_deterministic_permutation(spark):
+    a = S.x34_epoch_shuffle(spark, SF_DIR)
+    n = a.count()
+    pos = [r["epoch_pos"] for r in a.select("epoch_pos").collect()]
+    assert sorted(pos) == list(range(n))
+    # bit-for-bit deterministic across independent builds
+    b = S.x34_epoch_shuffle(spark, SF_DIR)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_incremental_dedup_flags_injected_duplicate(spark):
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.operators.dedup import (
+        band_signatures,
+        incremental_lsh_matches,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "completely different text about spark physical plans"),
+            (3, "a third unrelated document mentioning chess openings"),
+        ],
+        "doc_id: long, text: string",
+    )
+    batch = spark.createDataFrame(
+        [
+            # verbatim duplicate of corpus doc 1 → must collide
+            (10, "the quick brown fox jumps over the lazy dog tonight"),
+            # novel text → no collision
+            (11, "entirely novel content that shares no shingles at all"),
+        ],
+        "doc_id: long, text: string",
+    )
+    index = band_signatures(corpus, num_hashes=8, bands=4)
+    out = {
+        r["doc_id"]: r
+        for r in incremental_lsh_matches(
+            index, batch, num_hashes=8, bands=4
+        ).collect()
+    }
+    assert set(out) == {10, 11}
+    assert not out[10]["is_novel"] and out[10]["first_match"] == 1
+    assert out[11]["is_novel"] and out[11]["first_match"] is None
+    assert out[11]["n_corpus_collisions"] == 0
+
+
+def test_incremental_dedup_agrees_with_self_join_pairs(spark):
+    """Probing batch-vs-index finds exactly the batch↔corpus pairs the
+    full self-join would (restricted to cross-side pairs)."""
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans.selection import (
+        BATCH_MOD,
+        x35_incremental_dedup,
+    )
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans.extensions import (
+        _MINHASH_BANDS,
+        _MINHASH_N,
+        _MINHASH_SHINGLE,
+    )
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, "documents", SF_DIR)
+    pairs = minhash_lsh_pairs(
+        docs,
+        num_hashes=_MINHASH_N,
+        bands=_MINHASH_BANDS,
+        shingle_len=_MINHASH_SHINGLE,
+    )
+    cross = pairs.where(
+        ((F.col("id_a") % BATCH_MOD == 0) & (F.col("id_b") % BATCH_MOD != 0))
+        | ((F.col("id_a") % BATCH_MOD != 0) & (F.col("id_b") % BATCH_MOD == 0))
+    )
+    expected = set()
+    for r in cross.collect():
+        b, c = (
+            (r["id_a"], r["id_b"])
+            if r["id_a"] % BATCH_MOD == 0
+            else (r["id_b"], r["id_a"])
+        )
+        expected.add((b, c))
+    got = x35_incremental_dedup(spark, SF_DIR)
+    flagged = {
+        r["doc_id"]
+        for r in got.where(~F.col("is_novel")).collect()
+    }
+    assert flagged == {b for b, _ in expected}
+
+
+def test_mixture_sample_rates_follow_sqrt_temperature(spark):
+    out = S.x36_mixture_sample(spark, SF_DIR).cache()
+    per_src = (
+        out.groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("sampled").cast("int")).alias("taken"),
+            F.first("keep_threshold").alias("thr"),
+            F.first("n_source").alias("n_source"),
+        )
+        .collect()
+    )
+    import math
+
+    for r in per_src:
+        assert r["n"] == r["n_source"]
+        expect_thr = min(
+            S.MIX_H, math.floor(S.MIX_C * S.MIX_H / math.sqrt(r["n"]))
+        )
+        assert r["thr"] == expect_thr
+        # expected take ≈ MIX_C·√n; the md5 gate is uniform, so the
+        # realized take should be within a generous binomial bound
+        p = expect_thr / S.MIX_H
+        mean = r["n"] * p
+        slack = 5 * math.sqrt(max(mean, 1.0)) + 1
+        assert abs(r["taken"] - mean) <= slack, (r["source"], r["taken"], mean)
+    # determinism: same seed, same membership
+    again = S.x36_mixture_sample(spark, SF_DIR)
+    assert out.exceptAll(again).count() == 0
+    out.unpersist()
+
+
+def test_epoch_shuffle_seed_changes_order(spark, monkeypatch):
+    base = {
+        r["doc_id"]: r["epoch_pos"]
+        for r in S.x34_epoch_shuffle(spark, SF_DIR).collect()
+    }
+    monkeypatch.setattr(S, "EPOCH_SEED", "epoch1")
+    other = {
+        r["doc_id"]: r["epoch_pos"]
+        for r in S.x34_epoch_shuffle(spark, SF_DIR).collect()
+    }
+    assert set(base) == set(other)
+    # same doc set, different order (astronomically unlikely to collide)
+    assert base != other
