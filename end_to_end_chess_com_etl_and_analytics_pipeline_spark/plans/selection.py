@@ -21,6 +21,10 @@ Five first-class operators:
 - x35: incremental dedup — an arriving batch probed against the
   persisted corpus LSH index (operators.dedup.incremental_lsh_matches);
   the corpus is never re-paired, the daily cost is O(batch).
+- st06: the streaming composition of x35 — the index persisted to
+  parquet, arriving batches probed in foreachBatch micro-batches
+  (streaming.pipeline.streaming_incremental_dedup); union of
+  micro-batch verdicts ≡ the one-shot probe.
 - x36: temperature-balanced domain mixture — per-``source`` sampling at
   rate ∝ 1/√n_source (the √-temperature rebalancing multilingual/
   multi-domain corpora use), gated by a deterministic seeded hash so
@@ -336,6 +340,60 @@ FROM b
 """
 
 
+def st06_streaming_incremental_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming twin of x35: the corpus band index is PERSISTED to
+    parquet, the batch docs arrive as a file-source stream (several
+    files → several micro-batches), and each micro-batch probes the
+    index in foreachBatch.  The appended verdicts must equal the
+    one-shot batch probe, so the oracle is x35's SQL."""
+    import shutil
+    import tempfile
+    import os as _os
+
+    from ..operators.dedup import band_signatures
+    from ..plans.extensions import (
+        _MINHASH_BANDS,
+        _MINHASH_N,
+        _MINHASH_SHINGLE,
+    )
+    from ..streaming.pipeline import streaming_incremental_dedup
+
+    docs = load_table(spark, "documents", sf_dir)
+    root = tempfile.mkdtemp(prefix="st06_")
+    index_path = _os.path.join(root, "index")
+    batch_dir = _os.path.join(root, "batch")
+    out_path = _os.path.join(root, "verdicts")
+    ckpt = _os.path.join(root, "ckpt")
+    try:
+        band_signatures(
+            docs.where(F.col("doc_id") % BATCH_MOD != 0),
+            num_hashes=_MINHASH_N,
+            bands=_MINHASH_BANDS,
+            shingle_len=_MINHASH_SHINGLE,
+        ).write.parquet(index_path)
+        # several arriving files → several micro-batches
+        docs.where(F.col("doc_id") % BATCH_MOD == 0).repartition(
+            3
+        ).write.parquet(batch_dir)
+        streaming_incremental_dedup(
+            spark,
+            batch_dir,
+            index_path,
+            out_path,
+            ckpt,
+            num_hashes=_MINHASH_N,
+            bands=_MINHASH_BANDS,
+            shingle_len=_MINHASH_SHINGLE,
+        )
+        # pin results before the temp tree disappears
+        out = spark.read.parquet(out_path).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 # x36: expected take per domain = MIX_C·√n_docs (capped at n_docs);
 # hash gate over a 2^20 modulus.  MIX_C chosen so fixture domains land
 # strictly between 0 and 1 keep probability at sf0.01 and sf0.1.
@@ -404,6 +462,7 @@ SELECTION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x34_epoch_shuffle": x34_epoch_shuffle,
     "x35_incremental_dedup": x35_incremental_dedup,
     "x36_mixture_sample": x36_mixture_sample,
+    "st06_streaming_incremental_dedup": st06_streaming_incremental_dedup,
 }
 
 SELECTION_ORACLE: dict[str, str] = {
@@ -412,4 +471,5 @@ SELECTION_ORACLE: dict[str, str] = {
     "x34_epoch_shuffle": _x34_sql(),
     "x35_incremental_dedup": _x35_sql(),
     "x36_mixture_sample": _x36_sql(),
+    "st06_streaming_incremental_dedup": _x35_sql(),
 }

@@ -151,6 +151,7 @@ _SUITE_PARTS: dict[str, list[str]] = {
         "x34_epoch_shuffle",
         "x35_incremental_dedup",
         "x36_mixture_sample",
+        "st06_streaming_incremental_dedup",
     ],
     # mapInPandas feature extraction + resize/frame-sample plumbing
     "m01_multimodal_suite": [

@@ -176,6 +176,36 @@ def read_json(
     return reader.json(path)
 
 
+def read_json_tracked(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """NDJSON scan with corrupt-record quarantine (S2 hardened): rows
+    that fail the declared schema surface with the raw line in
+    ``corrupt_col`` instead of killing the job (PERMISSIVE) or silently
+    vanishing (DROPMALFORMED).  The ingestion contract a 100 TB bronze
+    layer needs — bad lines are a *partition of the output*, routed to
+    a quarantine sink, never a crash at hour six of a backfill.
+
+    The declared schema is augmented with the corrupt column (Spark
+    only populates it when it exists in the schema).  Note Spark's
+    documented caveat: a corrupt-only projection short-circuits the
+    parse, so callers filtering on ``corrupt_col IS NOT NULL`` should
+    select at least one data column too — the returned frame keeps all
+    of them."""
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType(), True)]
+    )
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+
+
 def read_csv(
     spark: SparkSession, path: str, schema: T.StructType | None = None
 ) -> DataFrame:

@@ -325,6 +325,64 @@ def streaming_dedup(spark: SparkSession, events_dir: str) -> DataFrame:
     )
 
 
+def streaming_incremental_dedup(
+    spark: SparkSession,
+    batch_docs_dir: str,
+    index_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_len: int = 3,
+) -> None:
+    """Streaming ingest with incremental dedup: a file-source stream of
+    arriving document batches, each micro-batch probed against the
+    PERSISTED corpus LSH band index (operators.dedup.band_signatures
+    written to parquet) via ``incremental_lsh_matches`` inside
+    ``foreachBatch``; verdict rows append to ``out_path``.
+
+    This is the 100 TB daily-ingest loop end-to-end: the corpus index
+    is read, never rebuilt; per-batch cost is O(batch); a batch's
+    verdict depends only on its own docs and the index, so the union of
+    micro-batch outputs equals the one-shot batch probe (the oracle).
+    ``availableNow`` drains the backlog then stops."""
+    from ..operators.dedup import incremental_lsh_matches
+
+    schema = spark.read.parquet(batch_docs_dir).schema  # footer probe
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(batch_docs_dir)
+    )
+    index = spark.read.parquet(index_path)
+
+    def probe(batch_df: DataFrame, batch_id: int) -> None:
+        incremental_lsh_matches(
+            index,
+            batch_df,
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_len=shingle_len,
+        ).write.mode("append").parquet(out_path)
+
+    # batch-scoped shuffle width (see run_incremental_gold)
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        (
+            stream.writeStream.foreachBatch(probe)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, table_name: str, output_mode: str = "complete"
 ) -> None:

@@ -391,6 +391,43 @@ def test_csv_scan_and_json_sink_roundtrip(spark, tmp_path):
     ]
 
 
+def test_json_corrupt_record_quarantine(spark, tmp_path):
+    """S2 hardened: malformed NDJSON lines land in _corrupt_record with
+    the raw text; well-formed lines parse normally; nothing crashes or
+    silently drops."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.sources.tables import (
+        read_json_tracked,
+    )
+
+    path = tmp_path / "feed.jsonl"
+    path.write_text(
+        '{"doc_id": 1, "text": "ok"}\n'
+        '{"doc_id": 2, "text": "also ok"}\n'
+        '{"doc_id": 3, "text": broken\n'
+        "not json at all\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    df = read_json_tracked(spark, str(path), schema).cache()
+    good = df.where(F.col("_corrupt_record").isNull())
+    bad = df.where(F.col("_corrupt_record").isNotNull())
+    assert sorted(r["doc_id"] for r in good.collect()) == [1, 2]
+    bad_rows = bad.collect()
+    assert len(bad_rows) == 2
+    # the quarantined rows carry the raw line for replay/debugging
+    raws = {r["_corrupt_record"] for r in bad_rows}
+    assert '{"doc_id": 3, "text": broken' in raws
+    assert "not json at all" in raws
+    df.unpersist()
+
+
 def test_orc_and_text_roundtrip(spark, tmp_path):
     """ORC sink/scan (partitioned, dynamic overwrite) and raw text-line
     scan — the non-Parquet corners of the source surface."""

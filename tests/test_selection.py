@@ -199,6 +199,61 @@ def test_mixture_sample_rates_follow_sqrt_temperature(spark):
     out.unpersist()
 
 
+def test_streaming_incremental_dedup_matches_batch_probe(spark, tmp_path):
+    """Two micro-batches probed against a persisted index produce exactly
+    the one-shot batch verdicts."""
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.operators.dedup import (
+        band_signatures,
+        incremental_lsh_matches,
+    )
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.streaming.pipeline import (
+        streaming_incremental_dedup,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "completely different text about spark physical plans"),
+        ],
+        "doc_id: long, text: string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog tonight"),
+            (11, "entirely novel content that shares no shingles at all"),
+            (12, "completely different text about spark physical plans"),
+        ],
+        "doc_id: long, text: string",
+    )
+    index_path = str(tmp_path / "index")
+    batch_dir = str(tmp_path / "batch")
+    out_path = str(tmp_path / "out")
+    band_signatures(corpus, num_hashes=8, bands=4).write.parquet(index_path)
+    batch.repartition(2).write.parquet(batch_dir)  # ≥2 micro-batches
+    streaming_incremental_dedup(
+        spark,
+        batch_dir,
+        index_path,
+        out_path,
+        str(tmp_path / "ckpt"),
+        num_hashes=8,
+        bands=4,
+    )
+    streamed = {
+        r["doc_id"]: (r["n_corpus_collisions"], r["first_match"], r["is_novel"])
+        for r in spark.read.parquet(out_path).collect()
+    }
+    index = spark.read.parquet(index_path)
+    expected = {
+        r["doc_id"]: (r["n_corpus_collisions"], r["first_match"], r["is_novel"])
+        for r in incremental_lsh_matches(
+            index, batch, num_hashes=8, bands=4
+        ).collect()
+    }
+    assert streamed == expected
+    assert not streamed[10][2] and not streamed[12][2] and streamed[11][2]
+
+
 def test_epoch_shuffle_seed_changes_order(spark, monkeypatch):
     base = {
         r["doc_id"]: r["epoch_pos"]
