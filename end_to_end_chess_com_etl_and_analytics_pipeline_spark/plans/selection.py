@@ -25,6 +25,9 @@ Five first-class operators:
   parquet, arriving batches probed in foreachBatch micro-batches
   (streaming.pipeline.streaming_incremental_dedup); union of
   micro-batch verdicts ≡ the one-shot probe.
+- x37: leakage-safe train/val/test split — the hash split keyed by
+  near-dup cluster id, so duplicate pairs can never straddle train and
+  test (the eval-inflation hole a doc_id-keyed split leaves open).
 - x36: temperature-balanced domain mixture — per-``source`` sampling at
   rate ∝ 1/√n_source (the √-temperature rebalancing multilingual/
   multi-domain corpora use), gated by a deterministic seeded hash so
@@ -394,6 +397,62 @@ def st06_streaming_incremental_dedup(
     return out
 
 
+# x37: leakage-safe split fractions and hash seed.
+SPLIT_FRACTIONS = {"train": 80, "val": 10, "test": 10}
+SPLIT_SEED = "leaksafe0"
+
+
+def x37_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split that cannot leak near-duplicates across
+    splits: the hash-split key is the near-dup CLUSTER id (x20 kernel),
+    not the doc id, so every member of a duplicate cluster lands in the
+    same split.  Splitting by doc_id — what x18 does, and what most
+    pipelines do — puts one copy of a duplicated document in train and
+    another in test, silently inflating eval scores; keying the
+    existing zero-shuffle hash split by cluster_id closes that hole
+    for the cost of the cluster build the dedup pass already ran."""
+    from ..operators.graph import connected_components
+    from ..operators.dedup import minhash_lsh_pairs
+    from ..operators.sampling import hash_split
+    from ..plans.extensions import (
+        _MINHASH_BANDS,
+        _MINHASH_N,
+        _MINHASH_SHINGLE,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = minhash_lsh_pairs(
+        docs,
+        num_hashes=_MINHASH_N,
+        bands=_MINHASH_BANDS,
+        shingle_len=_MINHASH_SHINGLE,
+    )
+    clusters = connected_components(pairs, src="id_a", dst="id_b")
+    labeled = docs.join(
+        clusters, docs.doc_id == clusters.node, "left"
+    ).select(
+        "doc_id",
+        F.coalesce("component", "doc_id").alias("cluster_id"),
+    )
+    return hash_split(
+        labeled, "cluster_id", SPLIT_FRACTIONS, seed=SPLIT_SEED
+    )
+
+
+def _x37_sql() -> str:
+    from ..operators.sampling import hash_split_case_sql
+    from ..plans.extensions import _X20_SQL
+
+    case = hash_split_case_sql("cluster_id", SPLIT_FRACTIONS, seed=SPLIT_SEED)
+    return f"""
+WITH comp AS (SELECT * FROM ({_X20_SQL}) t),
+labeled AS (
+    SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+SELECT doc_id, cluster_id, {case} AS split FROM labeled
+"""
+
+
 # x36: expected take per domain = MIX_C·√n_docs (capped at n_docs);
 # hash gate over a 2^20 modulus.  MIX_C chosen so fixture domains land
 # strictly between 0 and 1 keep probability at sf0.01 and sf0.1.
@@ -463,6 +522,7 @@ SELECTION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x35_incremental_dedup": x35_incremental_dedup,
     "x36_mixture_sample": x36_mixture_sample,
     "st06_streaming_incremental_dedup": st06_streaming_incremental_dedup,
+    "x37_leakage_safe_split": x37_leakage_safe_split,
 }
 
 SELECTION_ORACLE: dict[str, str] = {
@@ -472,4 +532,5 @@ SELECTION_ORACLE: dict[str, str] = {
     "x35_incremental_dedup": _x35_sql(),
     "x36_mixture_sample": _x36_sql(),
     "st06_streaming_incremental_dedup": _x35_sql(),
+    "x37_leakage_safe_split": _x37_sql(),
 }

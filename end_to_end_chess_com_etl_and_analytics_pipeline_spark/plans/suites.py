@@ -152,6 +152,7 @@ _SUITE_PARTS: dict[str, list[str]] = {
         "x35_incremental_dedup",
         "x36_mixture_sample",
         "st06_streaming_incremental_dedup",
+        "x37_leakage_safe_split",
     ],
     # mapInPandas feature extraction + resize/frame-sample plumbing
     "m01_multimodal_suite": [

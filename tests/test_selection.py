@@ -254,6 +254,29 @@ def test_streaming_incremental_dedup_matches_batch_probe(spark, tmp_path):
     assert not streamed[10][2] and not streamed[12][2] and streamed[11][2]
 
 
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    out = S.x37_leakage_safe_split(spark, SF_DIR).cache()
+    # every doc assigned exactly one split; whole corpus covered
+    assert out.where(F.col("split").isNull()).count() == 0
+    n = out.count()
+    assert out.select("doc_id").distinct().count() == n
+    # the leakage invariant: one split per cluster
+    straddling = (
+        out.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .where(F.col("n_splits") > 1)
+        .count()
+    )
+    assert straddling == 0
+    # all three splits realized on the fixture
+    assert {r["split"] for r in out.select("split").distinct().collect()} == {
+        "train",
+        "val",
+        "test",
+    }
+    out.unpersist()
+
+
 def test_epoch_shuffle_seed_changes_order(spark, monkeypatch):
     base = {
         r["doc_id"]: r["epoch_pos"]
