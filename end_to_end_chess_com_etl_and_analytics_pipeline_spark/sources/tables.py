@@ -219,6 +219,40 @@ def read_csv(
     return reader.csv(path)
 
 
+def read_csv_tracked(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """CSV scan with malformed-row quarantine (S4 hardened) — the CSV
+    twin of :func:`read_json_tracked`: rows whose fields fail the
+    declared schema surface with the raw line in ``corrupt_col``
+    (PERMISSIVE) instead of aborting the scan or silently dropping."""
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType(), True)]
+    )
+    return (
+        spark.read.option("header", "true")
+        .schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .csv(path)
+    )
+
+
+def read_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan across schema generations (S3 hardened):
+    ``mergeSchema`` unions the footers so files written before a column
+    existed read as NULL in that column — the bronze-layer reality when
+    an upstream API adds fields mid-history (the reference's
+    ``accuracies`` struct appears only on ~7% of rows for exactly this
+    reason).  Costs one footer pass over the file listing at planning
+    time, nothing at execution; use the plain reader when the schema is
+    known stable."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
 def write_parquet(
     df: DataFrame,
     path: str,

@@ -428,6 +428,57 @@ def test_json_corrupt_record_quarantine(spark, tmp_path):
     df.unpersist()
 
 
+def test_csv_corrupt_record_quarantine(spark, tmp_path):
+    """S4 hardened: rows violating the declared CSV schema quarantine
+    into _corrupt_record; clean rows parse."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.sources.tables import (
+        read_csv_tracked,
+    )
+
+    path = tmp_path / "feed.csv"
+    path.write_text("doc_id,score\n1,0.5\n2,not_a_number\n3,0.9\n")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    df = read_csv_tracked(spark, str(path), schema).cache()
+    good = df.where(F.col("_corrupt_record").isNull())
+    bad = df.where(F.col("_corrupt_record").isNotNull()).collect()
+    assert sorted(r["doc_id"] for r in good.collect()) == [1, 3]
+    assert len(bad) == 1 and bad[0]["_corrupt_record"] == "2,not_a_number"
+    df.unpersist()
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """S3 hardened: files written before a column existed read as NULL
+    in that column under mergeSchema; both generations coexist."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.sources.tables import (
+        read_parquet_evolving,
+    )
+
+    path = str(tmp_path / "bronze")
+    spark.createDataFrame(
+        [(1, "a")], "doc_id: long, text: string"
+    ).write.parquet(path)
+    spark.createDataFrame(
+        [(2, "b", "en")], "doc_id: long, text: string, lang: string"
+    ).write.mode("append").parquet(path)
+    df = read_parquet_evolving(spark, path)
+    assert set(df.columns) == {"doc_id", "text", "lang"}
+    rows = {r["doc_id"]: r["lang"] for r in df.collect()}
+    assert rows == {1: None, 2: "en"}
+    # the old generation's missing column is NULL, not an error, and
+    # filters on it still prune correctly
+    assert df.where(F.col("lang") == "en").count() == 1
+
+
 def test_orc_and_text_roundtrip(spark, tmp_path):
     """ORC sink/scan (partitioned, dynamic overwrite) and raw text-line
     scan — the non-Parquet corners of the source surface."""
