@@ -60,6 +60,8 @@ HEADLINE = [
     "x32_canonical_docs",
     "x33_token_budget_select",
     "x35_incremental_dedup",
+    "x38_chunk_documents",
+    "x39_vocab_coverage",
     "q14_rollup",
     "q22_cube",
     "q25_scd2",
@@ -105,11 +107,13 @@ def main() -> None:
         # time the build call too: iterative operators (connected
         # components, k-means) do their work eagerly inside it, and a
         # post-build timer would only measure their cached final frame.
-        # best-of-2 runs: the min is the query's cost with warm code
-        # paths; the max folds in GC pauses and machine contention noise
-        # that says nothing about the plan.
+        # best-of-3 runs: the min is the query's cost with warm code
+        # paths; the slower runs fold in GC pauses, JIT recompiles, and
+        # machine contention noise that say nothing about the plan
+        # (observed: a single best-of-2 pair once landed 3.7s for a
+        # query whose warm cost is 0.5s — both runs hit the same pause).
         best = None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df = registry[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()

@@ -44,6 +44,8 @@ def stable_row_ids(
     # n_shards rows: the single-partition window below is the whole
     # sequential fraction of this plan
     counts = base.groupBy("shard").agg(F.count("*").alias("n"))
+    # WindowExec warns about this unpartitioned window; that is the
+    # design — the frame holds exactly n_shards rows at any data scale.
     w_off = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(
         "shard",

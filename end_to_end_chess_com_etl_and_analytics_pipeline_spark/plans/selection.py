@@ -515,6 +515,183 @@ FROM documents d JOIN counts c ON d.source = c.source
 """
 
 
+# x38: context-window chunking — chunk/stride in whitespace tokens.
+# Stride < chunk ⇒ consecutive chunks overlap by CHUNK_TOKENS -
+# CHUNK_STRIDE tokens (the standard pretraining/RAG windowing).
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+def x38_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking: every document split into
+    CHUNK_TOKENS-token windows starting every CHUNK_STRIDE tokens — the
+    preprocessing step that turns a document corpus into model-sized
+    training/retrieval units.
+
+    One scan, zero shuffles: tokenize once, explode the start-offset
+    sequence, slice — all scan-local array expressions, so the plan is
+    a Project+Generate over the parquet scan at any corpus size (the
+    chunk fan-out multiplies rows ~n_tokens/stride-fold, which is the
+    output's intrinsic size, not a plan overhead).  Empty documents
+    produce zero chunks (and Spark's ``sequence`` rejects a 0→-1
+    range, so the n≥1 filter is also a correctness guard).
+
+    Reference parity: no reference counterpart (its texts are PGN blobs
+    consumed whole); this is part of the LLM-pipeline extension surface.
+    """
+    from ..functions.text import tokens
+
+    docs = load_table(spark, "documents", sf_dir)
+    base = (
+        docs.select("doc_id", tokens("text").alias("__tk"))
+        .withColumn("__n", F.size("__tk"))
+        .where(F.col("__n") >= 1)
+    )
+    chunk = F.slice(F.col("__tk"), F.col("s") + 1, F.lit(CHUNK_TOKENS))
+    return (
+        base.withColumn(
+            "s",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.col("__n") - 1, F.lit(CHUNK_STRIDE)
+                )
+            ),
+        )
+        .select(
+            "doc_id",
+            (F.col("s") / CHUNK_STRIDE).cast("bigint").alias("chunk_seq"),
+            F.col("s").cast("bigint").alias("start_token"),
+            F.size(chunk).alias("n_chunk_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )
+
+
+def _x38_sql() -> str:
+    from .extensions import _TOKS_SQL
+
+    tk = _TOKS_SQL.format(c="text")
+    return f"""
+WITH base AS (
+    SELECT doc_id, {tk} AS tk, len({tk}) AS n
+    FROM documents
+    WHERE len({tk}) >= 1)
+SELECT doc_id,
+       CAST(s // {CHUNK_STRIDE} AS BIGINT) AS chunk_seq,
+       CAST(s AS BIGINT) AS start_token,
+       CAST(len(list_slice(tk, s + 1, s + {CHUNK_TOKENS})) AS INTEGER)
+           AS n_chunk_tokens,
+       array_to_string(list_slice(tk, s + 1, s + {CHUNK_TOKENS}), ' ')
+           AS chunk_text
+FROM base, UNNEST(range(0, CAST(n AS BIGINT), {CHUNK_STRIDE})) AS t(s)
+"""
+
+
+# x39: tokenizer-style vocabulary build — top-VOCAB_SIZE lowercased
+# whitespace tokens by corpus frequency, with coverage fractions.
+# Sized below the fixtures' distinct-token count (31 at sf0.01) so the
+# rank cut actually binds and both kept/dropped outcomes are exercised
+# (same reasoning as TOKEN_BUDGET above); a real tokenizer build sets
+# this to 10^4-10^5.
+VOCAB_SIZE = 24
+
+
+def x39_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary + OOV coverage: the top-VOCAB_SIZE tokens by
+    frequency (ties broken lexicographically), each with its corpus
+    frequency fraction and the cumulative coverage at its rank — the
+    last row's ``cum_frac`` is exactly the in-vocab token coverage, and
+    1 − it the OOV rate a tokenizer of this vocab would see.
+
+    The global (cnt DESC, token ASC) rank and running sum are built
+    WITHOUT a global sort: tokens shard by floor(log2(cnt)) — every
+    count in bucket k exceeds every count in bucket k+1, so the shard
+    key is monotone in the target order and per-shard window + n_shards
+    broadcast offsets compose the exact total order (the operators.ids
+    two-phase pattern).  Corpus-scale cost is one explode + one
+    hash-agg shuffle on token; the windows run over the distinct-token
+    table, orders of magnitude smaller."""
+    from ..functions.text import tokens
+
+    docs = load_table(spark, "documents", sf_dir)
+    counts = (
+        docs.select(
+            F.explode(tokens(F.lower(F.col("text")))).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    # log2-bucket shard: ascending __shard == descending cnt block-wise
+    sharded = counts.withColumn(
+        "__shard", (-F.floor(F.log2(F.col("cnt").cast("double")))).cast("long")
+    )
+    w_local = Window.partitionBy("__shard").orderBy(
+        F.desc("cnt"), F.asc("token")
+    )
+    ranked = sharded.withColumn(
+        "__rank", F.row_number().over(w_local)
+    ).withColumn(
+        "__cum",
+        F.sum("cnt").over(w_local.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    shard_stats = sharded.groupBy("__shard").agg(
+        F.count("*").alias("__n"), F.sum("cnt").alias("__tok")
+    )
+    w_off = Window.orderBy("__shard").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = shard_stats.select(
+        "__shard",
+        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__n_off"),
+        F.coalesce(F.sum("__tok").over(w_off), F.lit(0)).alias("__tok_off"),
+    )
+    total = counts.agg(
+        F.sum("cnt").cast("double").alias("__total")
+    )
+    from ..functions.rounding import round_fixed
+
+    return (
+        ranked.join(F.broadcast(offsets), "__shard")
+        .withColumn("rank", (F.col("__n_off") + F.col("__rank")).cast("bigint"))
+        .where(F.col("rank") <= VOCAB_SIZE)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "rank",
+            "token",
+            "cnt",
+            round_fixed(
+                F.col("cnt").cast("double") / F.col("__total"), 6
+            ).alias("frac"),
+            round_fixed(
+                (F.col("__tok_off") + F.col("__cum")).cast("double")
+                / F.col("__total"),
+                6,
+            ).alias("cum_frac"),
+        )
+    )
+
+
+def _x39_sql() -> str:
+    from .extensions import _TOKS_SQL
+    from ..functions.rounding import round_fixed_sql
+
+    tk = _TOKS_SQL.format(c="lower(text)")
+    frac = round_fixed_sql("CAST(r.cnt AS DOUBLE) / t.total", 6)
+    cum = round_fixed_sql("CAST(r.cum_cnt AS DOUBLE) / t.total", 6)
+    return f"""
+WITH tok AS (SELECT unnest({tk}) AS token FROM documents),
+c AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+t AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM c),
+r AS (SELECT token, cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS rank,
+             SUM(cnt) OVER (ORDER BY cnt DESC, token ASC) AS cum_cnt
+      FROM c)
+SELECT CAST(r.rank AS BIGINT) AS rank, r.token, r.cnt,
+       {frac} AS frac, {cum} AS cum_frac
+FROM r, t WHERE r.rank <= {VOCAB_SIZE}
+"""
+
+
 SELECTION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x32_canonical_docs": x32_canonical_docs,
     "x33_token_budget_select": x33_token_budget_select,
@@ -523,6 +700,8 @@ SELECTION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x36_mixture_sample": x36_mixture_sample,
     "st06_streaming_incremental_dedup": st06_streaming_incremental_dedup,
     "x37_leakage_safe_split": x37_leakage_safe_split,
+    "x38_chunk_documents": x38_chunk_documents,
+    "x39_vocab_coverage": x39_vocab_coverage,
 }
 
 SELECTION_ORACLE: dict[str, str] = {
@@ -533,4 +712,6 @@ SELECTION_ORACLE: dict[str, str] = {
     "x36_mixture_sample": _x36_sql(),
     "st06_streaming_incremental_dedup": _x35_sql(),
     "x37_leakage_safe_split": _x37_sql(),
+    "x38_chunk_documents": _x38_sql(),
+    "x39_vocab_coverage": _x39_sql(),
 }

@@ -290,3 +290,87 @@ def test_epoch_shuffle_seed_changes_order(spark, monkeypatch):
     assert set(base) == set(other)
     # same doc set, different order (astronomically unlikely to collide)
     assert base != other
+
+
+def test_chunking_tiles_every_document(spark):
+    """x38: chunks tile [0, n_tokens) at CHUNK_STRIDE spacing, each
+    holds min(CHUNK_TOKENS, n - start) tokens, and rejoining a chunk's
+    text yields exactly its token count."""
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.functions.text import (
+        token_count,
+    )
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    out = S.x38_chunk_documents(spark, SF_DIR).cache()
+    docs = load_table(spark, "documents", SF_DIR).select(
+        "doc_id", token_count("text").alias("n")
+    )
+    j = out.join(docs, "doc_id")
+    bad = j.where(
+        (F.col("start_token") != F.col("chunk_seq") * S.CHUNK_STRIDE)
+        | (
+            F.col("n_chunk_tokens")
+            != F.least(
+                F.lit(S.CHUNK_TOKENS), F.col("n") - F.col("start_token")
+            )
+        )
+        | (token_count("chunk_text") != F.col("n_chunk_tokens"))
+    ).count()
+    assert bad == 0
+    # chunk count per doc = floor((n-1)/stride) + 1 for non-empty docs;
+    # empty docs emit no chunks
+    per_doc = out.groupBy("doc_id").agg(F.count("*").alias("n_chunks"))
+    full = docs.join(per_doc, "doc_id", "left")
+    bad_counts = full.where(
+        F.coalesce("n_chunks", F.lit(0))
+        != F.when(F.col("n") >= 1, F.floor((F.col("n") - 1) / S.CHUNK_STRIDE) + 1)
+        .otherwise(0)
+    ).count()
+    assert bad_counts == 0
+    out.unpersist()
+
+
+def test_vocab_coverage_matches_global_rank(spark):
+    """x39: the two-phase sharded rank/cumsum equals the naive global
+    window over the distinct-token table, and coverage fractions are
+    consistent and monotone."""
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.functions.text import (
+        tokens,
+    )
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.sources.tables import (
+        load_table,
+    )
+    from pyspark.sql import Window
+
+    out = S.x39_vocab_coverage(spark, SF_DIR).cache()
+    docs = load_table(spark, "documents", SF_DIR)
+    counts = (
+        docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    naive = (
+        counts.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= S.VOCAB_SIZE)
+        .select("rank", "token", "cnt")
+    )
+    mism = (
+        out.select("rank", "token", "cnt")
+        .exceptAll(naive)
+        .union(naive.exceptAll(out.select("rank", "token", "cnt")))
+        .count()
+    )
+    assert mism == 0
+    rows = sorted(out.collect(), key=lambda r: r["rank"])
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    assert all(
+        a["cum_frac"] < b["cum_frac"] for a, b in zip(rows, rows[1:])
+    )
+    assert all(
+        a["cnt"] >= b["cnt"] for a, b in zip(rows, rows[1:])
+    )
+    assert rows[-1]["cum_frac"] <= 1.0 + 1e-9
+    out.unpersist()
