@@ -121,3 +121,76 @@ def test_mixture_threshold_monotone_in_domain_size(spark, sizes):
     # bigger domains never get a LARGER keep-threshold (downsampling)
     for (n1, t1), (n2, t2) in zip(pairs, pairs[1:]):
         assert t2 <= t1
+
+
+@given(texts=_CORPUS)
+@settings(**_SETTINGS)
+def test_chunking_reconstructs_every_document(spark, texts):
+    """x38 on ANY corpus: taking the first CHUNK_STRIDE tokens of every
+    chunk (all of the last) in chunk_seq order reconstructs the
+    document's token sequence exactly; empty docs yield no chunks."""
+    df = _docs_df(spark, texts)
+    orig = S.load_table
+    S.load_table = lambda spark, name, sf_dir, **kw: df
+    try:
+        out = S.x38_chunk_documents(spark, "ignored").collect()
+    finally:
+        S.load_table = orig
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, t in enumerate(texts):
+        toks = t.split()
+        chunks = sorted(by_doc.get(i, []), key=lambda r: r["chunk_seq"])
+        if not toks:
+            assert chunks == []
+            continue
+        rebuilt: list[str] = []
+        for j, r in enumerate(chunks):
+            ctoks = r["chunk_text"].split()
+            assert len(ctoks) == r["n_chunk_tokens"]
+            last = j == len(chunks) - 1
+            rebuilt.extend(ctoks if last else ctoks[: S.CHUNK_STRIDE])
+        assert rebuilt == toks
+        # overlap property: each non-first chunk repeats the previous
+        # chunk's tail when the previous chunk was full-size
+        for prev, cur in zip(chunks, chunks[1:]):
+            ptoks = prev["chunk_text"].split()
+            ctoks = cur["chunk_text"].split()
+            if len(ptoks) == S.CHUNK_TOKENS:
+                ov = S.CHUNK_TOKENS - S.CHUNK_STRIDE
+                assert ctoks[:ov] == ptoks[S.CHUNK_STRIDE:]
+
+
+@given(texts=_CORPUS)
+@settings(**_SETTINGS)
+def test_vocab_two_phase_rank_equals_sorted_counts(spark, texts):
+    """x39 on ANY corpus: the sharded two-phase rank equals the plain
+    python (cnt DESC, token ASC) sort, and fractions are exact."""
+    df = _docs_df(spark, texts)
+    orig = S.load_table
+    S.load_table = lambda spark, name, sf_dir, **kw: df
+    try:
+        rows = sorted(
+            S.x39_vocab_coverage(spark, "ignored").collect(),
+            key=lambda r: r["rank"],
+        )
+    finally:
+        S.load_table = orig
+    from collections import Counter
+
+    counts = Counter(
+        tok for t in texts for tok in t.lower().split() if tok
+    )
+    expected = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[
+        : S.VOCAB_SIZE
+    ]
+    assert [(r["token"], r["cnt"]) for r in rows] == expected
+    total = sum(counts.values())
+    cum = 0
+    for r in rows:
+        cum += r["cnt"]
+        # frac/cum_frac are scale-6 rounded (functions.rounding), so
+        # agreement is to the half-ulp of that scale
+        assert abs(r["frac"] - r["cnt"] / total) <= 5e-7
+        assert abs(r["cum_frac"] - cum / total) <= 5e-7

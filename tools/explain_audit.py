@@ -51,6 +51,8 @@ HEADLINE = [
     ("x34_epoch_shuffle", "one block-key exchange; dense epoch positions via broadcast block offsets — no global sort"),
     ("x35_incremental_dedup", "batch probes the persisted band index on (band, band_key) — corpus never self-joined; per-doc agg shuffles batch ids only"),
     ("x37_leakage_safe_split", "cluster build (x20 kernel) + zero-shuffle hash-split projection keyed by cluster_id — no extra exchange beyond the cluster join"),
+    ("x38_chunk_documents", "tokenize-once + explode start offsets + slice — scan-local Project+Generate; no exchange beyond the undersplit-scan spread (a no-op at cluster scale)"),
+    ("x39_vocab_coverage", "corpus-scale work = one explode + one token hash-agg exchange (plus the undersplit-scan spread); every later exchange moves only the distinct-token table (vocab-bounded rows), where the monotone log2(cnt) shards + broadcast offsets replace a global sort"),
 ]
 
 

@@ -1,0 +1,196 @@
+"""Empirical scaling probe: time headline operators at 1x (sf0.1) and
+Nx (default 10x) the fixture volume and report the runtime ratio per
+operator, so "would this plan survive a scale-up?" is measured, not
+asserted.  Results are committed as SCALE.md.
+
+The Nx corpus is derived from the sf0.1 fixtures (never synthesized
+from scratch — TESTDATA.md is the source of truth for shape):
+
+- ``documents``: N perturbed replicas; each replica appends a replica
+  marker token to the text and offsets doc_id.  Replicas of a doc are
+  mutual near-duplicates (a long shared prefix), which is exactly what
+  a real crawl's duplication looks like — so dedup/LSH operators see a
+  REALISTIC harder workload (pair fan-out grows with duplication),
+  not an artificial exact-copy explosion.
+- ``embeddings``: N replicas with a small deterministic per-replica
+  rotation-free perturbation (component nudge), vec_id offset.
+- ``events``: N replicas shifted by k days, event_id offset — window,
+  session, as-of and skew operators scale linearly in input.
+- ``lineitem``/``orders``: N replicas with key offsets — relational
+  scan/agg/join queries at N× rows (dims stay fixed, as they would at
+  100 TB: fact grows, dimensions don't).
+
+Usage::
+
+    python tools/scale_probe.py [N] [out_dir]
+    # default N=10, out_dir=/tmp/spark_graft_scale_sf1
+
+Interpretation notes printed with the table: operators whose OUTPUT is
+pair-shaped (x03/x14 LSH near-dup) are expected to grow faster than
+input scale when duplication grows — their cost is output-bound, which
+is the correct behaviour (candidate generation stays bucket-local).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SRC = "/root/testdata/sf0.1"
+
+
+def build_scaled(spark, n: int, out_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+    done_marker = os.path.join(out_dir, f"_built_x{n}")
+    if os.path.exists(done_marker):
+        return
+
+    def replicas(df, id_cols: dict[str, int], extra=None):
+        """Union n copies of df with per-replica id offsets; ``extra``
+        maps column -> fn(col, replica_index_col) for perturbations."""
+        out = None
+        for k in range(n):
+            d = df
+            for c, stride in id_cols.items():
+                d = d.withColumn(c, (F.col(c) + F.lit(k * stride)).cast("long"))
+            if extra:
+                for c, fn in extra.items():
+                    d = d.withColumn(c, fn(F.col(c), k))
+            out = d if out is None else out.unionByName(d)
+        return out
+
+    docs = spark.read.parquet(os.path.join(SRC, "documents.parquet"))
+    n_docs = docs.count()
+    replicas(
+        docs,
+        {"doc_id": n_docs},
+        extra={
+            "text": lambda c, k: F.concat(c, F.lit(f" repl{k}"))
+            if k
+            else c
+        },
+    ).write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
+
+    emb = spark.read.parquet(os.path.join(SRC, "embeddings.parquet"))
+    n_emb = emb.count()
+    replicas(
+        emb,
+        {"vec_id": n_emb},
+        extra={
+            "embedding": lambda c, k: F.transform(
+                c, lambda x: x + F.lit(0.001 * k)
+            )
+        },
+    ).write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
+
+    ev = spark.read.parquet(os.path.join(SRC, "events.parquet"))
+    n_ev = ev.count()
+    replicas(
+        ev,
+        {"event_id": n_ev, "user_id": 0},
+        extra={
+            "ts": lambda c, k: c + F.expr(f"INTERVAL {k} DAYS")
+        },
+    ).write.mode("overwrite").parquet(os.path.join(out_dir, "events.parquet"))
+
+    li = spark.read.parquet(os.path.join(SRC, "lineitem.parquet"))
+    replicas(li, {"l_orderkey": 6_000_000}).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "lineitem.parquet")
+    )
+    od = spark.read.parquet(os.path.join(SRC, "orders.parquet"))
+    replicas(od, {"o_orderkey": 6_000_000}).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "orders.parquet")
+    )
+    # dims + small tables: unchanged (facts grow, dimensions don't)
+    for t in ("region", "nation", "customer", "supplier", "part"):
+        spark.read.parquet(os.path.join(SRC, f"{t}.parquet")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, f"{t}.parquet"))
+    with open(done_marker, "w") as fh:
+        fh.write("ok")
+
+
+PROBES = [
+    "q01_pricing_summary",
+    "q06_latest_event_per_user",
+    "q07_star_join_rollup",
+    "x01_exact_dedup",
+    "x03_minhash_lsh_pairs",
+    "x05_simhash",
+    "x08_text_stats",
+    "x09_tumbling_window",
+    "x11_sessionize",
+    "x12_ivf_topk",
+    "x14_embedding_lsh_near_dup",
+    "x16_asof_join",
+    "x19_tfidf_topk",
+    "x26_pack_sequences",
+    "x28_stable_row_ids",
+    "x33_token_budget_select",
+    "x34_epoch_shuffle",
+    "x38_chunk_documents",
+    "x39_vocab_coverage",
+]
+
+# operators whose result is pair/fan-out shaped: their cost tracks
+# OUTPUT size, which grows faster than input when duplication grows —
+# report output rows alongside time so the ratio is interpretable
+OUTPUT_BOUND = {"x03_minhash_lsh_pairs", "x14_embedding_lsh_near_dup"}
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out_dir = (
+        sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_graft_scale_sf1"
+    )
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans import suites
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.session import (
+        get_spark,
+    )
+
+    spark = get_spark(app_name="scale-probe")
+    build_scaled(spark, n, out_dir)
+
+    # warm engine paths once (same rationale as bench.py)
+    spark.range(1_000_000).selectExpr("sum(id) s").write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    results = {}
+    for name in PROBES:
+        fn = suites.FULL_QUERIES[name]
+        row = {}
+        for label, sf_dir in (("base", SRC), (f"x{n}", out_dir)):
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                # noop sink (as bench.py): count() would let Catalyst
+                # prune every computed column and time only the scan
+                df.write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            rows = fn(spark, sf_dir).count()  # untimed, for the report
+            row[label] = {"sec": round(best, 3), "rows": rows}
+        row["ratio"] = round(row[f"x{n}"]["sec"] / max(row["base"]["sec"], 1e-9), 2)
+        results[name] = row
+        print(
+            f"{name:32s} base={row['base']['sec']:7.3f}s "
+            f"x{n}={row[f'x{n}']['sec']:7.3f}s ratio={row['ratio']:6.2f} "
+            f"rows {row['base']['rows']} -> {row[f'x{n}']['rows']}"
+            + ("  [output-bound]" if name in OUTPUT_BOUND else ""),
+            flush=True,
+        )
+    print(json.dumps({"n": n, "results": results}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
