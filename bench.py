@@ -114,6 +114,11 @@ def main() -> None:
         # query whose warm cost is 0.5s — both runs hit the same pause).
         best = None
         for _ in range(3):
+            # untimed GC barrier: collect the previous run's garbage
+            # NOW so its pause doesn't land inside the next timing
+            # (observed: a 1.6s query billed 5s when a neighbour's
+            # garbage came due mid-run)
+            spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
             df = registry[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()

@@ -290,11 +290,30 @@ SELECT query_id, cand_id, cos, rank FROM ranked WHERE rank <= 5
 
 def x12_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style approximate top-k: corpus vectors bucketed by nearest
-    coarse centroid (every 50th embedding), queries probe their 2
-    nearest cells only — the 100 TB scale path where each query scans
-    ~nprobe/n_cells of the corpus instead of all of it."""
+    coarse centroid, queries probe their 2 nearest cells only — the
+    100 TB scale path where each query scans ~nprobe/n_cells of the
+    corpus instead of all of it.
+
+    The coarse centroids are every ``stride``-th embedding with
+    ``stride = max(50, ceil(n/100))`` — i.e. the cell count is CAPPED
+    (~100) regardless of corpus size.  Deriving centroids with a fixed
+    modulus instead makes the cell count grow linearly with the corpus
+    and the assignment cost O(n·cells) = O(n²) — measured 8.8× runtime
+    at 10× data before this cap (tools/scale_probe.py); with the cap
+    assignment is O(n·100), linear.  The floor of 50 keeps both fixture
+    scales on their original centroid sets.  The count() powering the
+    stride is a metadata-cheap scalar, the same corpus-size input a
+    real IVF build uses to size its codebook."""
+    import math
+    import os
+
     emb = load_table(spark, "embeddings", sf_dir)
-    centroids = emb.where(F.col("vec_id") % 50 == 3).select(
+    # plain reader for the sizing count: COUNT(*) over an un-respread
+    # parquet scan folds to footer row-group metadata (no data read);
+    # emb itself goes through the usual spread for the compute below
+    n = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).count()
+    stride = max(50, math.ceil(n / 100))
+    centroids = emb.where(F.col("vec_id") % stride == 3).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
     )
     return ivf_topk(
@@ -304,10 +323,16 @@ def x12_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IVF_CELL_COS = round_fixed_sql(cosine_sql("e.embedding", "c.centroid"), 6)
 
+# stride must be the SAME arithmetic as x12_ivf_topk: max(50, ceil(n/100))
+_IVF_STRIDE_SQL = (
+    "(SELECT GREATEST(CAST(CEIL(COUNT(*) / 100.0) AS BIGINT), 50) "
+    "FROM embeddings)"
+)
+
 _X12_SQL = f"""
 WITH cent AS (
     SELECT vec_id AS centroid_id, embedding AS centroid
-    FROM embeddings WHERE vec_id % 50 = 3),
+    FROM embeddings WHERE vec_id % {_IVF_STRIDE_SQL} = 3),
 cells AS (
     SELECT vec_id, embedding, centroid_id AS cell FROM (
         SELECT e.vec_id, e.embedding, c.centroid_id,
