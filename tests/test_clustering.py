@@ -156,3 +156,42 @@ def test_ivf_recall_at_5_vs_brute_force(spark):
     assert r2 > r_arb            # training the cells helps
     assert r2 <= r3 <= r4        # nprobe is a monotone recall knob
     assert r4 >= 0.75            # pinned floor (observed 0.795)
+
+
+def test_x12_stride_parity_at_non_fixture_size(spark, tmp_path):
+    """x12's IVF codebook stride (max(50, ceil(n/100))) must be the
+    SAME arithmetic in the Spark query and the DuckDB oracle — at a
+    corpus size neither fixture has, so formula drift can't hide
+    behind the fixtures' round sizes (5613 → stride 57; the fixtures
+    exercise only the floor-50 branch at sf0.01 and the exact 50 at
+    sf0.1)."""
+    import duckdb
+    import math
+    import random
+
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans import (
+        extensions as E,
+    )
+    from tests.oracle_compare import compare
+
+    n, dim = 5613, 8
+    rng = random.Random(712)
+    rows = [
+        (i, [rng.uniform(-1.0, 1.0) for _ in range(dim)], i % 3)
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    path = str(tmp_path / "embeddings.parquet")
+    df.coalesce(1).write.parquet(path)
+
+    out = E.x12_ivf_topk(spark, str(tmp_path))
+    # sanity: the stride really is the non-floor branch here
+    assert max(50, math.ceil(n / 100)) == 57
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{path}/*.parquet'"
+    )
+    compare(out, con.sql(E._X12_SQL))
