@@ -108,6 +108,14 @@ def lang_id(text: Column | str) -> Column:
     return best
 
 
+# DuckDB oracle renderings of the tokenizers above — the ONE source
+# every plan's oracle SQL must import (an independently-maintained copy
+# is the drifted-constant bug class that cost x14 its round-3 parity).
+# TOKS_SQL mirrors tokens(); BPE_EXTRACT_SQL mirrors the regex inside
+# bpe_ish_token_count().  Both take the text expression via {c}.
+TOKS_SQL = "list_filter(string_split_regex({c}, '\\s+'), t -> t <> '')"
+BPE_EXTRACT_SQL = "regexp_extract_all({c}, '([A-Za-z]+|\\d|[^A-Za-z\\d\\s]+)', 1)"
+
 # Rabin-Karp rolling-hash fingerprint constants: base/modulus for the
 # polynomial k-gram hash, and the winnowing-style 1-in-W hash selection.
 # (operators.dedup.rolling_fingerprint — DataFrame-level so the char-codes

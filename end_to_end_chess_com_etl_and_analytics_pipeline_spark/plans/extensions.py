@@ -50,8 +50,10 @@ from ..sources.tables import load_table
 # shared oracle-SQL building blocks
 # ---------------------------------------------------------------------------
 
-# whitespace tokenization with empties dropped (functions.text.tokens)
-_TOKS_SQL = "list_filter(string_split_regex({c}, '\\s+'), t -> t <> '')"
+# whitespace tokenization with empties dropped — single-sourced next to
+# its Spark twin (functions.text.tokens)
+from ..functions.text import TOKS_SQL as _TOKS_SQL  # noqa: E402
+from ..functions.text import BPE_EXTRACT_SQL as _BPE_EXTRACT_SQL  # noqa: E402
 
 
 def _shingle_cte(n: int, table: str = "documents") -> str:
@@ -463,7 +465,7 @@ _QUALITY_SQL = round_fixed_sql(
 _X08_SQL = f"""
 SELECT doc_id,
        CAST({_N_TOKS} AS INTEGER) AS n_tokens,
-       CAST(len(regexp_extract_all(text, '([A-Za-z]+|\\d|[^A-Za-z\\d\\s]+)', 1)) AS INTEGER)
+       CAST(len({_BPE_EXTRACT_SQL.format(c='text')}) AS INTEGER)
            AS n_bpe_tokens,
        CASE WHEN {_N_TOKS} = 0 THEN 0.0
             ELSE CAST(list_sum(list_transform({_TOKS_SQL.format(c='text')}, t -> length(t))) AS DOUBLE)
@@ -903,10 +905,13 @@ def x22_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     assigned, _ = kmeans(emb, k=8, rounds=3)
     sizes = assigned.groupBy("cluster_id").agg(F.count("*").alias("n"))
+    # groupBy only yields clusters with >=1 member, so "every cluster
+    # non-empty" is exactly "all k=8 cluster ids materialized" — a
+    # min(n)>0 over the groups would be vacuously true
     return sizes.agg(
         F.count("*").cast("bigint").alias("n_clusters"),
         F.sum("n").alias("n_vectors_total"),
-        (F.min("n") > 0).alias("all_clusters_nonempty"),
+        (F.count("*") == 8).alias("all_clusters_nonempty"),
     )
 
 

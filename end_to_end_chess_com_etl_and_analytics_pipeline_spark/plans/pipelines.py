@@ -524,9 +524,9 @@ SELECT s.*,
        CASE WHEN contains({_SLUG_NAME_SQL}, ':')
             THEN string_split({_SLUG_NAME_SQL}, ':')[2]
             ELSE {_SLUG_NAME_SQL} END AS opening_variation,
-       CASE WHEN CAST(string_split(time_control, '+')[1] AS BIGINT) < 180
+       CASE WHEN TRY_CAST(string_split(time_control, '+')[1] AS BIGINT) < 180
                  THEN 'bullet'
-            WHEN CAST(string_split(time_control, '+')[1] AS BIGINT) < 600
+            WHEN TRY_CAST(string_split(time_control, '+')[1] AS BIGINT) < 600
                  THEN 'blitz'
             ELSE 'rapid' END AS time_class_bucket,
        coalesce(array_to_string(

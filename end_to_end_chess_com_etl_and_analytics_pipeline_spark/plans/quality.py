@@ -33,8 +33,9 @@ from ..functions.rounding import round_fixed, round_fixed_sql
 from ..functions.text import tokens
 from ..sources.tables import load_table
 
-# whitespace tokenization with empties dropped (functions.text.tokens)
-_TOKS_SQL = "list_filter(string_split_regex({c}, '\\s+'), t -> t <> '')"
+# whitespace tokenization with empties dropped — single-sourced next to
+# its Spark twin (functions.text.tokens)
+from ..functions.text import TOKS_SQL as _TOKS_SQL  # noqa: E402
 
 # repetition keep-flag thresholds (chosen at fixture quartiles so both
 # outcomes occur; the *filter mechanics* are the operator under test)

@@ -72,7 +72,33 @@ N_BLOCKS = 64
 EPOCH_SEED = "epoch0"
 
 
-def x32_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared near-dup cluster kernel (MinHash-LSH pairs → connected
+    components; x20's constants): (node, component) labels.  x32 and
+    x37 both consume it — pass one precomputed frame via their
+    ``clusters`` argument to pay for the pair generation + CC iteration
+    once (the registry suite does; see suites._corpus_selection_suite)."""
+    from ..operators.graph import connected_components
+    from ..operators.dedup import minhash_lsh_pairs
+    from ..plans.extensions import (
+        _MINHASH_BANDS,
+        _MINHASH_N,
+        _MINHASH_SHINGLE,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = minhash_lsh_pairs(
+        docs,
+        num_hashes=_MINHASH_N,
+        bands=_MINHASH_BANDS,
+        shingle_len=_MINHASH_SHINGLE,
+    )
+    return connected_components(pairs, src="id_a", dst="id_b")
+
+
+def x32_canonical_docs(
+    spark: SparkSession, sf_dir: str, clusters: DataFrame | None = None
+) -> DataFrame:
     """Keep-one-per-cluster with a quality policy: near-dup clusters
     from the x20 kernel (same MinHash-LSH constants), each labeled doc
     joined back to its quality score, and ``is_canonical`` = the
@@ -82,22 +108,9 @@ def x32_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: the reference has no corpus operators at all —
     this extends the latest-wins "keep one" idea (python_scripts.py
     merge semantics) from exact keys to near-duplicate clusters."""
-    from ..operators.graph import connected_components
-    from ..plans.extensions import (
-        _MINHASH_BANDS,
-        _MINHASH_N,
-        _MINHASH_SHINGLE,
-    )
-    from ..operators.dedup import minhash_lsh_pairs
-
     docs = load_table(spark, "documents", sf_dir)
-    pairs = minhash_lsh_pairs(
-        docs,
-        num_hashes=_MINHASH_N,
-        bands=_MINHASH_BANDS,
-        shingle_len=_MINHASH_SHINGLE,
-    )
-    clusters = connected_components(pairs, src="id_a", dst="id_b")
+    if clusters is None:
+        clusters = _dup_clusters(spark, sf_dir)
     scored = docs.select("doc_id", quality_score("text").alias("quality"))
     labeled = (
         scored.join(clusters, scored.doc_id == clusters.node, "left")
@@ -306,9 +319,10 @@ FROM labeled
 
 
 def _x33_sql() -> str:
+    from ..functions.text import BPE_EXTRACT_SQL
     from ..plans.extensions import _QUALITY_SQL
 
-    bpe = "CAST(len(regexp_extract_all(text, '([A-Za-z]+|\\d|[^A-Za-z\\d\\s]+)', 1)) AS BIGINT)"
+    bpe = f"CAST(len({BPE_EXTRACT_SQL.format(c='text')}) AS BIGINT)"
     return f"""
 WITH stats AS (
     SELECT doc_id, {_QUALITY_SQL} AS quality, {bpe} AS n_bpe_tokens
@@ -402,7 +416,9 @@ SPLIT_FRACTIONS = {"train": 80, "val": 10, "test": 10}
 SPLIT_SEED = "leaksafe0"
 
 
-def x37_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x37_leakage_safe_split(
+    spark: SparkSession, sf_dir: str, clusters: DataFrame | None = None
+) -> DataFrame:
     """Train/val/test split that cannot leak near-duplicates across
     splits: the hash-split key is the near-dup CLUSTER id (x20 kernel),
     not the doc id, so every member of a duplicate cluster lands in the
@@ -411,23 +427,11 @@ def x37_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     another in test, silently inflating eval scores; keying the
     existing zero-shuffle hash split by cluster_id closes that hole
     for the cost of the cluster build the dedup pass already ran."""
-    from ..operators.graph import connected_components
-    from ..operators.dedup import minhash_lsh_pairs
     from ..operators.sampling import hash_split
-    from ..plans.extensions import (
-        _MINHASH_BANDS,
-        _MINHASH_N,
-        _MINHASH_SHINGLE,
-    )
 
     docs = load_table(spark, "documents", sf_dir)
-    pairs = minhash_lsh_pairs(
-        docs,
-        num_hashes=_MINHASH_N,
-        bands=_MINHASH_BANDS,
-        shingle_len=_MINHASH_SHINGLE,
-    )
-    clusters = connected_components(pairs, src="id_a", dst="id_b")
+    if clusters is None:
+        clusters = _dup_clusters(spark, sf_dir)
     labeled = docs.join(
         clusters, docs.doc_id == clusters.node, "left"
     ).select(

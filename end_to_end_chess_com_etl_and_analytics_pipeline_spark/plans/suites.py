@@ -183,6 +183,30 @@ SUITE_QUERIES: dict[str, QueryFn] = {
     name: _suite({sub: _FINE_QUERIES[sub] for sub in subs})
     for name, subs in _SUITE_PARTS.items()
 }
+
+
+def _corpus_selection_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x32_corpus_selection with the expensive shared kernel computed
+    ONCE: x32 and x37 both need the near-dup cluster map (MinHash-LSH
+    pairs + iterative connected components — the suite's dominant
+    cost); precompute it, pin it with localCheckpoint, and pass it to
+    both.  Sub-query outputs are identical to their standalone forms —
+    the frame handed in is exactly what each would have built."""
+    clusters = _selection._dup_clusters(spark, sf_dir).localCheckpoint()
+    parts: dict[str, QueryFn] = {}
+    for sub in _SUITE_PARTS["x32_corpus_selection"]:
+        if sub in ("x32_canonical_docs", "x37_leakage_safe_split"):
+            parts[sub] = (
+                lambda spark, sf_dir, _fn=_FINE_QUERIES[sub]: _fn(
+                    spark, sf_dir, clusters=clusters
+                )
+            )
+        else:
+            parts[sub] = _FINE_QUERIES[sub]
+    return _suite(parts)(spark, sf_dir)
+
+
+SUITE_QUERIES["x32_corpus_selection"] = _corpus_selection_suite
 SUITE_ORACLE: dict[str, str] = {
     name: _suite_sql({sub: _FINE_ORACLE[sub] for sub in subs})
     for name, subs in _SUITE_PARTS.items()

@@ -84,6 +84,28 @@ def read_events_raw(spark: SparkSession, path: str) -> DataFrame:
                 spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
 
 
+_BYTE_SUFFIXES = {
+    "": 1, "b": 1,
+    "k": 1 << 10, "kb": 1 << 10,
+    "m": 1 << 20, "mb": 1 << 20,
+    "g": 1 << 30, "gb": 1 << 30,
+    "t": 1 << 40, "tb": 1 << 40,
+}
+
+
+def _parse_bytes(s: str, default: int = 134217728) -> int:
+    """Parse Spark byte-string conf values ('134217728', '128m',
+    '64MB') the way the JVM's byteStringAs does for the suffixes that
+    occur in practice; unparseable input falls back to ``default``
+    rather than raising mid-plan."""
+    v = s.strip().lower()
+    num = v.rstrip("kmgtb")
+    try:
+        return int(num) * _BYTE_SUFFIXES[v[len(num):]]
+    except (ValueError, KeyError):
+        return default
+
+
 def spread_small_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
     """Round-robin repartition a scan to the session's core count — but
     ONLY when the scan yields fewer partitions than cores.
@@ -108,14 +130,9 @@ def spread_small_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
     it is trying to decide.
     """
     cores = spark.sparkContext.defaultParallelism
-    try:
-        max_split = int(
-            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-            .lower()
-            .removesuffix("b")
-        )
-    except ValueError:
-        max_split = 134217728
+    max_split = _parse_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    )
     total = 0
     for f in df.inputFiles():
         try:

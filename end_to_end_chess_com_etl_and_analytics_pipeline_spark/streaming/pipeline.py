@@ -119,16 +119,40 @@ def run_incremental_gold(
         # a monthly re-pull touches 1-2). Re-pulled games may carry
         # game_dates outside the bronze file's nominal month, so probe
         # the transformed rows, never the file name.
-        months = [
+        months = {
             (r["y"], r["m"])
             for r in batch_fact.select(
                 F.year("game_date").alias("y"), F.month("game_date").alias("m")
             )
             .distinct()
             .collect()
-        ]
+        }
         existing = None
         if os.path.exists(fact_path) and months:
+            # A re-pull can CORRECT a game's game_date into a different
+            # month; the stale row then lives in a partition the batch's
+            # own months never touch, and a months-of-the-batch-only
+            # merge would leave both copies alive (one game_url, two
+            # months).  So also probe which partitions hold any of the
+            # batch's keys — a scan filtered by a broadcast semi-join on
+            # game_url (the standard find-affected-partitions probe; at
+            # 100 TB it reads no partition's data columns beyond
+            # game_url + the partition values) — and fold those months
+            # into the rewrite set.  The latest-wins merge then retires
+            # the stale row and dynamic overwrite rewrites its old
+            # month without it.
+            batch_keys = batch_fact.select("game_url").distinct()
+            stale_months = {
+                (r["y"], r["m"])
+                for r in spark.read.parquet(fact_path)
+                .join(F.broadcast(batch_keys), "game_url", "left_semi")
+                .select(
+                    F.col("year").alias("y"), F.col("month").alias("m")
+                )
+                .distinct()
+                .collect()
+            }
+            months |= stale_months
             hit = reduce(
                 lambda a, b: a | b,
                 [
@@ -146,8 +170,26 @@ def run_incremental_gold(
             "month", F.month("game_date")
         )
         # dynamic overwrite: only partitions present in `out` (= the
-        # batch's months) are replaced; all other months' files untouched
+        # rewrite set) are replaced; all other months' files untouched
         write_parquet(out, fact_path, partition_by=["year", "month"])
+        # a month whose ONLY game moved away has no rows in `out`, so
+        # dynamic overwrite cannot rewrite (= empty) it — drop the
+        # now-orphaned partition directory explicitly (at scale: a
+        # catalog DROP PARTITION)
+        months_out = {
+            (r["y"], r["m"])
+            for r in out.select(
+                F.col("year").alias("y"), F.col("month").alias("m")
+            )
+            .distinct()
+            .collect()
+        }
+        for y, m in months - months_out:
+            orphan = os.path.join(fact_path, f"year={y}", f"month={m}")
+            if os.path.exists(orphan):
+                import shutil
+
+                shutil.rmtree(orphan)
 
     # micro-batches are month-sized, not table-sized: a vanilla
     # 200-partition session spends longer scheduling empty tasks than
@@ -203,16 +245,12 @@ def _events_stream(
     ``max_files_per_trigger`` splits the backlog into one-file
     micro-batches for multi-batch state tests."""
     raw_schema = read_events_raw(spark, events_dir).schema
-    if any(
-        f.name == "ts" and isinstance(f.dataType, T.LongType)
-        for f in raw_schema.fields
-    ):
-        # TIMESTAMP(NANOS) flavor: the stream's tasks re-read footers on
-        # every micro-batch, so the conf must outlive this call — set it
-        # unscoped (documented exception to the scoped-conf rule; the
-        # current fixtures are timestamp[us], which never takes this
-        # branch).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # For the TIMESTAMP(NANOS) flavor the probe yields ts: LongType and
+    # a DECLARED LongType schema reads the nanos footers as raw int64
+    # without any session conf (verified by
+    # test_streaming_reader_matches_batch[ns]) — so no nanosAsLong
+    # leaks into the session from here; repair_events_ts dispatches on
+    # the Long dtype as usual.
     reader = spark.readStream.schema(raw_schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

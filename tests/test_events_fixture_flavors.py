@@ -95,6 +95,17 @@ def test_batch_reader_leaves_session_conf_clean(spark, flavor_dirs):
         spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
     _batch_rows(spark, flavor_dirs["ns"])
     assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None) is None
+    # the STREAMING reader must not leak it either: a declared LongType
+    # schema reads nanos footers conf-free (no unscoped set on build
+    # or drain)
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.streaming.pipeline import (
+        _events_stream,
+        run_stream_to_memory,
+    )
+
+    stream = _events_stream(spark, flavor_dirs["ns"]).select("event_id", "ts")
+    run_stream_to_memory(stream, "conf_clean_ns", output_mode="append")
+    assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None) is None
     if prev is not None:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
 

@@ -116,6 +116,41 @@ def test_incremental_gold_untouched_partitions(spark, tmp_path):
     assert (2024, 2) in months
 
 
+def test_incremental_gold_cross_month_correction(spark, tmp_path):
+    """A re-pull that CORRECTS a game's date into a different month must
+    retire the stale row in the old month's partition: exactly one row
+    per game_url survives, living in the corrected month (the
+    stale-month probe in run_incremental_gold's merge_batch)."""
+    import json
+
+    bronze = tmp_path / "bronze"
+    gold = tmp_path / "gold"
+    ckpt = tmp_path / "ckpt"
+    bronze.mkdir()
+    demo.write_month_json(str(bronze / "2024-01-games.json"), month=1)
+    run_incremental_gold(
+        spark, str(bronze), str(gold), str(ckpt), demo.USERNAME,
+        "2024-03-01 00:00:00",
+    )
+    # correction re-pull: same game_url as month-1 game 0, but its PGN
+    # date (-> game_date) now falls in February
+    moved_url = demo.make_game(0, month=1)["url"]
+    fixed = demo.make_game(0, month=2)
+    fixed["url"] = moved_url
+    (bronze / "2024-01-games-fixed.json").write_text(json.dumps([fixed]))
+    run_incremental_gold(
+        spark, str(bronze), str(gold), str(ckpt), demo.USERNAME,
+        "2024-04-01 00:00:00",
+    )
+    fact = spark.read.parquet(str(gold / "fact_games"))
+    moved = fact.where(F.col("game_url") == moved_url).collect()
+    assert len(moved) == 1, "stale cross-month copy must be retired"
+    assert (moved[0]["year"], moved[0]["month"]) == (2024, 2)
+    # no duplicates anywhere; the corpus is still the 45 month-1 games
+    assert fact.count() == 45
+    assert fact.select("game_url").distinct().count() == 45
+
+
 def test_streaming_tumbling_equals_batch(spark, tmp_path):
     stream_dir = tmp_path / "events"
     stream_dir.mkdir()

@@ -90,7 +90,17 @@ def build_scaled(spark, n: int, out_dir: str) -> None:
         },
     ).write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
 
-    ev = spark.read.parquet(os.path.join(SRC, "events.parquet"))
+    # flavor-aware events read (the fixture has shipped both
+    # TIMESTAMP(NANOS)-as-int64 and timestamp[us]); the repair gives a
+    # true timestamp column so the INTERVAL shift below is well-typed
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.sources.tables import (
+        read_events_raw,
+        repair_events_ts,
+    )
+
+    ev = repair_events_ts(
+        read_events_raw(spark, os.path.join(SRC, "events.parquet"))
+    )
     n_ev = ev.count()
     replicas(
         ev,
