@@ -113,7 +113,10 @@ def format_time_control(tc: Column | str) -> Column:
     (udfs.py:153-171).  Integer division truncates exactly like the
     reference's ``int(int(tc)/60)``."""
     c = F.col(tc) if isinstance(tc, str) else tc
-    base = F.split(c, r"\+").getItem(0).cast("long")
+    # try_cast: under Spark 4's default ANSI mode a plain cast THROWS on
+    # the daily-game shape '1/86400'; try_cast yields NULL (NULL display),
+    # mirrored by TRY_CAST in the oracle SQL
+    base = F.split(c, r"\+").getItem(0).try_cast("long")
     minutes = F.floor(base / 60).cast("long").cast("string")
     inc = F.split(c, r"\+").getItem(1)
     return F.when(c.contains("+"), F.concat(minutes, F.lit("|"), inc)).otherwise(minutes)
@@ -123,7 +126,9 @@ def time_class_of(tc: Column | str) -> Column:
     """D9 (commented-out reference UDF, load_fact_and_dim_fiiles.ipynb
     cell 3): bucket base seconds <180 bullet / <600 blitz / else rapid."""
     c = F.col(tc) if isinstance(tc, str) else tc
-    base = F.split(c, r"\+").getItem(0).cast("long")
+    # try_cast (see format_time_control): NULL base -> 'rapid', exactly
+    # the oracle's TRY_CAST CASE fall-through
+    base = F.split(c, r"\+").getItem(0).try_cast("long")
     return (
         F.when(base < 180, F.lit("bullet"))
         .when(base < 600, F.lit("blitz"))

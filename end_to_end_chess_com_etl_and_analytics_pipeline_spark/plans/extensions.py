@@ -888,6 +888,10 @@ SELECT a AS doc_id, LEAST(MIN(b), a) AS cluster_id FROM reach GROUP BY a
 """
 
 
+# ONE k for the x22 query AND its oracle (the drifted-constant rule)
+_X22_K = 8
+
+
 def x22_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means over the embedding corpus (operators.clustering):
     3 rounds, k=8, deterministic init/ties.  Per round the corpus sees
@@ -903,20 +907,20 @@ def x22_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.clustering import kmeans
 
     emb = load_table(spark, "embeddings", sf_dir)
-    assigned, _ = kmeans(emb, k=8, rounds=3)
+    assigned, _ = kmeans(emb, k=_X22_K, rounds=3)
     sizes = assigned.groupBy("cluster_id").agg(F.count("*").alias("n"))
     # groupBy only yields clusters with >=1 member, so "every cluster
-    # non-empty" is exactly "all k=8 cluster ids materialized" — a
+    # non-empty" is exactly "all k cluster ids materialized" — a
     # min(n)>0 over the groups would be vacuously true
     return sizes.agg(
         F.count("*").cast("bigint").alias("n_clusters"),
         F.sum("n").alias("n_vectors_total"),
-        (F.count("*") == 8).alias("all_clusters_nonempty"),
+        (F.count("*") == _X22_K).alias("all_clusters_nonempty"),
     )
 
 
-_X22_SQL = """
-SELECT CAST(8 AS BIGINT) AS n_clusters,
+_X22_SQL = f"""
+SELECT CAST({_X22_K} AS BIGINT) AS n_clusters,
        COUNT(*) AS n_vectors_total,
        TRUE AS all_clusters_nonempty
 FROM embeddings

@@ -547,9 +547,9 @@ _FACT_FROM_SILVER_SQL = (
 SELECT game_url, game_date, start_time, end_time,
        CAST(DATE_DIFF('second', start_time, end_time) AS BIGINT) AS game_duration_secs,
        CASE WHEN CONTAINS(time_control, '+')
-            THEN CAST(CAST(STRING_SPLIT(time_control, '+')[1] AS BIGINT) // 60 AS VARCHAR)
+            THEN CAST(TRY_CAST(STRING_SPLIT(time_control, '+')[1] AS BIGINT) // 60 AS VARCHAR)
                  || '|' || STRING_SPLIT(time_control, '+')[2]
-            ELSE CAST(CAST(time_control AS BIGINT) // 60 AS VARCHAR)
+            ELSE CAST(TRY_CAST(time_control AS BIGINT) // 60 AS VARCHAR)
        END AS time_control,
        CASE WHEN @MY@ THEN 'white' ELSE 'black' END AS my_color,
        CASE WHEN @MY@ THEN pgn_white_user ELSE pgn_black_user END AS my_username,

@@ -70,14 +70,18 @@ def run_incremental_gold(
     catchup=True equivalent).
 
     The fact lives partitioned by (year, month) of game_date, and each
-    micro-batch is **partition-scoped**: only the months the batch's
-    games actually fall in are read for the latest-wins merge
-    (partition pruning on the scan) and only those partitions are
-    rewritten (dynamic partition overwrite).  A month's arrival costs
-    O(that month), not O(table) — the difference between a working and
-    a seized pipeline when the fact is 100 TB.  Months already on disk
-    that the batch doesn't touch are left byte-identical (pinned by
-    test_incremental_gold_untouched_partitions)."""
+    micro-batch is **partition-scoped**: only the months in the batch's
+    rewrite set — the batch's own months plus any month holding a
+    stale cross-month copy of a batch key — are read for the
+    latest-wins merge (partition pruning on the scan) and only those
+    are rewritten (dynamic partition overwrite).  A month's arrival
+    costs O(that month) in data plus a game_url-column-only probe of
+    the other partitions (finding stale copies; see merge_batch), not
+    O(table) in data — the difference between a working and a seized
+    pipeline when the fact is 100 TB.  Months already on disk that the
+    batch doesn't touch are left byte-identical (pinned by
+    test_incremental_gold_untouched_partitions; the cross-month
+    correction path by test_incremental_gold_cross_month_correction)."""
     from functools import reduce
 
     from ..sources.tables import write_parquet
@@ -133,18 +137,32 @@ def run_incremental_gold(
             # month; the stale row then lives in a partition the batch's
             # own months never touch, and a months-of-the-batch-only
             # merge would leave both copies alive (one game_url, two
-            # months).  So also probe which partitions hold any of the
-            # batch's keys — a scan filtered by a broadcast semi-join on
-            # game_url (the standard find-affected-partitions probe; at
-            # 100 TB it reads no partition's data columns beyond
-            # game_url + the partition values) — and fold those months
-            # into the rewrite set.  The latest-wins merge then retires
-            # the stale row and dynamic overwrite rewrites its old
-            # month without it.
+            # months).  So probe which OTHER partitions hold any of the
+            # batch's keys — a key-column-only scan (game_url + the
+            # partition values; column pruning reads nothing else) with
+            # the batch's own months partition-pruned away, semi-joined
+            # against the broadcast key set — and fold the hits into
+            # the rewrite set.  The latest-wins merge then retires the
+            # stale row and dynamic overwrite rewrites its old month
+            # without it.  Cost: O(batch month) data + this one-column
+            # probe of the remaining partitions per batch; a warehouse
+            # deployment replaces the probe with a slim game_url →
+            # (year, month) key index (or a MERGE-capable table
+            # format's key lookup).
             batch_keys = batch_fact.select("game_url").distinct()
+            in_batch_months = reduce(
+                lambda a, b: a | b,
+                [
+                    F.col("year").eqNullSafe(F.lit(y))
+                    & F.col("month").eqNullSafe(F.lit(m))
+                    for (y, m) in months
+                ],
+            )
             stale_months = {
                 (r["y"], r["m"])
                 for r in spark.read.parquet(fact_path)
+                .select("game_url", "year", "month")
+                .where(~in_batch_months)
                 .join(F.broadcast(batch_keys), "game_url", "left_semi")
                 .select(
                     F.col("year").alias("y"), F.col("month").alias("m")
@@ -174,8 +192,13 @@ def run_incremental_gold(
         write_parquet(out, fact_path, partition_by=["year", "month"])
         # a month whose ONLY game moved away has no rows in `out`, so
         # dynamic overwrite cannot rewrite (= empty) it — drop the
-        # now-orphaned partition directory explicitly (at scale: a
-        # catalog DROP PARTITION)
+        # now-orphaned partition directory explicitly.  Via the Hadoop
+        # FS API, not os/shutil: fact_path may be s3a://hdfs:// where a
+        # local-path check silently no-ops and would leave the stale
+        # copy alive.  NULL partition values use Spark's
+        # __HIVE_DEFAULT_PARTITION__ directory name (a NULL game_date
+        # row lands there, and its correction must clean it like any
+        # month's).
         months_out = {
             (r["y"], r["m"])
             for r in out.select(
@@ -184,12 +207,18 @@ def run_incremental_gold(
             .distinct()
             .collect()
         }
+        null_part = "__HIVE_DEFAULT_PARTITION__"
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
         for y, m in months - months_out:
-            orphan = os.path.join(fact_path, f"year={y}", f"month={m}")
-            if os.path.exists(orphan):
-                import shutil
-
-                shutil.rmtree(orphan)
+            y_dir = null_part if y is None else str(y)
+            m_dir = null_part if m is None else str(m)
+            orphan = jvm.org.apache.hadoop.fs.Path(
+                fact_path, f"year={y_dir}/month={m_dir}"
+            )
+            fs = orphan.getFileSystem(hconf)
+            if fs.exists(orphan):
+                fs.delete(orphan, True)
 
     # micro-batches are month-sized, not table-sized: a vanilla
     # 200-partition session spends longer scheduling empty tasks than

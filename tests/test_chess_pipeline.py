@@ -196,13 +196,24 @@ def test_scalar_udf_replacements(spark):
     ]
 
     tc = spark.createDataFrame(
-        [("120+1",), ("600",), ("60",), ("600+5",)], "tc: string"
+        [("120+1",), ("600",), ("60",), ("600+5",), ("1/86400",)],
+        "tc: string",
     ).select(
         p.format_time_control("tc").alias("fmt"),
         p.time_class_of("tc").alias("cls"),
     )
     got = [(r.fmt, r.cls) for r in tc.collect()]
-    assert got == [("2|1", "bullet"), ("10", "rapid"), ("1", "bullet"), ("10|5", "rapid")]
+    # '1/86400' is Chess.com's daily-game shape: under Spark 4's
+    # default ANSI mode a plain cast would CRASH the job here; try_cast
+    # yields NULL display + 'rapid' bucket, matching the oracle's
+    # TRY_CAST semantics
+    assert got == [
+        ("2|1", "bullet"),
+        ("10", "rapid"),
+        ("1", "bullet"),
+        ("10|5", "rapid"),
+        (None, "rapid"),
+    ]
 
     depth = spark.createDataFrame(
         [("1. e4 e5 2. Nf3 Nc6 3. Bb5 ",), ("",)], "s: string"
