@@ -43,8 +43,15 @@ def pgn_raw(pgn: Column | str) -> Column:
 
 
 def pgn_date(pgn: Column | str, tag: str = "Date") -> Column:
-    """F4+F5: ``STRPTIME(REPLACE(tag, '.', '/'), '%Y/%m/%d')::DATE``."""
-    return F.to_date(F.replace(pgn_tag(pgn, tag), F.lit("."), F.lit("/")), "yyyy/MM/dd")
+    """F4+F5: ``TRY_STRPTIME(REPLACE(tag, '.', '/'), '%Y/%m/%d')::DATE``.
+
+    try_to_date, not to_date: a PGN missing the tag extracts '' and
+    under Spark 4's default ANSI mode a plain to_date('') KILLS the
+    whole silver job — one malformed game must yield a NULL date (the
+    quarantine/null-partition path), never abort a 100 TB backfill."""
+    return F.try_to_date(
+        F.replace(pgn_tag(pgn, tag), F.lit("."), F.lit("/")), "yyyy/MM/dd"
+    )
 
 
 def add_move_numbers(moves: Column) -> Column:

@@ -382,7 +382,9 @@ def q12_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "events", sf_dir)
     return e.select(
         "event_id",
-        F.regexp_extract("props", r'"k": (\d+)', 1).cast("int").alias("k_value"),
+        # try_cast: regexp_extract yields '' on a k-less props, and an
+        # ANSI-mode cast('') aborts the job; the oracle's TRY_CAST agrees
+        F.regexp_extract("props", r'"k": (\d+)', 1).try_cast("int").alias("k_value"),
         F.hour("ts").alias("ts_hour"),
         F.col("ts").cast("date").alias("ts_date"),
         F.date_format("ts", "MMMM").alias("month_name"),
@@ -764,7 +766,8 @@ def q23_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     flows into the aggregate.  avg is computed as exact-integer
     sum/count so both engines divide the same two integers."""
     e = load_table(spark, "events", sf_dir)
-    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    # try_cast: a non-numeric "k" would abort under ANSI; NULL instead
+    k = F.get_json_object(F.col("props"), "$.k").try_cast("long")
     return (
         e.select("event_type", k.alias("k"))
         .groupBy("event_type")
@@ -783,7 +786,7 @@ SELECT event_type,
        COUNT(k) AS n_with_k,
        CAST(SUM(k) AS BIGINT) AS sum_k,
        CAST(SUM(k) AS BIGINT) / COUNT(k) AS avg_k
-FROM (SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k FROM events)
+FROM (SELECT event_type, TRY_CAST(props->>'$.k' AS BIGINT) AS k FROM events)
 GROUP BY event_type
 """
 
@@ -877,7 +880,8 @@ def q26_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     value flows as cents; k comes out of the JSON props."""
     e = load_table(spark, "events", sf_dir)
     v = cents(F.col("value"))
-    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    # try_cast: a non-numeric "k" would abort under ANSI; NULL instead
+    k = F.get_json_object(F.col("props"), "$.k").try_cast("long")
     base = e.select("event_type", v.alias("v"), k.alias("k"))
     agg = base.groupBy("event_type").agg(
         F.count("*").alias("n"),
@@ -906,7 +910,7 @@ _Q26_SQL = """
 WITH base AS (
     SELECT event_type,
            CAST(ROUND(value * 100, 0) AS BIGINT) AS v,
-           CAST(props->>'$.k' AS BIGINT) AS k
+           TRY_CAST(props->>'$.k' AS BIGINT) AS k
     FROM events),
 agg AS (
     SELECT event_type,

@@ -485,7 +485,7 @@ SELECT url AS game_url, time_control, rated, time_class, rules,
        black.result AS black_result,
        REGEXP_EXTRACT(pgn, '\[Event "(.*?)"', 1) AS pgn_event,
        REGEXP_EXTRACT(pgn, '\[Site "(.*?)"', 1) AS pgn_site,
-       STRPTIME(REPLACE(REGEXP_EXTRACT(pgn, '\[Date "(.*?)"', 1), '.', '/'), '%Y/%m/%d')::DATE AS game_date,
+       TRY_STRPTIME(REPLACE(REGEXP_EXTRACT(pgn, '\[Date "(.*?)"', 1), '.', '/'), '%Y/%m/%d')::DATE AS game_date,
        REGEXP_EXTRACT(pgn, '\[White "(.*?)"', 1) AS pgn_white_user,
        REGEXP_EXTRACT(pgn, '\[Black "(.*?)"', 1) AS pgn_black_user,
        REGEXP_EXTRACT(pgn, '\[Result "(.*?)"', 1) AS pgn_result,
@@ -493,15 +493,15 @@ SELECT url AS game_url, time_control, rated, time_class, rules,
        REGEXP_EXTRACT(pgn, '\[Timezone "(.*?)"', 1) AS pgn_timezone,
        REGEXP_EXTRACT(pgn, '\[ECO "(.*?)"', 1) AS pgn_eco,
        REGEXP_EXTRACT(pgn, '\[ECOUrl "(.*?)"', 1) AS pgn_eco_url,
-       STRPTIME(
+       TRY_STRPTIME(
            REPLACE(REGEXP_EXTRACT(pgn, '\[Date "(.*?)"', 1), '.', '/')
            || ' ' || REGEXP_EXTRACT(pgn, '\[StartTime "(.*?)"', 1),
            '%Y/%m/%d %H:%M:%S') AS start_time,
-       STRPTIME(
+       TRY_STRPTIME(
            REPLACE(REGEXP_EXTRACT(pgn, '\[EndDate "(.*?)"', 1), '.', '/')
            || ' ' || REGEXP_EXTRACT(pgn, '\[EndTime "(.*?)"', 1),
            '%Y/%m/%d %H:%M:%S') AS end_time,
-       STRPTIME(REPLACE(REGEXP_EXTRACT(pgn, '\[EndDate "(.*?)"', 1), '.', '/'), '%Y/%m/%d')::DATE AS end_game_date,
+       TRY_STRPTIME(REPLACE(REGEXP_EXTRACT(pgn, '\[EndDate "(.*?)"', 1), '.', '/'), '%Y/%m/%d')::DATE AS end_game_date,
        ARRAY_TO_STRING(__moves, ' ') AS pgn_raw,
        ARRAY_TO_STRING(
            LIST_TRANSFORM(

@@ -23,10 +23,15 @@ from ..functions.pgn import add_move_numbers, pgn_date, pgn_moves, pgn_tag
 
 def _time_tag_to_ts(date_col: Column, pgn: Column, tag: str) -> Column:
     """PGN HH:MM:SS tag + a date column → full timestamp, exactly the
-    reference's pandas concat repair (python_scripts.py:198-205)."""
-    return F.to_timestamp(
+    reference's pandas concat repair (python_scripts.py:198-205).
+
+    try_to_timestamp (see functions.pgn.pgn_date): a missing date or
+    time tag yields NULL instead of an ANSI-mode job abort; the DuckDB
+    oracle's TRY_STRPTIME agrees (NULL date propagates through ``||``,
+    a ''-time leaves a trailing space both parsers reject to NULL)."""
+    return F.try_to_timestamp(
         F.concat_ws(" ", date_col.cast("string"), pgn_tag(pgn, tag)),
-        "yyyy-MM-dd HH:mm:ss",
+        F.lit("yyyy-MM-dd HH:mm:ss"),
     )
 
 

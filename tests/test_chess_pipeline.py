@@ -633,3 +633,31 @@ def test_warehouse_incremental_load_honors_watermark(
         assert spark.table(f"{db}.dim_results").count() == 15
     finally:
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_silver_survives_malformed_pgn(spark):
+    """A game whose PGN lacks Date/StartTime tags must flow through
+    bronze→silver with NULL date/timestamps — under Spark 4's default
+    ANSI mode a plain to_date('') would abort the entire job, which is
+    exactly the one-bad-row-kills-the-backfill failure the quarantine
+    design forbids (try_to_date/try_to_timestamp + the oracle's
+    TRY_STRPTIME)."""
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans.silver import (
+        bronze_to_silver,
+    )
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.schemas import (
+        RAW_GAME_SCHEMA,
+    )
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.sources import demo
+
+    good = demo.make_game(1, month=1)
+    bad = demo.make_game(2, month=1)
+    bad["pgn"] = '[Event "Live Chess"]\n\n1. e4 e5 1-0\n'  # no Date/Times
+    raw = spark.createDataFrame([good, bad], RAW_GAME_SCHEMA)
+    rows = {r["game_url"]: r for r in bronze_to_silver(raw).collect()}
+    assert len(rows) == 2
+    b = rows[bad["url"]]
+    assert b["game_date"] is None
+    assert b["start_time"] is None and b["end_time"] is None
+    g = rows[good["url"]]
+    assert g["game_date"] is not None and g["start_time"] is not None
