@@ -57,6 +57,7 @@ HEADLINE = [
     "x20_dedup_clusters",
     "x29_repetition_filters",
     "x31_contamination",
+    "x40_passage_dedup",
     "x32_canonical_docs",
     "x33_token_budget_select",
     "x35_incremental_dedup",

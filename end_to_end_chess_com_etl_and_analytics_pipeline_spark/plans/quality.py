@@ -314,13 +314,114 @@ GROUP BY t.doc_id
 """
 
 
+# passage-dedup geometry: window width (tokens) and the drop cutoff on
+# the shared-passage fraction.  The fixture corpus is bimodal (exact
+# replica docs share ~all passages, everything else shares none), so
+# 0.5 separates the modes; production corpora tune this per-source.
+PASSAGE_W = 8
+PASSAGE_SHARED_MAX = 0.5
+
+
+def passage_dedup(docs: DataFrame, w: int = PASSAGE_W,
+                  shared_max: float = PASSAGE_SHARED_MAX) -> DataFrame:
+    """Cross-document exact passage (w-token window) deduplication.
+
+    The substring-level complement of doc-level dedup (x01/x13) and
+    near-dup (x03/x14): a doc that copies a paragraph from another doc
+    is caught here even when the documents as wholes are distinct
+    (RefinedWeb / Lee et al. 2022 "Deduplicating Training Data Makes
+    Language Models Better" run this as exact substring dedup; this is
+    the groupBy formulation of the same predicate — no suffix array
+    needed when the unit is a fixed w-token window).
+
+    Per doc: every distinct w-token passage, flagged "shared" when it
+    appears in ≥2 distinct documents; output is the per-doc passage
+    count, shared count, shared fraction, and a keep flag.
+
+    Shape at 100 TB: the passage arrays are built scan-side
+    (array_distinct in the projection — per-doc dedup costs no
+    shuffle), then exactly two exchanges: the passage-key groupBy that
+    finds cross-doc repeats, and the per-doc re-aggregation.  Both are
+    key-partitioned all the way down — no broadcast of corpus-sized
+    state, no driver materialization.  The group key here is the
+    passage string for bit-exact oracle parity; a production deployment
+    keys the first exchange on xxhash64(passage) to cut shuffle bytes
+    ~10× (counts are unchanged short of a 2^-64 collision)."""
+    toks = tokens("text")
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(_ngrams(toks, F.size(toks), w))
+        ).alias("g"),
+    )
+    # sh is per-doc distinct, so count(*) per g == distinct doc count
+    dup = (
+        sh.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("__docs"))
+        .where(F.col("__docs") > 1)
+        .select("g", F.lit(1).alias("__dup"))
+    )
+    agg = (
+        sh.join(dup, "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.count("__dup").alias("__ns"),
+        )
+    )
+    n = F.coalesce(F.col("__n"), F.lit(0))
+    ns = F.coalesce(F.col("__ns"), F.lit(0))
+    frac = F.when(n == 0, F.lit(0.0)).otherwise(
+        ns.cast("double") / n.cast("double")
+    )
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            n.cast("int").alias("n_passages"),
+            ns.cast("int").alias("n_shared_passages"),
+            round_fixed(frac, 6).alias("shared_passage_frac"),
+            (frac < shared_max).alias("keep_passage"),
+        )
+    )
+
+
+def x40_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """passage_dedup over the documents fixture (see passage_dedup)."""
+    return passage_dedup(load_table(spark, "documents", sf_dir))
+
+
+_X40_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL.format(c='text')} AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id, unnest({_ngrams_sql(PASSAGE_W)}) AS g FROM toks)),
+dup AS (SELECT g FROM sh GROUP BY g HAVING count(*) > 1),
+agg AS (SELECT s.doc_id, count(*) AS n, count(d.g) AS ns
+        FROM sh s LEFT JOIN dup d USING (g) GROUP BY s.doc_id)
+SELECT docs.doc_id,
+       CAST(coalesce(agg.n, 0) AS INTEGER) AS n_passages,
+       CAST(coalesce(agg.ns, 0) AS INTEGER) AS n_shared_passages,
+       {round_fixed_sql(
+           "CASE WHEN coalesce(agg.n, 0) = 0 THEN 0.0"
+           " ELSE CAST(coalesce(agg.ns, 0) AS DOUBLE) / agg.n END", 6)}
+           AS shared_passage_frac,
+       (CASE WHEN coalesce(agg.n, 0) = 0 THEN 0.0
+             ELSE CAST(coalesce(agg.ns, 0) AS DOUBLE) / agg.n END)
+           < {PASSAGE_SHARED_MAX} AS keep_passage
+FROM documents docs LEFT JOIN agg ON docs.doc_id = agg.doc_id
+"""
+
+
 QUALITY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x29_repetition_filters": x29_repetition_filters,
     "x30_pii_scan": x30_pii_scan,
     "x31_contamination": x31_contamination,
+    "x40_passage_dedup": x40_passage_dedup,
 }
 QUALITY_ORACLE: dict[str, str] = {
     "x29_repetition_filters": _X29_SQL,
     "x30_pii_scan": _X30_SQL,
     "x31_contamination": _X31_SQL,
+    "x40_passage_dedup": _X40_SQL,
 }

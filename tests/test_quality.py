@@ -141,3 +141,60 @@ def test_contamination_plan_broadcasts_bench_side(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     # the per-doc count agg is the only exchange over the train side
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_passage_dedup_known_answer(spark):
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans.quality import (
+        passage_dedup,
+    )
+
+    # w=3 passages; doc 1 and doc 2 share the passage "a b c" exactly;
+    # doc 3 is disjoint; doc 4 is too short for any passage
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),   # passages: "a b c", "b c d"
+            (2, "z a b c"),   # passages: "z a b", "a b c"
+            (3, "p q r s"),   # disjoint
+            (4, "x y"),       # no 3-token passage
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in passage_dedup(df, w=3).collect()}
+    assert got[1]["n_passages"] == 2 and got[1]["n_shared_passages"] == 1
+    assert got[1]["shared_passage_frac"] == 0.5
+    assert not got[1]["keep_passage"]  # 0.5 is not < 0.5
+    assert got[2]["n_shared_passages"] == 1
+    assert got[3]["n_shared_passages"] == 0 and got[3]["keep_passage"]
+    assert got[4]["n_passages"] == 0
+    assert got[4]["shared_passage_frac"] == 0.0 and got[4]["keep_passage"]
+
+
+def test_passage_dedup_repeat_within_one_doc_not_shared(spark):
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans.quality import (
+        passage_dedup,
+    )
+
+    # the passage "a b c" occurs twice inside doc 1 but in no other doc:
+    # cross-doc dedup must NOT flag it (per-doc distinct before the
+    # passage-key groupBy)
+    df = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "q r s t")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r for r in passage_dedup(df, w=3).collect()}
+    assert got[1]["n_shared_passages"] == 0 and got[1]["keep_passage"]
+
+
+def test_x40_fixture_bimodal_and_every_doc_present(spark):
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans.quality import (
+        x40_passage_dedup,
+    )
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    out = x40_passage_dedup(spark, SF_DIR).cache()
+    n_docs = load_table(spark, "documents", SF_DIR).count()
+    assert out.count() == n_docs  # short docs included with 0 passages
+    kept = out.where("keep_passage").count()
+    assert 0 < kept < n_docs  # replica docs dropped, the rest kept
+    out.unpersist()

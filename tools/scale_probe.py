@@ -147,6 +147,7 @@ PROBES = [
     "x34_epoch_shuffle",
     "x38_chunk_documents",
     "x39_vocab_coverage",
+    "x40_passage_dedup",
 ]
 
 # operators whose result is pair/fan-out shaped: their cost tracks
