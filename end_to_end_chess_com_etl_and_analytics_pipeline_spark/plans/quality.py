@@ -338,52 +338,57 @@ def passage_dedup(docs: DataFrame, w: int = PASSAGE_W,
     appears in ≥2 distinct documents; output is the per-doc passage
     count, shared count, shared fraction, and a keep flag.
 
-    Shape at 100 TB: the passage arrays are built scan-side
-    (array_distinct in the projection — per-doc dedup costs no
-    shuffle), then exactly two exchanges: the passage-key groupBy that
-    finds cross-doc repeats, and the per-doc re-aggregation.  Both are
-    key-partitioned all the way down — no broadcast of corpus-sized
-    state, no driver materialization.  The group key here is the
-    passage string for bit-exact oracle parity; a production deployment
-    keys the first exchange on xxhash64(passage) to cut shuffle bytes
-    ~10× (counts are unchanged short of a 2^-64 collision)."""
+    Shape at 100 TB: ONE corpus scan, and exactly two key-partitioned
+    exchanges.  The passage arrays are built scan-side (array_distinct
+    in the projection — per-doc dedup costs no shuffle);
+    ``explode_outer`` keeps zero-passage docs alive so no docs-side
+    rejoin is ever needed; the cross-doc repeat count is a COUNT window
+    over the passage key (one exchange — a groupBy+join formulation
+    would pay two more); the per-doc re-aggregation is the second.  No
+    broadcast of corpus-sized state, no driver materialization.
+    Passage-less rows (g NULL) get a per-doc sentinel partition key so
+    the window exchange never concentrates every short doc in one
+    partition.  The window key here is the passage string for bit-exact
+    oracle parity; a production deployment keys it on xxhash64(passage)
+    to cut shuffle bytes ~10× (counts unchanged short of a 2^-64
+    collision)."""
     toks = tokens("text")
+    from pyspark.sql import Window
+
     sh = docs.select(
         "doc_id",
-        F.explode(
+        F.explode_outer(
             F.array_distinct(_ngrams(toks, F.size(toks), w))
         ).alias("g"),
     )
-    # sh is per-doc distinct, so count(*) per g == distinct doc count
-    dup = (
-        sh.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("__docs"))
-        .where(F.col("__docs") > 1)
-        .select("g", F.lit(1).alias("__dup"))
-    )
-    agg = (
-        sh.join(dup, "g", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("__n"),
-            F.count("__dup").alias("__ns"),
+    # sh is per-doc distinct, so the per-g row count == distinct doc
+    # count; count("g") is null-skipping, so sentinel rows score 0
+    # sentinel starts with a space — no real passage can (tokens are
+    # non-empty and space-JOINED), so it never collides with a passage
+    w_g = Window.partitionBy(
+        F.coalesce(
+            F.col("g"),
+            F.concat(F.lit(" "), F.col("doc_id").cast("string")),
         )
     )
-    n = F.coalesce(F.col("__n"), F.lit(0))
-    ns = F.coalesce(F.col("__ns"), F.lit(0))
+    marked = sh.withColumn("__docs", F.count("g").over(w_g))
+    agg = marked.groupBy("doc_id").agg(
+        F.count("g").alias("__n"),
+        F.sum(
+            F.when(F.col("__docs") > 1, F.lit(1)).otherwise(F.lit(0))
+        ).alias("__ns"),
+    )
+    n = F.col("__n")
+    ns = F.col("__ns")
     frac = F.when(n == 0, F.lit(0.0)).otherwise(
         ns.cast("double") / n.cast("double")
     )
-    return (
-        docs.select("doc_id")
-        .join(agg, "doc_id", "left")
-        .select(
-            "doc_id",
-            n.cast("int").alias("n_passages"),
-            ns.cast("int").alias("n_shared_passages"),
-            round_fixed(frac, 6).alias("shared_passage_frac"),
-            (frac < shared_max).alias("keep_passage"),
-        )
+    return agg.select(
+        "doc_id",
+        n.cast("int").alias("n_passages"),
+        ns.cast("int").alias("n_shared_passages"),
+        round_fixed(frac, 6).alias("shared_passage_frac"),
+        (frac < shared_max).alias("keep_passage"),
     )
 
 

@@ -198,3 +198,20 @@ def test_x40_fixture_bimodal_and_every_doc_present(spark):
     kept = out.where("keep_passage").count()
     assert 0 < kept < n_docs  # replica docs dropped, the rest kept
     out.unpersist()
+
+
+def test_x40_plan_one_scan_two_key_exchanges(spark):
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans.quality import (
+        x40_passage_dedup,
+    )
+
+    plan = (
+        x40_passage_dedup(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # one corpus scan (explode_outer keeps short docs — no docs rejoin)
+    assert plan.count("Scan parquet") == 1
+    # passage-key window + per-doc agg; anything more is a regression
+    assert plan.count("Exchange hashpartitioning") <= 2

@@ -150,3 +150,51 @@ def test_contamination_bounded_and_monotone_in_benchmark(
         # growing the benchmark can only find MORE contaminated n-grams
         assert big[doc_id]["contam_ngrams"] >= r["contam_ngrams"]
         assert big[doc_id]["total_ngrams"] == r["total_ngrams"]
+
+
+_WORDS = st.sampled_from(["a", "b", "c", "d", "e", "f"])
+_DOC_TEXTS = st.lists(
+    st.lists(_WORDS, max_size=8).map(" ".join), min_size=1, max_size=6
+)
+
+
+@given(texts=_DOC_TEXTS)
+@settings(**_SETTINGS)
+def test_passage_dedup_invariants(spark, texts):
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans.quality import (
+        passage_dedup,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id: long, text: string"
+    )
+    got = {r["doc_id"]: r for r in passage_dedup(df, w=3).collect()}
+    # every doc present exactly once, shared bounded by total, frac in [0,1]
+    assert set(got) == set(range(len(texts)))
+    for r in got.values():
+        assert 0 <= r["n_shared_passages"] <= r["n_passages"]
+        assert 0.0 <= r["shared_passage_frac"] <= 1.0
+        n_toks = len([t for t in texts[r["doc_id"]].split() if t])
+        assert r["n_passages"] <= max(0, n_toks - 2)
+
+
+@given(texts=_DOC_TEXTS)
+@settings(**_SETTINGS)
+def test_passage_dedup_exact_copy_fully_shared(spark, texts):
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans.quality import (
+        passage_dedup,
+    )
+
+    # append an exact copy of doc 0 under a new id: every passage of
+    # both copies must be flagged shared (frac 1.0 when any passage
+    # exists)
+    rows = [(i, t) for i, t in enumerate(texts)]
+    rows.append((len(texts), texts[0]))
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {r["doc_id"]: r for r in passage_dedup(df, w=3).collect()}
+    for d in (0, len(texts)):
+        r = got[d]
+        if r["n_passages"] > 0:
+            assert r["n_shared_passages"] == r["n_passages"]
+            assert r["shared_passage_frac"] == 1.0
+            assert not r["keep_passage"]

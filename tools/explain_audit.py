@@ -53,7 +53,7 @@ HEADLINE = [
     ("x37_leakage_safe_split", "cluster build (x20 kernel) + zero-shuffle hash-split projection keyed by cluster_id — no extra exchange beyond the cluster join"),
     ("x38_chunk_documents", "tokenize-once + explode start offsets + slice — scan-local Project+Generate; no exchange beyond the undersplit-scan spread (a no-op at cluster scale)"),
     ("x39_vocab_coverage", "corpus-scale work = one explode + one token hash-agg exchange (plus the undersplit-scan spread); every later exchange moves only the distinct-token table (vocab-bounded rows), where the monotone log2(cnt) shards + broadcast offsets replace a global sort"),
-    ("x40_passage_dedup", "passage arrays built scan-side (array_distinct per doc, no shuffle); exactly two key-partitioned exchanges — passage-key repeat count + per-doc re-agg"),
+    ("x40_passage_dedup", "ONE corpus scan (explode_outer keeps short docs, no rejoin); two key exchanges — passage-key COUNT window + per-doc re-agg (plus the undersplit-scan spread, a no-op at cluster scale); sentinel key de-skews passage-less rows"),
 ]
 
 
