@@ -180,7 +180,10 @@ def main() -> int:
         row = {}
         for label, sf_dir in (("base", SRC), (f"x{n}", out_dir)):
             best = None
-            for _ in range(2):
+            for _ in range(3):
+                # untimed GC barrier (as bench.py): collect the previous
+                # run's garbage now so its pause doesn't bill this timing
+                spark.sparkContext._jvm.System.gc()
                 t0 = time.perf_counter()
                 df = fn(spark, sf_dir)
                 # noop sink (as bench.py): count() would let Catalyst
