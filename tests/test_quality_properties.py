@@ -198,3 +198,31 @@ def test_passage_dedup_exact_copy_fully_shared(spark, texts):
             assert r["n_shared_passages"] == r["n_passages"]
             assert r["shared_passage_frac"] == 1.0
             assert not r["keep_passage"]
+
+
+@given(texts=st.lists(
+    st.lists(_WORDS, max_size=12).map(" ".join), min_size=1, max_size=8
+))
+@settings(**_SETTINGS)
+def test_passage_dedup_differential_vs_duckdb(spark, texts):
+    """Spark passage_dedup ≡ the x40 DuckDB oracle on random corpora,
+    not just the fixture (hash-keyed window vs string-keyed SQL)."""
+    import duckdb
+    import pandas as pd
+
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans.quality import (
+        _X40_SQL,
+        passage_dedup,
+    )
+    from tests.oracle_compare import compare
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id: long, text: string"
+    )
+    got = passage_dedup(df)  # default w=8 — matches _X40_SQL's geometry
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+    )
+    compare(got, con.sql(_X40_SQL))
