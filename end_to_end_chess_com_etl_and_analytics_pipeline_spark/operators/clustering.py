@@ -47,6 +47,12 @@ def assign_nearest(
     kmeans re-enters here every round (same driver-side-cost fix as the
     SRP plane literals in operators.dedup; 'D' keeps values DoubleType,
     repr() round-trips float64 exactly)."""
+    if not centroids:
+        # no codebook (empty corpus): every row — there are none in the
+        # only case that produces this from kmeans() — gets NULL.  An
+        # empty literal would otherwise type as ARRAY<VOID> and crash
+        # the 'cv' extraction at analysis.
+        return vectors.withColumn("cluster_id", F.lit(None).cast("int"))
     cent = F.expr(
         "array("
         + ", ".join(
