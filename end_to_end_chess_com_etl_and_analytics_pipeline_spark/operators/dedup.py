@@ -54,7 +54,15 @@ def _shingle_hash_df(
     consecutive token hashes mod 2^31-1 — integer ops only, no
     per-shingle string allocation.  Documents shorter than one shingle
     fold all their token hashes into a single value.  Staged selects
-    keep each expensive alias evaluated once."""
+    keep each expensive alias evaluated once.
+
+    NULL-text docs are EXCLUDED (no content → nothing to fingerprint);
+    without this, every NULL doc hashes to the identical empty
+    signature and the LSH layers above weld them into one giant bogus
+    near-dup cluster (found by the NULL-injected differential sweep).
+    The DuckDB oracles drop them the same way (tokenizing NULL yields
+    NULL, which unnest discards)."""
+    df = df.where(F.col(text_col).isNotNull())
     th = F.transform(
         F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != ""),
         lambda t: md5_long(t) % MINHASH_H_MOD,
@@ -391,7 +399,12 @@ def simhash_signatures(
     higher-order functions interpreted, so per-token work, not the
     accumulator shape, is the floor.  The remaining alternative
     (explode + groupBy vote sum) would trade a scan-local projection
-    for a full-corpus shuffle — worse at every scale that matters."""
+    for a full-corpus shuffle — worse at every scale that matters.
+
+    NULL-text docs are excluded, as in the MinHash family
+    (_shingle_hash_df): no content → no signature, matching the
+    oracle's NULL-tokenization drop."""
+    df = df.where(F.col(text_col).isNotNull())
     toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
     with_hashes = df.select(
         F.col(id_col), F.transform(toks, lambda t: md5_long(t)).alias("hs")

@@ -387,7 +387,12 @@ def x08_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection, which is the right trade at 100 TB."""
     from ..functions.text import tokens
 
-    docs = load_table(spark, "documents", sf_dir)
+    # NULL text ≡ empty text for ANALYSIS ops (the dedup family instead
+    # EXCLUDES NULL docs — see operators.dedup._shingle_hash_df): every
+    # doc keeps a stats row, and both engines agree on '' semantics
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "text", F.coalesce(F.col("text"), F.lit(""))
+    )
     def _hits(words: list[str]):
         sw = F.array(*[F.lit(w) for w in words])
         return F.size(F.filter(F.col("__ltoks"), lambda t: F.array_contains(sw, t)))
@@ -452,12 +457,20 @@ def _sw_hits(lang: str) -> str:
 
 
 _N_TOKS = f"len({_TOKS_SQL.format(c='text')})"
+# empty-text guards mirror the Spark expressions exactly (punct_ratio
+# and stop_ratio are defined 0.0 on empty docs — a NULLIF here would
+# NULL the whole score instead; found by the NULL-injected sweep)
+_PUNCT_RATIO_SQL = (
+    "CASE WHEN length(text) = 0 THEN 0.0"
+    " ELSE CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)"
+    " / length(text) END"
+)
 _QUALITY_SQL = round_fixed_sql(
     "("
     f"LEAST(CAST({_N_TOKS} AS DOUBLE) / 50.0, 1.0)"
-    " + (1.0 - LEAST((CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)"
-    f"   / NULLIF(length(text), 0)) * 5, 1.0))"
-    f" + (1.0 - LEAST(ABS(CAST({_sw_hits('en')} AS DOUBLE) / NULLIF({_N_TOKS}, 0) - 0.1) * 4, 1.0))"
+    f" + (1.0 - LEAST(({_PUNCT_RATIO_SQL}) * 5, 1.0))"
+    f" + (1.0 - LEAST(ABS((CASE WHEN {_N_TOKS} = 0 THEN 0.0"
+    f"   ELSE CAST({_sw_hits('en')} AS DOUBLE) / {_N_TOKS} END) - 0.1) * 4, 1.0))"
     ") / 3",
     6,
 )
@@ -482,7 +495,7 @@ SELECT doc_id,
             WHEN {_sw_hits('fr')} = GREATEST({_sw_hits('en')}, {_sw_hits('de')}, {_sw_hits('fr')}, {_sw_hits('es')}) THEN 'fr'
             ELSE 'es' END AS lang_guess,
        {_FINGERPRINT_SQL} AS fp
-FROM documents
+FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents) documents
 """
 
 

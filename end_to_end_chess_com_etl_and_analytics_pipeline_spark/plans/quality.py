@@ -65,8 +65,14 @@ def x29_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     One staged projection: tokens once, n-gram arrays derived from them,
     every fraction scale-6 rounded (functions.rounding contract).  The
     most-frequent-token count is an O(distinct·n) array fold per row —
-    still scan-local, no shuffle anywhere."""
-    docs = load_table(spark, "documents", sf_dir)
+    still scan-local, no shuffle anywhere.
+
+    NULL text ≡ empty text (analysis-family contract): the row stays,
+    all fractions 0.0, keep flag true — matching the oracle's
+    coalesce."""
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "text", F.coalesce(F.col("text"), F.lit(""))
+    )
     staged = docs.select(
         "doc_id", tokens("text").alias("__toks")
     ).select(
@@ -131,7 +137,7 @@ def _dup_frac_sql(g: str) -> str:
 
 
 _X29_SQL = f"""
-WITH toks AS (SELECT doc_id, {_TOKS_SQL.format(c='text')} AS w FROM documents),
+WITH toks AS (SELECT doc_id, {_TOKS_SQL.format(c="coalesce(text, '')")} AS w FROM documents),
 staged AS (
     SELECT doc_id, w, len(w) AS n, len(list_distinct(w)) AS nd,
            {_ngrams_sql(2)} AS g2,

@@ -111,7 +111,13 @@ def x32_canonical_docs(
     docs = load_table(spark, "documents", sf_dir)
     if clusters is None:
         clusters = _dup_clusters(spark, sf_dir)
-    scored = docs.select("doc_id", quality_score("text").alias("quality"))
+    # NULL text scores as empty text (analysis-family NULL contract);
+    # such docs are always singleton clusters (the dedup kernel excludes
+    # NULL docs from signature generation)
+    scored = docs.select(
+        "doc_id",
+        quality_score(F.coalesce(F.col("text"), F.lit(""))).alias("quality"),
+    )
     labeled = (
         scored.join(clusters, scored.doc_id == clusters.node, "left")
         .select(
@@ -143,7 +149,9 @@ def x33_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     so shard order extends to the global order — rank/sum within each
     shard, then add broadcast per-shard offsets.  Same-quality docs
     always share a bucket, so the tie-break never crosses shards."""
-    docs = load_table(spark, "documents", sf_dir)
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "text", F.coalesce(F.col("text"), F.lit(""))
+    )  # NULL text ≡ '' (analysis-family NULL contract)
     stats = docs.select(
         "doc_id",
         quality_score("text").alias("quality"),
@@ -306,7 +314,8 @@ def _x32_sql() -> str:
 
     return f"""
 WITH comp AS (SELECT * FROM ({_X20_SQL}) t),
-scored AS (SELECT doc_id, {_QUALITY_SQL} AS quality FROM documents),
+scored AS (SELECT doc_id, {_QUALITY_SQL} AS quality
+           FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents) documents),
 labeled AS (
     SELECT s.doc_id, coalesce(c.cluster_id, s.doc_id) AS cluster_id, s.quality
     FROM scored s LEFT JOIN comp c ON s.doc_id = c.doc_id)
@@ -326,7 +335,7 @@ def _x33_sql() -> str:
     return f"""
 WITH stats AS (
     SELECT doc_id, {_QUALITY_SQL} AS quality, {bpe} AS n_bpe_tokens
-    FROM documents)
+    FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents) documents)
 SELECT doc_id, quality, n_bpe_tokens,
        CAST(ROW_NUMBER() OVER (ORDER BY quality DESC, doc_id ASC) AS BIGINT)
            AS sel_rank,

@@ -226,3 +226,37 @@ def test_passage_dedup_differential_vs_duckdb(spark, texts):
         pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
     )
     compare(got, con.sql(_X40_SQL))
+
+
+_MAYBE_NULL_TEXTS = st.lists(
+    st.one_of(st.none(), st.lists(_WORDS, max_size=8).map(" ".join)),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(texts=_MAYBE_NULL_TEXTS)
+@settings(**_SETTINGS)
+def test_null_contract_signatures_exclude_analysis_keeps(spark, texts):
+    """The NULL contract: signature ops EXCLUDE NULL-text docs; analysis
+    ops keep every doc with NULL ≡ '' metrics."""
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.operators.dedup import (
+        minhash_signature_array,
+        simhash_signatures,
+    )
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans.quality import (
+        passage_dedup,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id: long, text: string"
+    )
+    n_nonnull = sum(1 for t in texts if t is not None)
+    assert minhash_signature_array(df).count() == n_nonnull
+    assert simhash_signatures(df).count() == n_nonnull
+    # analysis family: every doc keeps a row; NULL text → zero passages
+    got = {r["doc_id"]: r for r in passage_dedup(df, w=3).collect()}
+    assert len(got) == len(texts)
+    for i, t in enumerate(texts):
+        if t is None:
+            assert got[i]["n_passages"] == 0 and got[i]["keep_passage"]
