@@ -28,6 +28,25 @@ def tokens(text: Column | str) -> Column:
     return F.filter(F.split(c, r"\s+"), lambda t: t != "")
 
 
+def casefold(text: Column | str) -> Column:
+    """Divergence-free lowercasing, bit-identical to CASEFOLD_SQL.
+
+    Java/Spark ``lower`` applies Unicode SpecialCasing — İ (U+0130) →
+    'i' + combining dot (two codepoints) — and the contextual
+    final-sigma rule (word-final Σ → ς); DuckDB (utf8proc) applies
+    simple 1:1 mappings (İ → 'i', Σ → 'σ' always).  Those are the ONLY
+    two divergent inputs (probed across diacritics, CJK, Greek, Turkic,
+    ligatures, titlecase digraphs, astral-plane letters).
+    Pre-substituting both — İ to its Java expansion, Σ to σ so the
+    contextual rule can never fire — makes the two engines produce
+    identical bytes for every string.  Case-normalized HASH KEYS
+    (fingerprints, SimHash) must use this, not raw lower()."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.lower(
+        F.regexp_replace(F.translate(c, "Σ", "σ"), "İ", "i̇")
+    )
+
+
 def token_count(text: Column | str) -> Column:
     return F.size(tokens(text))
 
@@ -61,7 +80,7 @@ def punct_ratio(text: Column | str) -> Column:
 
 
 def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
-    toks = tokens(F.lower(F.col(text) if isinstance(text, str) else text))
+    toks = tokens(casefold(text))
     sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
     hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
     return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
@@ -92,7 +111,7 @@ def lang_id(text: Column | str) -> Column:
     """Stopword-hit language ID: argmax over per-language hit counts,
     'und' when nothing matches.  Ties break by language order (en, de,
     fr, es) — deterministic."""
-    toks = tokens(F.lower(F.col(text) if isinstance(text, str) else text))
+    toks = tokens(casefold(text))
     scores = []
     for lang, words in STOPWORDS.items():
         sw = F.array(*[F.lit(w) for w in words])
@@ -114,6 +133,9 @@ def lang_id(text: Column | str) -> Column:
 # TOKS_SQL mirrors tokens(); BPE_EXTRACT_SQL mirrors the regex inside
 # bpe_ish_token_count().  Both take the text expression via {c}.
 TOKS_SQL = "list_filter(string_split_regex({c}, '\\s+'), t -> t <> '')"
+# DuckDB twin of casefold() — see its docstring for why raw lower()
+# diverges between the engines on İ and capital Σ
+CASEFOLD_SQL = "lower(replace(replace({c}, 'İ', 'i̇'), 'Σ', 'σ'))"
 BPE_EXTRACT_SQL = "regexp_extract_all({c}, '([A-Za-z]+|\\d|[^A-Za-z\\d\\s]+)', 1)"
 
 # Rabin-Karp rolling-hash fingerprint constants: base/modulus for the
@@ -127,5 +149,5 @@ def fingerprint(text: Column | str) -> Column:
     """Document fingerprint: 60-bit hash of the whitespace-normalized,
     lowercased text — the exact-dedup key."""
     c = F.col(text) if isinstance(text, str) else text
-    normalized = F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
+    normalized = casefold(F.regexp_replace(F.trim(c), r"\s+", " "))
     return md5_long(normalized)

@@ -404,8 +404,10 @@ def simhash_signatures(
     NULL-text docs are excluded, as in the MinHash family
     (_shingle_hash_df): no content → no signature, matching the
     oracle's NULL-tokenization drop."""
+    from ..functions.text import casefold
+
     df = df.where(F.col(text_col).isNotNull())
-    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    toks = F.filter(F.split(casefold(F.col(text_col)), r"\s+"), lambda t: t != "")
     with_hashes = df.select(
         F.col(id_col), F.transform(toks, lambda t: md5_long(t)).alias("hs")
     )

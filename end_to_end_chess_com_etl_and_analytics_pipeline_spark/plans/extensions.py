@@ -29,6 +29,7 @@ from ..functions.rounding import round_fixed, round_fixed_sql
 from ..functions.text import (
     STOPWORDS,
     bpe_ish_token_count,
+    casefold,
     fingerprint,
     punct_ratio,
     tokens,
@@ -54,6 +55,7 @@ from ..sources.tables import load_table
 # its Spark twin (functions.text.tokens)
 from ..functions.text import TOKS_SQL as _TOKS_SQL  # noqa: E402
 from ..functions.text import BPE_EXTRACT_SQL as _BPE_EXTRACT_SQL  # noqa: E402
+from ..functions.text import CASEFOLD_SQL as _CASEFOLD_SQL  # noqa: E402
 
 
 def _shingle_cte(n: int, table: str = "documents") -> str:
@@ -78,7 +80,7 @@ shingled AS (
 
 
 _FINGERPRINT_SQL = md5_long_sql(
-    "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+    _CASEFOLD_SQL.format(c="regexp_replace(trim(text), '\\s+', ' ', 'g')")
 )
 
 _MINHASH_N, _MINHASH_SHINGLE, _MINHASH_BANDS = 8, 3, 4
@@ -232,7 +234,7 @@ def x05_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _X05_SQL = f"""
 WITH toks AS (
-    SELECT doc_id, unnest({_TOKS_SQL.format(c='lower(text)')}) AS tok
+    SELECT doc_id, unnest({_TOKS_SQL.format(c=_CASEFOLD_SQL.format(c='text'))}) AS tok
     FROM documents),
 hashed AS (SELECT doc_id, {md5_long_sql('tok')} AS h FROM toks),
 bits AS (
@@ -402,7 +404,7 @@ def x08_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "text",
         tokens("text").alias("__toks"),
-        tokens(F.lower(F.col("text"))).alias("__ltoks"),
+        tokens(casefold(F.col("text"))).alias("__ltoks"),
     ).select(
         "doc_id",
         F.size("__toks").alias("n_tokens"),
@@ -451,7 +453,7 @@ def _sw_array(lang: str) -> str:
 
 def _sw_hits(lang: str) -> str:
     return (
-        f"len(list_filter({_TOKS_SQL.format(c='lower(text)')},"
+        f"len(list_filter({_TOKS_SQL.format(c=_CASEFOLD_SQL.format(c='text'))},"
         f" t -> list_contains({_sw_array(lang)}, t)))"
     )
 

@@ -624,12 +624,12 @@ def x39_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-phase pattern).  Corpus-scale cost is one explode + one
     hash-agg shuffle on token; the windows run over the distinct-token
     table, orders of magnitude smaller."""
-    from ..functions.text import tokens
+    from ..functions.text import casefold, tokens
 
     docs = load_table(spark, "documents", sf_dir)
     counts = (
         docs.select(
-            F.explode(tokens(F.lower(F.col("text")))).alias("token")
+            F.explode(tokens(casefold(F.col("text")))).alias("token")
         )
         .groupBy("token")
         .agg(F.count("*").alias("cnt"))
@@ -685,10 +685,10 @@ def x39_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _x39_sql() -> str:
-    from .extensions import _TOKS_SQL
+    from .extensions import _CASEFOLD_SQL, _TOKS_SQL
     from ..functions.rounding import round_fixed_sql
 
-    tk = _TOKS_SQL.format(c="lower(text)")
+    tk = _TOKS_SQL.format(c=_CASEFOLD_SQL.format(c="text"))
     frac = round_fixed_sql("CAST(r.cnt AS DOUBLE) / t.total", 6)
     cum = round_fixed_sql("CAST(r.cum_cnt AS DOUBLE) / t.total", 6)
     return f"""

@@ -93,3 +93,38 @@ def test_exact_dedup_determinism(edge_df):
         for r in exact_dedup(edge_df).select("keep_id", "fp").collect()
     }
     assert 0 in fps and fps.get(0) is not None
+
+
+def test_casefold_matches_duckdb_on_divergent_unicode(spark):
+    """casefold ≡ CASEFOLD_SQL on every class of input where raw
+    lower() diverges between the engines (İ SpecialCasing, final-sigma
+    contextual rule) plus a broad non-divergent control set."""
+    import duckdb
+
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.functions.text import (
+        CASEFOLD_SQL,
+        casefold,
+    )
+
+    cases = [
+        "İstanbul ıssız TİTLE İ",
+        "ΟΔΟΣ ΕΛΛΑΣ ΣΙΓΜΑ ς σ",
+        "héllo STRASSE ÜBER ß ẞ",
+        "日本語 テキスト 😀",
+        "ﬁﬂ ǅǈ ǆǉ 𝕞𝕒𝕥𝕙",
+        "",
+        "plain ascii TEXT",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], "i: long, t: string"
+    )
+    got = {
+        r["i"]: r["c"]
+        for r in df.select("i", casefold("t").alias("c")).collect()
+    }
+    con = duckdb.connect()
+    for i, t in enumerate(cases):
+        want = con.execute(
+            f"SELECT {CASEFOLD_SQL.format(c='?')}", [t]
+        ).fetchone()[0]
+        assert got[i] == want, (t, got[i], want)
