@@ -62,6 +62,35 @@ def quantize_int8(a: Column, scale: Column) -> Column:
     )
 
 
+def usable_vec(a: Column, require_nonzero: bool = True) -> Column:
+    """True when the embedding is safe to consume: every component
+    finite (one NaN poisons every dot product it touches, and under
+    ANSI mode a NaN reaching an integer cast KILLS the whole job — one
+    bad vector in 100 TB), and — for the cosine family — not all-zero
+    (cosine is 0/0-undefined on zero vectors; ANSI raises
+    DIVIDE_BY_ZERO).  Embedding operators filter on this at entry; the
+    DuckDB oracles apply USABLE_VEC_SQL identically."""
+    finite = F.forall(
+        a,
+        lambda x: ~F.isnan(x.cast("double"))
+        & (F.abs(x.cast("double")) != F.lit(float("inf"))),
+    )
+    if not require_nonzero:
+        return finite
+    return finite & F.exists(a, lambda x: x.cast("double") != 0.0)
+
+
+def usable_vec_sql(expr: str, require_nonzero: bool = True) -> str:
+    """DuckDB twin of :func:`usable_vec`."""
+    finite = (
+        f"len(list_filter({expr}, x -> isnan(CAST(x AS DOUBLE))"
+        f" OR isinf(CAST(x AS DOUBLE)))) = 0"
+    )
+    if not require_nonzero:
+        return f"({finite})"
+    return f"({finite} AND len(list_filter({expr}, x -> x <> 0)) > 0)"
+
+
 def norm_sq_sql(expr: str) -> str:
     """DuckDB rendering of squared L2 norm (list_aggregate on squares)."""
     return f"list_sum(list_transform({expr}, x -> CAST(x AS DOUBLE) * x))"

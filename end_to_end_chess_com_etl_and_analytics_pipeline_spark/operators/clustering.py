@@ -85,7 +85,18 @@ def kmeans(
 
     Assignments = (id_col, cluster_id).  An empty cluster keeps its
     previous centroid (standard fix; deterministic here).
+
+    Non-finite vectors are excluded (usable_vec, finite-only: one NaN
+    component would make its cluster mean NaN and — worse — leak a
+    `nan`/`inf` token into the next round's centroid literal, which is
+    not parseable SQL).  Zero vectors are fine: squared-L2 assignment
+    is well-defined on them.
     """
+    from ..functions.vectors import usable_vec
+
+    vectors = vectors.where(
+        usable_vec(F.col(vec_col), require_nonzero=False)
+    )
     init_rows = (
         vectors.select(id_col, vec_col)
         .orderBy(F.col(id_col).asc())

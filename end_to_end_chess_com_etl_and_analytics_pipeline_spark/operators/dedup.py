@@ -475,6 +475,9 @@ def embedding_lsh_near_dup_pairs(
     larger corpora, grow bits-per-band with log2(n) (and add bands to
     hold recall): collision probability per band must shrink faster
     than the O(n²) pair space grows."""
+    from ..functions.vectors import usable_vec
+
+    df = df.where(usable_vec(F.col(vec_col)))
     from ..functions.vectors import cosine_staged, norm
 
     rows_per_band = n_planes // bands
@@ -613,9 +616,14 @@ def embedding_near_dup_pairs(
     Brute-force O(n²) formulation for correctness; the scale path buckets
     by coarse quantization first (see similarity.ivf_topk) so only
     same-cell pairs are compared.  Norms are staged once per vector, not
-    recomputed per pair (cosine_staged — bit-identical)."""
-    from ..functions.vectors import cosine_staged, norm
+    recomputed per pair (cosine_staged — bit-identical).
 
+    Only usable vectors participate (finite components, nonzero norm —
+    functions.vectors.usable_vec): cosine is 0/0-undefined on zero
+    vectors and one NaN component would poison every pair it joins."""
+    from ..functions.vectors import cosine_staged, norm, usable_vec
+
+    df = df.where(usable_vec(F.col(vec_col)))
     a = df.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),

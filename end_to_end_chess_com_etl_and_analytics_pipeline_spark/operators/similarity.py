@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.rounding import round_fixed
-from ..functions.vectors import cosine_staged, norm
+from ..functions.vectors import usable_vec, cosine_staged, norm
 
 
 def brute_force_topk(
@@ -39,7 +39,13 @@ def brute_force_topk(
     and oracle-comparable.  Self-matches (same id) are excluded.  Norms
     are staged once per vector (cosine_staged), so each of the q × n
     score rows does a single dot-product aggregation.
+
+    Only usable vectors participate on either side (finite components,
+    nonzero norm — functions.vectors.usable_vec); see
+    embedding_near_dup_pairs for why.
     """
+    corpus = corpus.where(usable_vec(F.col(vec_col)))
+    queries = queries.where(usable_vec(F.col(vec_col)))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
@@ -137,7 +143,13 @@ def ivf_topk(
 ) -> DataFrame:
     """Approximate top-k: search only the ``nprobe`` cells nearest each
     query.  Recall < 1.0 by design; the bench pairs it with
-    brute_force_topk to report recall@k."""
+    brute_force_topk to report recall@k.
+
+    Only usable vectors participate (finite, nonzero — usable_vec); the
+    centroid table is assumed clean (it is derived from a filtered
+    corpus)."""
+    corpus = corpus.where(usable_vec(F.col(vec_col)))
+    queries = queries.where(usable_vec(F.col(vec_col)))
     cells = assign_cells(corpus, centroids, vec_col, id_col, centroid_id, centroid_vec)
     cent = centroids.select(
         F.col(centroid_id),

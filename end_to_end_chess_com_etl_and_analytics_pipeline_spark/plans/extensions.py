@@ -34,7 +34,7 @@ from ..functions.text import (
     punct_ratio,
     tokens,
 )
-from ..functions.vectors import cosine_sql
+from ..functions.vectors import cosine_sql, usable_vec_sql
 from ..operators.dedup import (
     embedding_near_dup_pairs,
     exact_dedup,
@@ -50,6 +50,15 @@ from ..sources.tables import load_table
 # ---------------------------------------------------------------------------
 # shared oracle-SQL building blocks
 # ---------------------------------------------------------------------------
+
+# sanitized embeddings sources (NaN/Inf/zero-vector contract — see
+# functions.vectors.usable_vec): the cosine family reads _EMB_USABLE,
+# kmeans/quantization read _EMB_FINITE
+_EMB_USABLE = f"(SELECT * FROM embeddings WHERE {usable_vec_sql('embedding')})"
+_EMB_FINITE = (
+    f"(SELECT * FROM embeddings"
+    f" WHERE {usable_vec_sql('embedding', require_nonzero=False)})"
+)
 
 # whitespace tokenization with empties dropped — single-sourced next to
 # its Spark twin (functions.text.tokens)
@@ -260,7 +269,7 @@ def x06_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _X06_SQL = f"""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        {round_fixed_sql(cosine_sql('a.embedding', 'b.embedding'), 6)} AS cos
-FROM embeddings a, embeddings b
+FROM {_EMB_USABLE} a, {_EMB_USABLE} b
 WHERE a.vec_id < 200 AND b.vec_id < 200 AND a.vec_id < b.vec_id
   AND {round_fixed_sql(cosine_sql('a.embedding', 'b.embedding'), 6)} >= 0.2
 """
@@ -282,7 +291,7 @@ _X07_SQL = f"""
 WITH scored AS (
     SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
            {round_fixed_sql(cosine_sql('q.embedding', 'c.embedding'), 6)} AS cos
-    FROM embeddings q, embeddings c
+    FROM {_EMB_USABLE} q, {_EMB_USABLE} c
     WHERE q.vec_id < 8 AND c.vec_id != q.vec_id),
 ranked AS (
     SELECT *, CAST(ROW_NUMBER() OVER (
@@ -311,10 +320,14 @@ def x12_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
     import os
 
-    emb = load_table(spark, "embeddings", sf_dir)
-    # plain reader for the sizing count: COUNT(*) over an un-respread
-    # parquet scan folds to footer row-group metadata (no data read);
-    # emb itself goes through the usual spread for the compute below
+    from ..functions.vectors import usable_vec
+
+    # usable vectors only (finite, nonzero — the cosine contract); the
+    # SIZING count below stays raw on purpose: it is a metadata-cheap
+    # codebook-size heuristic, not a semantics input
+    emb = load_table(spark, "embeddings", sf_dir).where(
+        usable_vec(F.col("embedding"))
+    )
     n = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).count()
     stride = max(50, math.ceil(n / 100))
     centroids = emb.where(F.col("vec_id") % stride == 3).select(
@@ -336,19 +349,19 @@ _IVF_STRIDE_SQL = (
 _X12_SQL = f"""
 WITH cent AS (
     SELECT vec_id AS centroid_id, embedding AS centroid
-    FROM embeddings WHERE vec_id % {_IVF_STRIDE_SQL} = 3),
+    FROM {_EMB_USABLE} emb_c WHERE vec_id % {_IVF_STRIDE_SQL} = 3),
 cells AS (
     SELECT vec_id, embedding, centroid_id AS cell FROM (
         SELECT e.vec_id, e.embedding, c.centroid_id,
                ROW_NUMBER() OVER (PARTITION BY e.vec_id
                    ORDER BY {_IVF_CELL_COS} DESC, c.centroid_id ASC) AS rn
-        FROM embeddings e, cent c) WHERE rn = 1),
+        FROM {_EMB_USABLE} e, cent c) WHERE rn = 1),
 qcells AS (
     SELECT vec_id AS query_id, embedding AS qv, centroid_id AS cell FROM (
         SELECT e.vec_id, e.embedding, c.centroid_id,
                ROW_NUMBER() OVER (PARTITION BY e.vec_id
                    ORDER BY {_IVF_CELL_COS} DESC, c.centroid_id ASC) AS rn
-        FROM embeddings e, cent c WHERE e.vec_id < 8) WHERE rn <= 2),
+        FROM {_EMB_USABLE} e, cent c WHERE e.vec_id < 8) WHERE rn <= 2),
 scored AS (
     SELECT q.query_id, ce.vec_id AS cand_id,
            {round_fixed_sql(cosine_sql("q.qv", "ce.embedding"), 6)} AS cos
@@ -545,7 +558,8 @@ def _x14_sql() -> str:
         for b in range(bands)
     ]
     band_rows = " UNION ALL ".join(
-        f"SELECT vec_id, {b} AS band, ({band_keys[b]}) AS band_key FROM embeddings"
+        f"SELECT vec_id, {b} AS band, ({band_keys[b]}) AS band_key"
+        f" FROM {_EMB_USABLE} e"
         for b in range(bands)
     )
     return f"""
@@ -557,8 +571,8 @@ cand AS (
 SELECT c.id_a, c.id_b,
        {round_fixed_sql(cosine_sql('ea.embedding', 'eb.embedding'), 6)} AS cos
 FROM cand c
-JOIN embeddings ea ON ea.vec_id = c.id_a
-JOIN embeddings eb ON eb.vec_id = c.id_b
+JOIN {_EMB_USABLE} ea ON ea.vec_id = c.id_a
+JOIN {_EMB_USABLE} eb ON eb.vec_id = c.id_b
 WHERE {round_fixed_sql(cosine_sql('ea.embedding', 'eb.embedding'), 6)} >= {_X14_THRESHOLD}
 """
 
@@ -754,11 +768,15 @@ def x17_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_end="win_end",
         bucket_secs=3600,
     )
+    # non-finite values contribute NULL micros (SUM skips them, both
+    # engines); under ANSI a NaN reaching the bigint cast kills the job
+    v = F.col("value")
+    micros = F.when(
+        F.isnan(v) | (F.abs(v) == F.lit(float("inf"))), F.lit(None)
+    ).otherwise(F.round(v * 1000000, 0).cast("bigint"))
     return joined.groupBy("window_id").agg(
         F.count("*").alias("n_events"),
-        F.sum(F.round(F.col("value") * 1000000, 0).cast("bigint")).alias(
-            "sum_value_micros"
-        ),
+        F.sum(micros).alias("sum_value_micros"),
     )
 
 
@@ -768,7 +786,8 @@ WITH w AS (
            ts + INTERVAL 1 HOUR AS win_end
     FROM events WHERE event_type = 'signup')
 SELECT w.window_id, COUNT(*) AS n_events,
-       CAST(SUM(CAST(ROUND(value * 1000000, 0) AS BIGINT)) AS BIGINT)
+       CAST(SUM(CASE WHEN isnan(value) OR isinf(value) THEN NULL
+                ELSE CAST(ROUND(value * 1000000, 0) AS BIGINT) END) AS BIGINT)
            AS sum_value_micros
 FROM events e JOIN w
   ON e.user_id = w.user_id
@@ -938,7 +957,7 @@ _X22_SQL = f"""
 SELECT CAST({_X22_K} AS BIGINT) AS n_clusters,
        COUNT(*) AS n_vectors_total,
        TRUE AS all_clusters_nonempty
-FROM embeddings
+FROM {_EMB_FINITE} e
 """
 
 
@@ -1170,9 +1189,13 @@ def x27_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection; summary scalars (L1 norm, min/max, exact max
     reconstruction error) instead of the raw array so the driver's
     canonicalizer sees flat columns (the x21 round-1 lesson)."""
-    from ..functions.vectors import max_abs, quantize_int8
+    from ..functions.vectors import max_abs, quantize_int8, usable_vec
 
-    e = load_table(spark, "embeddings", sf_dir)
+    # finite vectors only (zero vectors are fine — the scale-0 guard
+    # keeps them at q=0); a NaN would hit the ANSI bigint cast
+    e = load_table(spark, "embeddings", sf_dir).where(
+        usable_vec(F.col("embedding"), require_nonzero=False)
+    )
     scale = (max_abs(F.col("embedding")) / F.lit(127.0)).alias("scale")
     staged = e.select("vec_id", "embedding", scale)
     q = quantize_int8(F.col("embedding"), F.col("scale"))
@@ -1195,12 +1218,12 @@ def x27_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_X27_SQL = """
+_X27_SQL = f"""
 WITH staged AS (
     SELECT vec_id, embedding,
            list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE))))
                / 127.0 AS scale
-    FROM embeddings),
+    FROM {_EMB_FINITE} e),
 quantized AS (
     SELECT vec_id, embedding, scale,
            list_transform(embedding, v ->

@@ -19,6 +19,8 @@ def _canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
+        if math.isinf(v):  # int(inf) raises OverflowError below
+            return "inf" if v > 0 else "-inf"
         # canonical shortest-repr float rendering (both engines produce
         # bit-identical doubles by construction; repr normalises -0.0 etc.)
         if v == int(v) and abs(v) < 1e15:

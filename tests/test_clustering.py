@@ -195,3 +195,43 @@ def test_x12_stride_parity_at_non_fixture_size(spark, tmp_path):
         f"CREATE VIEW embeddings AS SELECT * FROM '{path}/*.parquet'"
     )
     compare(out, con.sql(E._X12_SQL))
+
+
+def test_usable_vec_contract(spark):
+    """Non-finite vectors excluded everywhere; zero vectors excluded
+    only from the cosine family (kmeans/quantize keep them)."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.functions.vectors import (
+        usable_vec,
+    )
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.operators.clustering import (
+        kmeans,
+    )
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    rows = [
+        (0, [1.0, 2.0]),
+        (1, [float("nan"), 1.0]),
+        (2, [float("inf"), 1.0]),
+        (3, [0.0, 0.0]),
+        (4, [3.0, 4.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    usable = df.where(usable_vec(F.col("embedding")))
+    assert sorted(r["vec_id"] for r in usable.collect()) == [0, 4]
+    finite = df.where(usable_vec(F.col("embedding"), require_nonzero=False))
+    assert sorted(r["vec_id"] for r in finite.collect()) == [0, 3, 4]
+    # cosine family runs clean on the poisoned frame (ANSI would
+    # otherwise raise DIVIDE_BY_ZERO on vec 3)
+    got = brute_force_topk(df, df, k=2).collect()
+    ids = {r["query_id"] for r in got} | {r["cand_id"] for r in got}
+    assert ids == {0, 4}
+    # kmeans keeps the zero vector, drops NaN/Inf, centroids all finite
+    assigned, cents = kmeans(df, k=2, rounds=2)
+    assert sorted(r["vec_id"] for r in assigned.collect()) == [0, 3, 4]
+    import math
+
+    assert all(math.isfinite(x) for _, vec in cents for x in vec)
