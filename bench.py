@@ -61,6 +61,7 @@ HEADLINE = [
     "x32_canonical_docs",
     "x33_token_budget_select",
     "x35_incremental_dedup",
+    "x41_semantic_dedup",
     "x38_chunk_documents",
     "x39_vocab_coverage",
     "q14_rollup",

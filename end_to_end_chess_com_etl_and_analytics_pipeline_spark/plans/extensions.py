@@ -961,6 +961,109 @@ FROM {_EMB_FINITE} e
 """
 
 
+
+
+# SemDeDup-style semantic dedup: keep-first within IVF cells.  The
+# threshold is fixture-calibrated (within-cell cosine p99 ≈ 0.33, max
+# 0.51 — both keep outcomes occur); production corpora tune per-model.
+SEM_DEDUP_THRESHOLD = 0.3
+
+
+def x41_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup (SemDeDup, Abbas et al. 2023, adapted): bucket the
+    corpus by nearest IVF coarse centroid (x12's exact cell geometry —
+    deterministic stride codebook, cosine assignment, id tie-break),
+    then within each cell drop every vector that has a LOWER-id
+    neighbor with cosine ≥ threshold (keep-first).  The exists-based
+    keep rule needs no transitive closure — unlike the text near-dup
+    path (x20), no iteration, single-pass SQL-expressible.
+
+    Shape at 100 TB: the pairwise step is CELL-bucketed (the IVF
+    argument — each vector compares against its cell only, never the
+    corpus); the same-cell join shuffles on the cell key, norms staged
+    once per vector, and the keep flag is a left-anti-style mark join
+    on vec_id.  Only usable vectors participate (the cosine contract,
+    functions.vectors.usable_vec)."""
+    import math
+    import os
+
+    from ..functions.vectors import cosine_staged, norm, usable_vec
+    from ..operators.similarity import assign_cells
+
+    emb = load_table(spark, "embeddings", sf_dir).where(
+        usable_vec(F.col("embedding"))
+    )
+    n = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).count()
+    stride = max(50, math.ceil(n / 100))
+    centroids = emb.where(F.col("vec_id") % stride == 3).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    cells = assign_cells(emb, centroids)
+    staged = cells.select(
+        "vec_id", "cell", "embedding", norm(F.col("embedding")).alias("__n")
+    ).localCheckpoint(eager=False)
+    a = staged.select(
+        F.col("vec_id").alias("a_id"),
+        "cell",
+        F.col("embedding").alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    b = staged.select(
+        F.col("vec_id").alias("b_id"),
+        "cell",
+        F.col("embedding").alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
+    dup_ids = (
+        a.join(b, "cell")
+        .where(F.col("b_id") < F.col("a_id"))
+        .where(
+            round_fixed(
+                cosine_staged(
+                    F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb")
+                ),
+                6,
+            )
+            >= SEM_DEDUP_THRESHOLD
+        )
+        .select(F.col("a_id").alias("vec_id"))
+        .distinct()
+        .withColumn("__dup", F.lit(1))
+    )
+    return (
+        staged.select("vec_id", "cell")
+        .join(dup_ids, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cell").cast("int").alias("cell"),
+            F.col("__dup").isNull().alias("keep_semantic"),
+        )
+    )
+
+
+_X41_COS_AB = round_fixed_sql(cosine_sql("a.embedding", "b.embedding"), 6)
+_X41_SQL = f"""
+WITH cent AS (
+    SELECT vec_id AS centroid_id, embedding AS centroid
+    FROM {_EMB_USABLE} emb_c WHERE vec_id % {_IVF_STRIDE_SQL} = 3),
+cells AS (
+    SELECT vec_id, embedding, centroid_id AS cell FROM (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY {_IVF_CELL_COS} DESC, c.centroid_id ASC) AS rn
+        FROM {_EMB_USABLE} e, cent c) WHERE rn = 1),
+dup AS (
+    SELECT DISTINCT a.vec_id
+    FROM cells a JOIN cells b
+      ON a.cell = b.cell AND b.vec_id < a.vec_id
+    WHERE {_X41_COS_AB} >= {SEM_DEDUP_THRESHOLD})
+SELECT c.vec_id, CAST(c.cell AS INTEGER) AS cell,
+       d.vec_id IS NULL AS keep_semantic
+FROM cells c LEFT JOIN dup d ON c.vec_id = d.vec_id
+"""
+
+
 def x23_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-profile summary (the ingestion data-quality gate): one row
     per column with row/null/distinct counts and min/max rendered as
@@ -1292,6 +1395,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x25_stratified_sample": x25_stratified_sample,
     "x26_pack_sequences": x26_pack_sequences,
     "x27_quantize_embeddings": x27_quantize_embeddings,
+    "x41_semantic_dedup": x41_semantic_dedup,
     "x28_stable_row_ids": x28_stable_row_ids,
 }
 
@@ -1321,6 +1425,7 @@ EXT_ORACLE: dict[str, str] = {
     "x25_stratified_sample": _x25_sql(),
     "x26_pack_sequences": _x26_sql(),
     "x27_quantize_embeddings": _X27_SQL,
+    "x41_semantic_dedup": _X41_SQL,
     "x28_stable_row_ids": _X28_SQL,
     # x21/x22 ship contract views — exact columns plus invariant/bound
     # booleans the oracle checks exactly — because raw sketch values and

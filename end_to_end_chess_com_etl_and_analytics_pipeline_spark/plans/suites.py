@@ -149,7 +149,8 @@ _SUITE_PARTS: dict[str, list[str]] = {
     ],
     # corpus selection & maintenance: canonical-doc-per-cluster,
     # token-budget greedy selection, deterministic epoch shuffle,
-    # batch-vs-index incremental dedup (one family)
+    # batch-vs-index incremental dedup, IVF-cell semantic dedup
+    # (one family)
     "x32_corpus_selection": [
         "x32_canonical_docs",
         "x33_token_budget_select",
@@ -158,6 +159,7 @@ _SUITE_PARTS: dict[str, list[str]] = {
         "x36_mixture_sample",
         "st06_streaming_incremental_dedup",
         "x37_leakage_safe_split",
+        "x41_semantic_dedup",
     ],
     # mapInPandas feature extraction + resize/frame-sample plumbing
     "m01_multimodal_suite": [

@@ -374,3 +374,29 @@ def test_vocab_coverage_matches_global_rank(spark):
     )
     assert rows[-1]["cum_frac"] <= 1.0 + 1e-9
     out.unpersist()
+
+
+def test_x41_semantic_dedup_contract(spark):
+    """Every usable vector labeled once; keep-first: within any cell the
+    lowest id is always kept; both outcomes occur on the fixture."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans.extensions import (
+        x41_semantic_dedup,
+    )
+    from tests.conftest import SF_DIR
+
+    out = x41_semantic_dedup(spark, SF_DIR).cache()
+    assert out.count() == out.select("vec_id").distinct().count()
+    kept = out.where("keep_semantic").count()
+    dropped = out.where("NOT keep_semantic").count()
+    assert kept > 0 and dropped > 0  # threshold calibrated to fixture
+    # the minimum id of every cell has no lower-id neighbor → always kept
+    min_per_cell = out.groupBy("cell").agg(F.min("vec_id").alias("vec_id"))
+    n_min_dropped = (
+        out.join(min_per_cell, ["cell", "vec_id"])
+        .where("NOT keep_semantic")
+        .count()
+    )
+    assert n_min_dropped == 0
+    out.unpersist()

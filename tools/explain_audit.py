@@ -54,6 +54,7 @@ HEADLINE = [
     ("x38_chunk_documents", "tokenize-once + explode start offsets + slice — scan-local Project+Generate; no exchange beyond the undersplit-scan spread (a no-op at cluster scale)"),
     ("x39_vocab_coverage", "corpus-scale work = one explode + one token hash-agg exchange (plus the undersplit-scan spread); every later exchange moves only the distinct-token table (vocab-bounded rows), where the monotone log2(cnt) shards + broadcast offsets replace a global sort"),
     ("x40_passage_dedup", "ONE corpus scan (explode_outer keeps short docs, no rejoin); two key exchanges — passage-key COUNT window + per-doc re-agg (plus the undersplit-scan spread, a no-op at cluster scale); sentinel key de-skews passage-less rows"),
+    ("x41_semantic_dedup", "IVF-cell-bucketed pairwise (never corpus-quadratic): one cell-key join for the exists-lower-neighbor mark, one vec_id mark join; no iteration — keep-first is closure-free"),
 ]
 
 

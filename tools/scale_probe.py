@@ -148,6 +148,7 @@ PROBES = [
     "x38_chunk_documents",
     "x39_vocab_coverage",
     "x40_passage_dedup",
+    "x41_semantic_dedup",
 ]
 
 # operators whose result is pair/fan-out shaped: their cost tracks
