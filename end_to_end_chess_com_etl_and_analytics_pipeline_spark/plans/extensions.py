@@ -967,6 +967,16 @@ FROM {_EMB_FINITE} e
 # threshold is fixture-calibrated (within-cell cosine p99 ≈ 0.33, max
 # 0.51 — both keep outcomes occur); production corpora tune per-model.
 SEM_DEDUP_THRESHOLD = 0.3
+# x41's codebook is √n-sized — NOT x12's capped one.  x12 only pays
+# O(n·k) assignment, so a capped k (~100) is optimal there; x41 also
+# pays O(n²/k) within-cell pairwise, so k* = √n balances the two at
+# O(n^1.5) total — the standard exact-IVF dedup trade (SemDeDup itself
+# runs k ∝ n with ANN-assisted assignment; in pure DataFrame algebra
+# √n is the optimum).  Floor 50 keeps tiny fixtures on stable cells.
+_X41_STRIDE_SQL = (
+    "(SELECT GREATEST(CAST(CEIL(SQRT(COUNT(*))) AS BIGINT), 50) "
+    "FROM embeddings)"
+)
 
 
 def x41_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -978,12 +988,18 @@ def x41_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep rule needs no transitive closure — unlike the text near-dup
     path (x20), no iteration, single-pass SQL-expressible.
 
-    Shape at 100 TB: the pairwise step is CELL-bucketed (the IVF
-    argument — each vector compares against its cell only, never the
-    corpus); the same-cell join shuffles on the cell key, norms staged
-    once per vector, and the keep flag is a left-anti-style mark join
-    on vec_id.  Only usable vectors participate (the cosine contract,
-    functions.vectors.usable_vec)."""
+    Shape at scale: the pairwise step is CELL-bucketed (each vector
+    compares against its cell only, never the corpus); the same-cell
+    join shuffles on the cell key, norms staged once per vector, and
+    the keep flag is a mark join on vec_id.  The codebook is √n-sized
+    (see _X41_STRIDE_SQL): assignment costs O(n·√n) and within-cell
+    pairwise O(n²/√n) = O(n^1.5) — the balanced optimum for EXACT
+    cell-bucketed dedup in pure DataFrame algebra.  True-linear
+    semantic dedup needs either ANN-assisted assignment with k ∝ n
+    (SemDeDup's FAISS path — outside vanilla Spark) or the SRP-LSH
+    bucketing x14 uses, which is linear but only recalls high-cosine
+    pairs; x41 is the exact complement.  Only usable vectors
+    participate (the cosine contract, functions.vectors.usable_vec)."""
     import math
     import os
 
@@ -994,7 +1010,7 @@ def x41_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         usable_vec(F.col("embedding"))
     )
     n = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).count()
-    stride = max(50, math.ceil(n / 100))
+    stride = max(50, math.ceil(math.sqrt(n)))  # √n codebook, see _X41_STRIDE_SQL
     centroids = emb.where(F.col("vec_id") % stride == 3).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("embedding").alias("centroid"),
@@ -1046,7 +1062,7 @@ _X41_COS_AB = round_fixed_sql(cosine_sql("a.embedding", "b.embedding"), 6)
 _X41_SQL = f"""
 WITH cent AS (
     SELECT vec_id AS centroid_id, embedding AS centroid
-    FROM {_EMB_USABLE} emb_c WHERE vec_id % {_IVF_STRIDE_SQL} = 3),
+    FROM {_EMB_USABLE} emb_c WHERE vec_id % {_X41_STRIDE_SQL} = 3),
 cells AS (
     SELECT vec_id, embedding, centroid_id AS cell FROM (
         SELECT e.vec_id, e.embedding, c.centroid_id,
