@@ -58,6 +58,7 @@ HEADLINE = [
     "x29_repetition_filters",
     "x31_contamination",
     "x40_passage_dedup",
+    "x42_lm_quality",
     "x32_canonical_docs",
     "x33_token_budget_select",
     "x35_incremental_dedup",

@@ -1,7 +1,7 @@
 """Training-data quality gates: repetition filters, PII scan, benchmark
 contamination (driver contract part 3).
 
-Three first-class corpus-hygiene operators a 100 TB LLM-training-data
+The first-class corpus-hygiene operators a 100 TB LLM-training-data
 pipeline runs before anything else touches the text:
 
 - x29: Gopher-style repetition filters (Rae et al. 2021 §A1.1), adapted
@@ -12,6 +12,10 @@ pipeline runs before anything else touches the text:
   counts and a deterministically-ordered redaction chain.
 - x31: benchmark-contamination check (GPT-3 appendix C style): n-gram
   overlap of every training document against a held-out benchmark set.
+- x40: cross-document exact passage dedup (Lee et al. 2022 style,
+  fixed-width token windows).
+- x42: unigram-LM perplexity quality gate (CCNet, Wenzek et al. 2020,
+  adapted unigram): corpus-trained LM, per-doc bits/token, keep band.
 
 Scale notes (the 100 TB shape):
 - x29/x30 are single-scan codegen projections: no shuffle, no UDF, no
@@ -435,15 +439,191 @@ FROM documents docs LEFT JOIN agg ON docs.doc_id = agg.doc_id
 """
 
 
+# x42: unigram-LM quality gate geometry.  Vocab sized below the
+# fixtures' distinct-token count so the OOV floor actually binds (same
+# reasoning as x39's VOCAB_SIZE); the keep band brackets the fixture
+# median bits/token (≈6.8, observed 4.9–8.9) so both outcomes occur.
+# Production runs set vocab to 10^4–10^5 and tune the band per-corpus
+# (CCNet keeps the "middle" perplexity tercile).
+LM_VOCAB = 24
+LM_KEEP_LO = 5.5
+LM_KEEP_HI = 7.5
+
+
+def lm_quality(
+    docs: DataFrame,
+    vocab_size: int = LM_VOCAB,
+    keep_lo: float = LM_KEEP_LO,
+    keep_hi: float = LM_KEEP_HI,
+) -> DataFrame:
+    """CCNet-style language-model quality gate (Wenzek et al. 2020),
+    adapted unigram: train a unigram LM on the corpus itself (top
+    ``vocab_size`` casefolded tokens by frequency, count-1 OOV floor),
+    score every document by its mean cross-entropy in bits/token, and
+    keep documents inside a [keep_lo, keep_hi] band — abnormally low
+    bits = boilerplate/repetitive text, abnormally high = noise the LM
+    has never seen.  The standard corpus gate CCNet/RedPajama run with
+    a KenLM 5-gram; the unigram adaptation keeps the operator
+    self-contained (no external model artifact) with the identical
+    plan shape — LM table join + per-doc mean.
+
+    Shape at 100 TB: two corpus passes (the LM is trained on the same
+    corpus it scores — CCNet's structure exactly), TWO corpus-scale
+    key exchanges total, and a broadcast.  Pass 1: explode + hash-agg
+    on token (map-side combined); the top-V cut reuses x39's monotone
+    floor(log2(cnt)) shard rank — every count in shard k exceeds every
+    count in shard k+1, so per-shard row_number + broadcast shard
+    offsets compose the exact global (cnt DESC, token ASC) order with
+    NO global sort, and those rank windows run over the distinct-token
+    table, orders of magnitude below corpus size.  Pass 2: the LM
+    table (V rows — 10^5 at production) broadcasts to a scan-side left
+    join and the per-doc mean is one exchange on doc_id.
+    ``explode_outer`` keeps token-less documents alive in pass 2 with
+    no docs-side rejoin (contract: text analysis never drops rows); an
+    empty doc has no defined perplexity, so its metrics are NULL — not
+    0 — and keep_lm is explicitly false."""
+    from pyspark.sql import Window
+
+    from ..functions.text import casefold
+
+    tok = docs.select(
+        "doc_id",
+        F.explode_outer(
+            tokens(casefold(F.coalesce(F.col("text"), F.lit(""))))
+        ).alias("token"),
+    )
+    # counts feeds three consumers (rank shards, shard offsets, the
+    # total); localCheckpoint pins the distinct-token table — vocab-
+    # sized, tiny next to the corpus — so the explode + token agg runs
+    # ONCE instead of once per consumer (without it the executed plan
+    # re-scans the corpus four times)
+    counts = (
+        tok.where(F.col("token").isNotNull())
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint()
+    )
+    total = counts.agg(F.sum("cnt").cast("double").alias("__total"))
+    # x39's two-phase global rank: log2-count shard is monotone in the
+    # (cnt DESC, token ASC) target order, so local rank + prior-shard
+    # row offsets give the exact global rank without a global sort
+    sharded = counts.withColumn(
+        "__shard",
+        (-F.floor(F.log2(F.col("cnt").cast("double")))).cast("long"),
+    )
+    w_local = Window.partitionBy("__shard").orderBy(
+        F.desc("cnt"), F.asc("token")
+    )
+    offsets = (
+        sharded.groupBy("__shard")
+        .agg(F.count("*").alias("__n"))
+        .select(
+            "__shard",
+            F.coalesce(
+                F.sum("__n").over(
+                    Window.orderBy("__shard").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).alias("__off"),
+        )
+    )
+    vocab = (
+        sharded.withColumn("__rank", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), "__shard")
+        .where(F.col("__off") + F.col("__rank") <= vocab_size)
+        .select("token", "cnt")
+    )
+    has_tok = F.col("token").isNotNull()
+    scored = (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            has_tok.alias("__has"),
+            # NULL for the token-less sentinel row, so avg() sees an
+            # empty set for empty docs and yields NULL, not 0
+            F.when(
+                has_tok,
+                -F.log2(
+                    F.coalesce(F.col("cnt"), F.lit(1)).cast("double")
+                    / F.col("__total")
+                ),
+            ).alias("__bits"),
+            F.when(
+                has_tok,
+                F.when(F.col("cnt").isNull(), 1.0).otherwise(0.0),
+            ).alias("__oov"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("__has"), 1).otherwise(0)).alias("__n"),
+        F.avg("__oov").alias("__oov_frac"),
+        F.avg("__bits").alias("__bits_avg"),
+    )
+    bits6 = round_fixed(F.col("__bits_avg"), 6)
+    return agg.select(
+        "doc_id",
+        F.col("__n").cast("bigint").alias("n_tokens"),
+        round_fixed(F.col("__oov_frac"), 6).alias("oov_frac"),
+        bits6.alias("bits_per_token"),
+        # band test on the ROUNDED value in both engines, so a
+        # sub-1e-6 cross-engine float wobble can never flip the flag
+        F.coalesce(bits6.between(keep_lo, keep_hi), F.lit(False)).alias(
+            "keep_lm"
+        ),
+    )
+
+
+def x42_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lm_quality over the documents fixture (see lm_quality)."""
+    return lm_quality(load_table(spark, "documents", sf_dir))
+
+
+def _x42_sql() -> str:
+    from ..functions.text import CASEFOLD_SQL
+
+    tk = _TOKS_SQL.format(c=CASEFOLD_SQL.format(c="coalesce(text, '')"))
+    bits6 = round_fixed_sql("s.bits_avg", 6)
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({tk}) AS token FROM documents),
+c AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+t AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM c),
+v AS (SELECT token, cnt FROM (
+        SELECT token, cnt,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS r
+        FROM c) WHERE r <= {LM_VOCAB}),
+s AS (SELECT tok.doc_id,
+             COUNT(*) AS n,
+             AVG(CASE WHEN v.token IS NULL THEN 1.0 ELSE 0.0 END) AS oov_frac,
+             AVG(-log2(CAST(COALESCE(v.cnt, 1) AS DOUBLE) / t.total)) AS bits_avg
+      FROM tok LEFT JOIN v USING (token), t
+      GROUP BY tok.doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(s.n, 0) AS BIGINT) AS n_tokens,
+       {round_fixed_sql("s.oov_frac", 6)} AS oov_frac,
+       {bits6} AS bits_per_token,
+       COALESCE({bits6} BETWEEN {LM_KEEP_LO} AND {LM_KEEP_HI}, FALSE)
+           AS keep_lm
+FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+"""
+
+
+_X42_SQL = _x42_sql()
+
+
 QUALITY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x29_repetition_filters": x29_repetition_filters,
     "x30_pii_scan": x30_pii_scan,
     "x31_contamination": x31_contamination,
     "x40_passage_dedup": x40_passage_dedup,
+    "x42_lm_quality": x42_lm_quality,
 }
 QUALITY_ORACLE: dict[str, str] = {
     "x29_repetition_filters": _X29_SQL,
     "x30_pii_scan": _X30_SQL,
     "x31_contamination": _X31_SQL,
     "x40_passage_dedup": _X40_SQL,
+    "x42_lm_quality": _X42_SQL,
 }

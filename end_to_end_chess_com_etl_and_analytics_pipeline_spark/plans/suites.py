@@ -119,15 +119,16 @@ _SUITE_PARTS: dict[str, list[str]] = {
         "q18_unpivot",
     ],
     # text stats + the corpus-hygiene gates (repetition filters, PII
-    # scan/redaction, benchmark contamination, cross-doc passage dedup)
-    # + context-window chunking + vocabulary/OOV coverage — one
-    # text-processing family
+    # scan/redaction, benchmark contamination, cross-doc passage dedup,
+    # unigram-LM perplexity band) + context-window chunking +
+    # vocabulary/OOV coverage — one text-processing family
     "x08_text_quality_suite": [
         "x08_text_stats",
         "x29_repetition_filters",
         "x30_pii_scan",
         "x31_contamination",
         "x40_passage_dedup",
+        "x42_lm_quality",
         "x38_chunk_documents",
         "x39_vocab_coverage",
     ],

@@ -215,3 +215,79 @@ def test_x40_plan_one_scan_two_key_exchanges(spark):
     assert plan.count("Scan parquet") == 1
     # passage-key window + per-doc agg; anything more is a regression
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_lm_quality_known_answer(spark):
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans.quality import (
+        lm_quality,
+    )
+
+    # counts over docs 1-2: a=3, b=1, c=1, total=5; vocab_size=2 keeps
+    # a and b (cnt DESC, token ASC), so c is OOV and scores at the
+    # count-1 floor — same bits as b: -log2(1/5)
+    df = spark.createDataFrame(
+        [(1, "a A b"), (2, "a c"), (3, ""), (4, None)],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r
+        for r in lm_quality(df, vocab_size=2, keep_lo=1.0, keep_hi=1.4)
+        .collect()
+    }
+    import math
+
+    b_a = -math.log2(3 / 5)
+    b_oov = -math.log2(1 / 5)
+    # casefold binds: doc 1's "A" counts as "a"
+    assert got[1]["n_tokens"] == 3 and got[1]["oov_frac"] == 0.0
+    assert abs(got[1]["bits_per_token"] - round((2 * b_a + b_oov) / 3, 6)) < 1e-9
+    assert got[1]["keep_lm"]  # 1.265 in [1.0, 1.4]
+    assert got[2]["n_tokens"] == 2 and got[2]["oov_frac"] == 0.5
+    assert abs(got[2]["bits_per_token"] - round((b_a + b_oov) / 2, 6)) < 1e-9
+    assert not got[2]["keep_lm"]  # 1.529 above the band
+    # token-less docs stay in the output with NULL metrics, keep false
+    for d in (3, 4):
+        assert got[d]["n_tokens"] == 0
+        assert got[d]["oov_frac"] is None
+        assert got[d]["bits_per_token"] is None
+        assert got[d]["keep_lm"] is False
+
+
+def test_x42_fixture_all_docs_present_both_outcomes(spark):
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans.quality import (
+        x42_lm_quality,
+    )
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    out = x42_lm_quality(spark, SF_DIR).cache()
+    n_docs = load_table(spark, "documents", SF_DIR).count()
+    assert out.count() == n_docs
+    kept = out.where("keep_lm").count()
+    assert 0 < kept < n_docs  # the band actually binds on the fixture
+    out.unpersist()
+
+
+def test_x42_plan_broadcast_lm_no_global_sort(spark):
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans.quality import (
+        x42_lm_quality,
+    )
+
+    plan = (
+        x42_lm_quality(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the LM table reaches the scoring scan as a broadcast, never a
+    # shuffle join
+    assert "BroadcastHashJoin" in plan
+    # the token-count table is checkpointed, so the scoring plan scans
+    # the corpus exactly once (the LM-training scan ran in the
+    # checkpoint job); a second parquet scan means the pin regressed
+    assert plan.count("Scan parquet") == 1
+    # keyed exchanges: doc_id agg (corpus-scale) + the rank windows
+    # over the tiny distinct-token table; more means a docs-side
+    # rejoin or a shuffle join sneaked back in
+    assert plan.count("Exchange hashpartitioning") <= 4

@@ -149,6 +149,7 @@ PROBES = [
     "x39_vocab_coverage",
     "x40_passage_dedup",
     "x41_semantic_dedup",
+    "x42_lm_quality",
 ]
 
 # operators whose result is pair/fan-out shaped: their cost tracks
