@@ -440,14 +440,15 @@ FROM documents docs LEFT JOIN agg ON docs.doc_id = agg.doc_id
 
 
 # x42: unigram-LM quality gate geometry.  Vocab sized below the
-# fixtures' distinct-token count so the OOV floor actually binds (same
+# fixtures' distinct-token count so the <unk> path actually binds (same
 # reasoning as x39's VOCAB_SIZE); the keep band brackets the fixture
-# median bits/token (≈6.8, observed 4.9–8.9) so both outcomes occur.
-# Production runs set vocab to 10^4–10^5 and tune the band per-corpus
-# (CCNet keeps the "middle" perplexity tercile).
+# median bits/token (≈4.40 at both sf0.01 and sf0.1, observed
+# 3.45–4.91) at roughly its 10th/90th percentiles so both outcomes
+# occur.  Production runs set vocab to 10^4–10^5 and tune the band
+# per-corpus (CCNet keeps the "middle" perplexity tercile).
 LM_VOCAB = 24
-LM_KEEP_LO = 5.5
-LM_KEEP_HI = 7.5
+LM_KEEP_LO = 4.2
+LM_KEEP_HI = 4.6
 
 
 def lm_quality(
@@ -458,7 +459,11 @@ def lm_quality(
 ) -> DataFrame:
     """CCNet-style language-model quality gate (Wenzek et al. 2020),
     adapted unigram: train a unigram LM on the corpus itself (top
-    ``vocab_size`` casefolded tokens by frequency, count-1 OOV floor),
+    ``vocab_size`` casefolded tokens by frequency; every out-of-vocab
+    token maps to one aggregate ``<unk>`` symbol whose probability is
+    the total OOV mass / total — the standard vocab-capped treatment,
+    and scale-invariant: replicating the corpus changes no score,
+    which a count-1 floor would break by +oov_frac bits per doubling),
     score every document by its mean cross-entropy in bits/token, and
     keep documents inside a [keep_lo, keep_hi] band — abnormally low
     bits = boilerplate/repetitive text, abnormally high = noise the LM
@@ -503,7 +508,6 @@ def lm_quality(
         .agg(F.count("*").alias("cnt"))
         .localCheckpoint()
     )
-    total = counts.agg(F.sum("cnt").cast("double").alias("__total"))
     # x39's two-phase global rank: log2-count shard is monotone in the
     # (cnt DESC, token ASC) target order, so local rank + prior-shard
     # row offsets give the exact global rank without a global sort
@@ -535,10 +539,27 @@ def lm_quality(
         .where(F.col("__off") + F.col("__rank") <= vocab_size)
         .select("token", "cnt")
     )
+    # one-row LM stats: total token mass and the aggregate <unk> mass
+    # (total minus in-vocab mass) — p(<unk>) = __unk / __total, the
+    # scale-invariant OOV probability
+    stats = (
+        counts.agg(F.sum("cnt").cast("double").alias("__total"))
+        .crossJoin(
+            vocab.agg(
+                F.coalesce(F.sum("cnt"), F.lit(0))
+                .cast("double")
+                .alias("__vmass")
+            )
+        )
+        .select(
+            "__total",
+            (F.col("__total") - F.col("__vmass")).alias("__unk"),
+        )
+    )
     has_tok = F.col("token").isNotNull()
     scored = (
         tok.join(F.broadcast(vocab), "token", "left")
-        .crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(stats))
         .select(
             "doc_id",
             has_tok.alias("__has"),
@@ -547,7 +568,7 @@ def lm_quality(
             F.when(
                 has_tok,
                 -F.log2(
-                    F.coalesce(F.col("cnt"), F.lit(1)).cast("double")
+                    F.coalesce(F.col("cnt").cast("double"), F.col("__unk"))
                     / F.col("__total")
                 ),
             ).alias("__bits"),
@@ -594,11 +615,15 @@ v AS (SELECT token, cnt FROM (
         SELECT token, cnt,
                ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS r
         FROM c) WHERE r <= {LM_VOCAB}),
+u AS (SELECT t.total,
+             t.total - COALESCE(
+                 (SELECT CAST(SUM(cnt) AS DOUBLE) FROM v), 0.0) AS unk
+      FROM t),
 s AS (SELECT tok.doc_id,
              COUNT(*) AS n,
              AVG(CASE WHEN v.token IS NULL THEN 1.0 ELSE 0.0 END) AS oov_frac,
-             AVG(-log2(CAST(COALESCE(v.cnt, 1) AS DOUBLE) / t.total)) AS bits_avg
-      FROM tok LEFT JOIN v USING (token), t
+             AVG(-log2(COALESCE(CAST(v.cnt AS DOUBLE), u.unk) / u.total)) AS bits_avg
+      FROM tok LEFT JOIN v USING (token), u
       GROUP BY tok.doc_id)
 SELECT d.doc_id,
        CAST(COALESCE(s.n, 0) AS BIGINT) AS n_tokens,
@@ -613,12 +638,110 @@ FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
 _X42_SQL = _x42_sql()
 
 
+def x43_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-hygiene funnel: the gates chained in pipeline order —
+    repetition (x29) → passage dedup (x40) → LM perplexity band
+    (x42) — with per-stage attrition, the summary table an operator of
+    a corpus cleaning run actually reads (every published pipeline —
+    Gopher, RefinedWeb, Dolma — reports exactly this table).
+
+    One row per stage: rows entering, rows surviving, and the drop
+    fraction.  Stage k's rows_in equals stage k-1's rows_out by
+    construction (the flags conjoin cumulatively), so the output is
+    self-consistent and each gate's marginal cost is attributable.
+
+    Shape at 100 TB: each gate keeps its own single-sourced kernel and
+    plan (scan-local / two exchanges / broadcast-LM respectively); the
+    funnel joins the three per-doc flag columns on doc_id — co-keyed,
+    doc-sized exchanges — and collapses to a SCALAR aggregate before
+    the 3-row stack, so nothing stage-shaped ever moves.  Fusing the
+    three gates into one scan would save the flag joins but
+    triple-maintain the kernels; the join formulation is the
+    deliberate trade."""
+    rep = x29_repetition_filters(spark, sf_dir).select(
+        "doc_id", "keep_repetition"
+    )
+    pas = x40_passage_dedup(spark, sf_dir).select("doc_id", "keep_passage")
+    lm = x42_lm_quality(spark, sf_dir).select("doc_id", "keep_lm")
+    k1 = F.col("keep_repetition")
+    k2 = k1 & F.col("keep_passage")
+    k3 = k2 & F.col("keep_lm")
+    totals = (
+        rep.join(pas, "doc_id")
+        .join(lm, "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n0"),
+            F.sum(k1.cast("long")).alias("n1"),
+            F.sum(k2.cast("long")).alias("n2"),
+            F.sum(k3.cast("long")).alias("n3"),
+        )
+    )
+    stages = totals.select(
+        F.expr(
+            "stack(3,"
+            " 1, 'repetition',    n0, n1,"
+            " 2, 'passage_dedup', n1, n2,"
+            " 3, 'lm_quality',    n2, n3"
+            ") AS (stage_idx, stage, rows_in, rows_out)"
+        )
+    )
+    drop = F.when(F.col("rows_in") == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.col("rows_out").cast("double") / F.col("rows_in")
+    )
+    return stages.select(
+        F.col("stage_idx").cast("int").alias("stage_idx"),
+        "stage",
+        F.col("rows_in").cast("bigint").alias("rows_in"),
+        F.col("rows_out").cast("bigint").alias("rows_out"),
+        round_fixed(drop, 6).alias("drop_frac"),
+    )
+
+
+def _x43_sql() -> str:
+    def stage(idx: int, name: str, i: str, o: str) -> str:
+        frac = round_fixed_sql(
+            f"CASE WHEN {i} = 0 THEN 0.0"
+            f" ELSE 1.0 - CAST({o} AS DOUBLE) / {i} END",
+            6,
+        )
+        return (
+            f"SELECT CAST({idx} AS INTEGER) AS stage_idx,"
+            f" '{name}' AS stage,"
+            f" CAST({i} AS BIGINT) AS rows_in,"
+            f" CAST({o} AS BIGINT) AS rows_out,"
+            f" {frac} AS drop_frac FROM a"
+        )
+
+    return f"""
+WITH rep AS (SELECT doc_id, keep_repetition FROM ({_X29_SQL}) r),
+pas AS (SELECT doc_id, keep_passage FROM ({_X40_SQL}) p),
+lm AS (SELECT doc_id, keep_lm FROM ({_X42_SQL}) l),
+f AS (SELECT rep.doc_id,
+             keep_repetition AS k1,
+             keep_repetition AND keep_passage AS k2,
+             keep_repetition AND keep_passage AND keep_lm AS k3
+      FROM rep JOIN pas USING (doc_id) JOIN lm USING (doc_id)),
+a AS (SELECT COUNT(*) AS n0,
+             COALESCE(SUM(CASE WHEN k1 THEN 1 ELSE 0 END), 0) AS n1,
+             COALESCE(SUM(CASE WHEN k2 THEN 1 ELSE 0 END), 0) AS n2,
+             COALESCE(SUM(CASE WHEN k3 THEN 1 ELSE 0 END), 0) AS n3
+      FROM f)
+{stage(1, 'repetition', 'n0', 'n1')}
+UNION ALL {stage(2, 'passage_dedup', 'n1', 'n2')}
+UNION ALL {stage(3, 'lm_quality', 'n2', 'n3')}
+"""
+
+
+_X43_SQL = _x43_sql()
+
+
 QUALITY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x29_repetition_filters": x29_repetition_filters,
     "x30_pii_scan": x30_pii_scan,
     "x31_contamination": x31_contamination,
     "x40_passage_dedup": x40_passage_dedup,
     "x42_lm_quality": x42_lm_quality,
+    "x43_corpus_funnel": x43_corpus_funnel,
 }
 QUALITY_ORACLE: dict[str, str] = {
     "x29_repetition_filters": _X29_SQL,
@@ -626,4 +749,5 @@ QUALITY_ORACLE: dict[str, str] = {
     "x31_contamination": _X31_SQL,
     "x40_passage_dedup": _X40_SQL,
     "x42_lm_quality": _X42_SQL,
+    "x43_corpus_funnel": _X43_SQL,
 }

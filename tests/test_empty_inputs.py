@@ -47,6 +47,11 @@ def empty_dir(tmp_path_factory):
 # fixed-shape outputs: rows exist per SCHEMA element, not per data row
 _FIXED_SHAPE_MAX = {
     "x23_profile": 4,  # one row per profiled column, even over 0 rows
+    # the hygiene funnel reports one row per STAGE (rows_in=rows_out=0)
+    # even over an empty corpus — an empty funnel table would hide
+    # which gates ran; the suite inherits the funnel's 3 fixed rows
+    "x43_corpus_funnel": 3,
+    "x08_text_quality_suite": 3,
 }
 
 

@@ -224,7 +224,8 @@ def test_lm_quality_known_answer(spark):
 
     # counts over docs 1-2: a=3, b=1, c=1, total=5; vocab_size=2 keeps
     # a and b (cnt DESC, token ASC), so c is OOV and scores at the
-    # count-1 floor — same bits as b: -log2(1/5)
+    # aggregate <unk> mass (total - in-vocab = 1) — same bits as b:
+    # -log2(1/5)
     df = spark.createDataFrame(
         [(1, "a A b"), (2, "a c"), (3, ""), (4, None)],
         ["doc_id", "text"],
@@ -287,7 +288,73 @@ def test_x42_plan_broadcast_lm_no_global_sort(spark):
     # the corpus exactly once (the LM-training scan ran in the
     # checkpoint job); a second parquet scan means the pin regressed
     assert plan.count("Scan parquet") == 1
-    # keyed exchanges: doc_id agg (corpus-scale) + the rank windows
-    # over the tiny distinct-token table; more means a docs-side
-    # rejoin or a shuffle join sneaked back in
-    assert plan.count("Exchange hashpartitioning") <= 4
+    # keyed exchanges: doc_id agg (the ONLY corpus-scale one) + the
+    # rank windows and the <unk>-mass agg, all over the tiny
+    # checkpointed distinct-token table; more means a docs-side rejoin
+    # or a shuffle join sneaked back in
+    assert plan.count("Exchange hashpartitioning") <= 5
+
+
+def test_x43_funnel_self_consistent_with_gates(spark):
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans.quality import (
+        x29_repetition_filters,
+        x43_corpus_funnel,
+    )
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    rows = {
+        r["stage_idx"]: r
+        for r in x43_corpus_funnel(spark, SF_DIR).collect()
+    }
+    assert [rows[i]["stage"] for i in (1, 2, 3)] == [
+        "repetition",
+        "passage_dedup",
+        "lm_quality",
+    ]
+    n_docs = load_table(spark, "documents", SF_DIR).count()
+    assert rows[1]["rows_in"] == n_docs
+    # stages chain: stage k's intake is stage k-1's survivors
+    assert rows[2]["rows_in"] == rows[1]["rows_out"]
+    assert rows[3]["rows_in"] == rows[2]["rows_out"]
+    for i in (1, 2, 3):
+        assert 0 <= rows[i]["rows_out"] <= rows[i]["rows_in"]
+    # stage 1 agrees with the standalone x29 gate
+    kept_rep = (
+        x29_repetition_filters(spark, SF_DIR)
+        .where("keep_repetition")
+        .count()
+    )
+    assert rows[1]["rows_out"] == kept_rep
+
+
+def test_lm_quality_invariant_under_corpus_doubling(spark):
+    """Unigram-LM scores depend only on RELATIVE token frequencies:
+    replicating the whole corpus doubles every count and the total, so
+    every probability — and every doc's bits/token — is unchanged.
+    This is exactly what the aggregate-<unk>-mass OOV treatment buys:
+    the count-1 floor this replaced FAILED here, adding oov_frac bits
+    per corpus doubling (p_oov = 1/total is an absolute count)."""
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans.quality import (
+        lm_quality,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["a b c a", "d e a", "f g h i j k", "a a a", "z z q"]
+        )],
+        ["doc_id", "text"],
+    )
+    doubled = df.union(
+        df.select((F.col("doc_id") + 100).alias("doc_id"), "text")
+    )
+    base = {
+        r["doc_id"]: (r["bits_per_token"], r["oov_frac"], r["keep_lm"])
+        for r in lm_quality(df, vocab_size=4).collect()
+    }
+    twice = {
+        r["doc_id"] % 100: (r["bits_per_token"], r["oov_frac"], r["keep_lm"])
+        for r in lm_quality(doubled, vocab_size=4).collect()
+    }
+    assert base == twice

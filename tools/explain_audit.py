@@ -56,6 +56,7 @@ HEADLINE = [
     ("x40_passage_dedup", "ONE corpus scan (explode_outer keeps short docs, no rejoin); two key exchanges — passage-key COUNT window + per-doc re-agg (plus the undersplit-scan spread, a no-op at cluster scale); sentinel key de-skews passage-less rows"),
     ("x41_semantic_dedup", "IVF-cell-bucketed pairwise (never corpus-quadratic): one cell-key join for the exists-lower-neighbor mark, one vec_id mark join; no iteration — keep-first is closure-free"),
     ("x42_lm_quality", "LM trains in ONE checkpointed pass (explode + token hash-agg); top-V cut via monotone log2(cnt) shards + broadcast offsets (no global sort); scoring pass = single corpus scan + broadcast LM join + one doc_id exchange; explode_outer keeps empty docs without a rejoin"),
+    ("x43_corpus_funnel", "gates keep their own plans; the funnel adds only co-keyed doc_id flag joins that collapse to a SCALAR aggregate before the 3-row stack — nothing stage-shaped ever moves"),
 ]
 
 
