@@ -260,3 +260,33 @@ def test_null_contract_signatures_exclude_analysis_keeps(spark, texts):
     for i, t in enumerate(texts):
         if t is None:
             assert got[i]["n_passages"] == 0 and got[i]["keep_passage"]
+
+
+@given(texts=st.lists(
+    st.lists(_WORDS, max_size=12).map(" ".join), min_size=1, max_size=8
+))
+@settings(**_SETTINGS)
+def test_lm_quality_differential_vs_duckdb(spark, texts):
+    """Spark lm_quality ≡ the x42 DuckDB oracle on random corpora, not
+    just the fixture — exercises all-in-vocab corpora (≤6 distinct
+    tokens here, vocab 24) and empty/token-less documents, where the
+    <unk> mass and NULL-metrics paths differ most between engines."""
+    import duckdb
+    import pandas as pd
+
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans.quality import (
+        _X42_SQL,
+        lm_quality,
+    )
+    from tests.oracle_compare import compare
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id: long, text: string"
+    )
+    got = lm_quality(df)  # default geometry — matches _X42_SQL
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+    )
+    compare(got, con.sql(_X42_SQL))
