@@ -486,17 +486,38 @@ def lm_quality(
     ``explode_outer`` keeps token-less documents alive in pass 2 with
     no docs-side rejoin (contract: text analysis never drops rows); an
     empty doc has no defined perplexity, so its metrics are NULL — not
-    0 — and keep_lm is explicitly false."""
-    from pyspark.sql import Window
+    0 — and keep_lm is explicitly false.
 
+    Split as ``train_lm`` (pass 1 — the frozen model artifact) +
+    ``score_lm`` (pass 2), so the streaming gate (st07) can score
+    arriving batches against a persisted LM."""
+    vocab, stats = train_lm(docs, vocab_size)
+    return score_lm(docs, vocab, stats, keep_lo, keep_hi)
+
+
+def _lm_tokens(docs: DataFrame) -> DataFrame:
     from ..functions.text import casefold
 
-    tok = docs.select(
+    return docs.select(
         "doc_id",
         F.explode_outer(
             tokens(casefold(F.coalesce(F.col("text"), F.lit(""))))
         ).alias("token"),
     )
+
+
+def train_lm(
+    docs: DataFrame, vocab_size: int = LM_VOCAB
+) -> tuple[DataFrame, DataFrame]:
+    """Pass 1 of lm_quality: the unigram LM as two small frames —
+    ``vocab`` (token, cnt — the top-``vocab_size`` rows) and ``stats``
+    (one row: __total token mass, __unk OOV mass).  Both are
+    model-artifact-sized: persist them to parquet and any later batch
+    or stream scores against the frozen model (see
+    streaming.pipeline.streaming_lm_gate)."""
+    from pyspark.sql import Window
+
+    tok = _lm_tokens(docs)
     # counts feeds three consumers (rank shards, shard offsets, the
     # total); localCheckpoint pins the distinct-token table — vocab-
     # sized, tiny next to the corpus — so the explode + token agg runs
@@ -556,6 +577,23 @@ def lm_quality(
             (F.col("__total") - F.col("__vmass")).alias("__unk"),
         )
     )
+    return vocab, stats
+
+
+def score_lm(
+    docs: DataFrame,
+    vocab: DataFrame,
+    stats: DataFrame,
+    keep_lo: float = LM_KEEP_LO,
+    keep_hi: float = LM_KEEP_HI,
+) -> DataFrame:
+    """Pass 2 of lm_quality: score ``docs`` against a frozen LM
+    (``vocab``/``stats`` from train_lm, possibly re-read from
+    parquet).  A doc's verdict depends only on its own tokens and the
+    LM, so scoring a corpus in micro-batches and unioning equals
+    scoring it in one shot — the streaming-gate oracle relies on
+    this."""
+    tok = _lm_tokens(docs)
     has_tok = F.col("token").isNotNull()
     scored = (
         tok.join(F.broadcast(vocab), "token", "left")
@@ -600,6 +638,42 @@ def lm_quality(
 def x42_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lm_quality over the documents fixture (see lm_quality)."""
     return lm_quality(load_table(spark, "documents", sf_dir))
+
+
+def st07_streaming_lm_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of x42: the unigram LM is trained batch-side and
+    PERSISTED to parquet (the frozen model artifact), the documents
+    arrive as a file-source stream (several files → several
+    micro-batches), and each micro-batch is scored against the frozen
+    LM in foreachBatch.  The appended verdicts must equal the one-shot
+    batch scoring, so the oracle is x42's SQL."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from ..streaming.pipeline import streaming_lm_gate
+
+    docs = load_table(spark, "documents", sf_dir)
+    root = tempfile.mkdtemp(prefix="st07_")
+    vocab_path = _os.path.join(root, "lm_vocab")
+    stats_path = _os.path.join(root, "lm_stats")
+    batch_dir = _os.path.join(root, "batch")
+    out_path = _os.path.join(root, "verdicts")
+    ckpt = _os.path.join(root, "ckpt")
+    try:
+        vocab, stats = train_lm(docs)
+        vocab.write.parquet(vocab_path)
+        stats.write.parquet(stats_path)
+        # several arriving files → several micro-batches
+        docs.repartition(3).write.parquet(batch_dir)
+        streaming_lm_gate(
+            spark, batch_dir, vocab_path, stats_path, out_path, ckpt
+        )
+        # pin results before the temp tree disappears
+        out = spark.read.parquet(out_path).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
 
 
 def _x42_sql() -> str:
@@ -741,6 +815,7 @@ QUALITY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x31_contamination": x31_contamination,
     "x40_passage_dedup": x40_passage_dedup,
     "x42_lm_quality": x42_lm_quality,
+    "st07_streaming_lm_gate": st07_streaming_lm_gate,
     "x43_corpus_funnel": x43_corpus_funnel,
 }
 QUALITY_ORACLE: dict[str, str] = {
@@ -749,5 +824,6 @@ QUALITY_ORACLE: dict[str, str] = {
     "x31_contamination": _X31_SQL,
     "x40_passage_dedup": _X40_SQL,
     "x42_lm_quality": _X42_SQL,
+    "st07_streaming_lm_gate": _X42_SQL,
     "x43_corpus_funnel": _X43_SQL,
 }

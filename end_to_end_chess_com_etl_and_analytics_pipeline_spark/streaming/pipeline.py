@@ -450,6 +450,65 @@ def streaming_incremental_dedup(
             spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+def streaming_lm_gate(
+    spark: SparkSession,
+    batch_docs_dir: str,
+    vocab_path: str,
+    stats_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    keep_lo: float | None = None,
+    keep_hi: float | None = None,
+) -> None:
+    """Streaming ingest scored against a FROZEN quality model: a
+    file-source stream of arriving document batches, each micro-batch
+    scored in ``foreachBatch`` by ``plans.quality.score_lm`` against
+    the persisted unigram LM (``train_lm``'s vocab/stats written to
+    parquet); verdict rows append to ``out_path``.
+
+    The production shape for every model-artifact gate (perplexity
+    filter, quality classifier, toxicity scorer): the model trains
+    once batch-side, ingest streams against it — the model is read,
+    never retrained per batch.  A doc's verdict depends only on its
+    own tokens and the frozen LM, so the union of micro-batch outputs
+    equals the one-shot batch scoring (the st07 oracle).
+    ``availableNow`` drains the backlog then stops."""
+    from ..plans.quality import LM_KEEP_HI, LM_KEEP_LO, score_lm
+
+    schema = spark.read.parquet(batch_docs_dir).schema  # footer probe
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(batch_docs_dir)
+    )
+    vocab = spark.read.parquet(vocab_path)
+    stats = spark.read.parquet(stats_path)
+    lo = LM_KEEP_LO if keep_lo is None else keep_lo
+    hi = LM_KEEP_HI if keep_hi is None else keep_hi
+
+    def score(batch_df: DataFrame, batch_id: int) -> None:
+        score_lm(batch_df, vocab, stats, lo, hi).write.mode(
+            "append"
+        ).parquet(out_path)
+
+    # batch-scoped shuffle width (see run_incremental_gold)
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        (
+            stream.writeStream.foreachBatch(score)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, table_name: str, output_mode: str = "complete"
 ) -> None:

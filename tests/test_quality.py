@@ -358,3 +358,24 @@ def test_lm_quality_invariant_under_corpus_doubling(spark):
         for r in lm_quality(doubled, vocab_size=4).collect()
     }
     assert base == twice
+
+
+def test_st07_streaming_gate_equals_batch_scoring(spark):
+    """Union of micro-batch scores against the frozen LM == one-shot
+    batch scoring (the doc verdict depends only on its own tokens and
+    the persisted model)."""
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans.quality import (
+        st07_streaming_lm_gate,
+        x42_lm_quality,
+    )
+
+    cols = ["n_tokens", "oov_frac", "bits_per_token", "keep_lm"]
+    batch = {
+        r["doc_id"]: tuple(r[c] for c in cols)
+        for r in x42_lm_quality(spark, SF_DIR).collect()
+    }
+    stream = {
+        r["doc_id"]: tuple(r[c] for c in cols)
+        for r in st07_streaming_lm_gate(spark, SF_DIR).collect()
+    }
+    assert batch == stream
