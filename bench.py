@@ -63,6 +63,7 @@ HEADLINE = [
     "x33_token_budget_select",
     "x35_incremental_dedup",
     "x41_semantic_dedup",
+    "x44_snapshot_diff",
     "x38_chunk_documents",
     "x39_vocab_coverage",
     "q14_rollup",

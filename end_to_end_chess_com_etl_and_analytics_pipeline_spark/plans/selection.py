@@ -28,6 +28,9 @@ Five first-class operators:
 - x37: leakage-safe train/val/test split — the hash split keyed by
   near-dup cluster id, so duplicate pairs can never straddle train and
   test (the eval-inflation hole a doc_id-keyed split leaves open).
+- x44: corpus snapshot diff — per-doc added/removed/changed/unchanged
+  between two corpus versions via content fingerprints; the dataset-
+  versioning audit run between crawls (one co-keyed full-outer join).
 - x36: temperature-balanced domain mixture — per-``source`` sampling at
   rate ∝ 1/√n_source (the √-temperature rebalancing multilingual/
   multi-domain corpora use), gated by a deterministic seeded hash so
@@ -705,6 +708,111 @@ FROM r, t WHERE r.rank <= {VOCAB_SIZE}
 """
 
 
+# x44: snapshot-diff derivation mods.  The two corpus snapshots are
+# derived deterministically from the one documents fixture so BOTH
+# engines build identical inputs: prev drops doc_id % 5 == 0 (those
+# read as "added" in curr) and suffixes text for doc_id % 7 == 0
+# ("changed"); curr drops doc_id % 11 == 0 ("removed").  All four
+# statuses occur at sf0.01 (added ~91, removed ~37, changed ~52).
+SNAP_ADDED_MOD = 5
+SNAP_CHANGED_MOD = 7
+SNAP_REMOVED_MOD = 11
+
+
+def snapshot_diff(prev: DataFrame, curr: DataFrame) -> DataFrame:
+    """Corpus snapshot diff: per-document added / removed / changed /
+    unchanged status between two corpus versions — the dataset-
+    versioning audit run between crawls or before retraining ("what
+    actually moved since the last cut?").
+
+    Identity is ``doc_id``; change detection is the engine's exact-
+    dedup content fingerprint (``functions.text.fingerprint`` — 60-bit
+    hash of casefolded whitespace-normalized text), null-safe so two
+    NULL-text versions of a doc compare as unchanged in both engines.
+
+    Shape at 100 TB: fingerprints are scan-side projections; the only
+    exchange is ONE co-keyed full-outer join on doc_id (both sides
+    shuffle once on the same key — AQE handles the merge), and the
+    output is a zero-shuffle projection of it.  No content strings
+    move: 8-byte fingerprints travel, not documents."""
+    from ..functions.text import fingerprint
+
+    p = prev.select(
+        "doc_id",
+        fingerprint("text").alias("__fp_prev"),
+        F.lit(1).alias("__in_prev"),
+    )
+    c = curr.select(
+        "doc_id",
+        fingerprint("text").alias("__fp_curr"),
+        F.lit(1).alias("__in_curr"),
+    )
+    j = p.join(c, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("__in_prev").isNull(), F.lit("added"))
+        .when(F.col("__in_curr").isNull(), F.lit("removed"))
+        .when(
+            F.col("__fp_prev").eqNullSafe(F.col("__fp_curr")),
+            F.lit("unchanged"),
+        )
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(
+        "doc_id",
+        status.alias("status"),
+        F.coalesce(F.col("__fp_curr"), F.col("__fp_prev")).alias("fp"),
+    )
+
+
+def x44_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """snapshot_diff over two deterministic snapshots of the documents
+    fixture (see SNAP_*_MOD)."""
+    docs = load_table(spark, "documents", sf_dir)
+    prev = docs.where(F.col("doc_id") % SNAP_ADDED_MOD != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % SNAP_CHANGED_MOD == 0,
+            F.concat(F.col("text"), F.lit(" v1")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    curr = docs.where(F.col("doc_id") % SNAP_REMOVED_MOD != 0)
+    return snapshot_diff(prev, curr)
+
+
+def _x44_sql() -> str:
+    from ..functions.text import CASEFOLD_SQL
+
+    def fp(c: str) -> str:
+        return md5_long_sql(
+            CASEFOLD_SQL.format(
+                c=f"regexp_replace(trim({c}), '\\s+', ' ', 'g')"
+            )
+        )
+
+    return f"""
+WITH prev AS (SELECT doc_id,
+                     CASE WHEN doc_id % {SNAP_CHANGED_MOD} = 0
+                          THEN text || ' v1' ELSE text END AS text
+              FROM documents WHERE doc_id % {SNAP_ADDED_MOD} <> 0),
+curr AS (SELECT doc_id, text FROM documents
+         WHERE doc_id % {SNAP_REMOVED_MOD} <> 0),
+p AS (SELECT doc_id, {fp('text')} AS fp_prev, 1 AS in_prev FROM prev),
+c AS (SELECT doc_id, {fp('text')} AS fp_curr, 1 AS in_curr FROM curr),
+j AS (SELECT COALESCE(p.doc_id, c.doc_id) AS doc_id,
+             p.fp_prev, p.in_prev, c.fp_curr, c.in_curr
+      FROM p FULL OUTER JOIN c ON p.doc_id = c.doc_id)
+SELECT doc_id,
+       CASE WHEN in_prev IS NULL THEN 'added'
+            WHEN in_curr IS NULL THEN 'removed'
+            WHEN fp_prev IS NOT DISTINCT FROM fp_curr THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       COALESCE(fp_curr, fp_prev) AS fp
+FROM j
+"""
+
+
 SELECTION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x32_canonical_docs": x32_canonical_docs,
     "x33_token_budget_select": x33_token_budget_select,
@@ -715,6 +823,7 @@ SELECTION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x37_leakage_safe_split": x37_leakage_safe_split,
     "x38_chunk_documents": x38_chunk_documents,
     "x39_vocab_coverage": x39_vocab_coverage,
+    "x44_snapshot_diff": x44_snapshot_diff,
 }
 
 SELECTION_ORACLE: dict[str, str] = {
@@ -727,4 +836,5 @@ SELECTION_ORACLE: dict[str, str] = {
     "x37_leakage_safe_split": _x37_sql(),
     "x38_chunk_documents": _x38_sql(),
     "x39_vocab_coverage": _x39_sql(),
+    "x44_snapshot_diff": _x44_sql(),
 }

@@ -163,6 +163,7 @@ _SUITE_PARTS: dict[str, list[str]] = {
         "st06_streaming_incremental_dedup",
         "x37_leakage_safe_split",
         "x41_semantic_dedup",
+        "x44_snapshot_diff",
     ],
     # mapInPandas feature extraction + resize/frame-sample plumbing
     "m01_multimodal_suite": [

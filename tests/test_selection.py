@@ -400,3 +400,75 @@ def test_x41_semantic_dedup_contract(spark):
     )
     assert n_min_dropped == 0
     out.unpersist()
+
+
+def test_snapshot_diff_known_answer(spark):
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans.selection import (
+        snapshot_diff,
+    )
+
+    prev = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "old text"), (3, "stable"), (5, None)],
+        "doc_id: long, text: string",
+    )
+    curr = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "new text"), (4, "brand new"), (5, None)],
+        "doc_id: long, text: string",
+    )
+    got = {r["doc_id"]: r["status"] for r in snapshot_diff(prev, curr).collect()}
+    assert got == {
+        1: "unchanged",
+        2: "changed",
+        3: "removed",
+        4: "added",
+        5: "unchanged",  # NULL text in both: null-safe compare
+    }
+
+
+def test_snapshot_diff_normalized_content_identity(spark):
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans.selection import (
+        snapshot_diff,
+    )
+
+    # fingerprint identity is casefolded + whitespace-normalized: a
+    # reformatted crawl of the same page is NOT a content change
+    prev = spark.createDataFrame([(1, "Hello   World")], "doc_id: long, text: string")
+    curr = spark.createDataFrame([(1, "hello world")], "doc_id: long, text: string")
+    [r] = snapshot_diff(prev, curr).collect()
+    assert r["status"] == "unchanged"
+
+
+def test_x44_fixture_all_statuses_and_counts(spark):
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans.selection import (
+        SNAP_ADDED_MOD,
+        SNAP_CHANGED_MOD,
+        SNAP_REMOVED_MOD,
+        x44_snapshot_diff,
+    )
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    out = x44_snapshot_diff(spark, SF_DIR)
+    got = {r["status"]: r["n"] for r in out.groupBy("status").count()
+           .withColumnRenamed("count", "n").collect()}
+    ids = [
+        r["doc_id"]
+        for r in load_table(spark, "documents", SF_DIR).select("doc_id").collect()
+    ]
+    exp = {"added": 0, "removed": 0, "changed": 0, "unchanged": 0}
+    for i in ids:
+        in_prev = i % SNAP_ADDED_MOD != 0
+        in_curr = i % SNAP_REMOVED_MOD != 0
+        if not in_prev and not in_curr:
+            continue
+        if not in_prev:
+            exp["added"] += 1
+        elif not in_curr:
+            exp["removed"] += 1
+        elif i % SNAP_CHANGED_MOD == 0:
+            exp["changed"] += 1
+        else:
+            exp["unchanged"] += 1
+    assert got == {k: v for k, v in exp.items() if v > 0}
+    assert all(v > 0 for v in exp.values())  # all four statuses bind

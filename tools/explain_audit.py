@@ -57,6 +57,7 @@ HEADLINE = [
     ("x41_semantic_dedup", "IVF-cell-bucketed pairwise (never corpus-quadratic): one cell-key join for the exists-lower-neighbor mark, one vec_id mark join; no iteration — keep-first is closure-free"),
     ("x42_lm_quality", "LM trains in ONE checkpointed pass (explode + token hash-agg); top-V cut via monotone log2(cnt) shards + broadcast offsets (no global sort); scoring pass = single corpus scan + broadcast LM join + one doc_id exchange; explode_outer keeps empty docs without a rejoin"),
     ("x43_corpus_funnel", "gates keep their own plans; the funnel adds only co-keyed doc_id flag joins that collapse to a SCALAR aggregate before the 3-row stack — nothing stage-shaped ever moves"),
+    ("x44_snapshot_diff", "fingerprints are scan-side projections; ONE co-keyed full-outer join on doc_id is the only exchange — 8-byte hashes shuffle, never document strings"),
 ]
 
 

@@ -150,6 +150,7 @@ PROBES = [
     "x40_passage_dedup",
     "x41_semantic_dedup",
     "x42_lm_quality",
+    "x44_snapshot_diff",
 ]
 
 # operators whose result is pair/fan-out shaped: their cost tracks
