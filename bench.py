@@ -59,6 +59,7 @@ HEADLINE = [
     "x31_contamination",
     "x40_passage_dedup",
     "x42_lm_quality",
+    "x45_bigram_lm",
     "x32_canonical_docs",
     "x33_token_budget_select",
     "x35_incremental_dedup",

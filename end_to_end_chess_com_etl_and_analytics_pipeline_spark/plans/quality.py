@@ -16,6 +16,9 @@ pipeline runs before anything else touches the text:
   fixed-width token windows).
 - x42: unigram-LM perplexity quality gate (CCNet, Wenzek et al. 2020,
   adapted unigram): corpus-trained LM, per-doc bits/token, keep band.
+- x45: bigram stupid-backoff scoring (Brants et al. 2007): top-B
+  bigram conditionals with x42's capped unigram as the backoff.
+- x43: the hygiene funnel — the gates chained with per-stage attrition.
 
 Scale notes (the 100 TB shape):
 - x29/x30 are single-scan codegen projections: no shuffle, no UDF, no
@@ -640,6 +643,205 @@ def x42_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_quality(load_table(spark, "documents", sf_dir))
 
 
+# x45: bigram stupid-backoff geometry.  The bigram table is capped at
+# the top-B pairs by count (same artifact-boundedness argument as
+# x42's vocab: at production B is 10^6-ish and broadcastable; here it
+# is sized WELL below the fixtures' ~900 distinct bigrams so the
+# backoff path dominates and both scoring paths are exercised), and
+# the backoff distribution is exactly x42's vocab-capped unigram LM.
+BIGRAM_TOP_B = 48
+BACKOFF_ALPHA = 0.4  # Brants et al. 2007's fixed backoff weight
+
+
+def train_bigram_lm(docs: DataFrame, top_b: int = BIGRAM_TOP_B) -> DataFrame:
+    """The bigram half of the stupid-backoff artifact: the top
+    ``top_b`` bigrams by corpus count, each with its PRECOMPUTED
+    conditional score s = cnt(w1 w2) / cnt(w1) — storing the
+    conditional (not the raw count) means scoring never needs the full
+    unigram table, only this capped frame.  Top-B cut via the x39
+    monotone log2(cnt) shard rank — no global sort."""
+    from pyspark.sql import Window
+
+    tok = _lm_tokens(docs)
+    uni = (
+        tok.where(F.col("token").isNotNull())
+        .groupBy("token")
+        .agg(F.count("*").alias("ucnt"))
+    )
+    grams = _doc_bigrams(docs).where(F.col("g").isNotNull())
+    bi = grams.groupBy("g").agg(F.count("*").alias("cnt")).localCheckpoint()
+    sharded = bi.withColumn(
+        "__shard",
+        (-F.floor(F.log2(F.col("cnt").cast("double")))).cast("long"),
+    )
+    w_local = Window.partitionBy("__shard").orderBy(F.desc("cnt"), F.asc("g"))
+    offsets = (
+        sharded.groupBy("__shard")
+        .agg(F.count("*").alias("__n"))
+        .select(
+            "__shard",
+            F.coalesce(
+                F.sum("__n").over(
+                    Window.orderBy("__shard").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).alias("__off"),
+        )
+    )
+    top = (
+        sharded.withColumn("__rank", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), "__shard")
+        .where(F.col("__off") + F.col("__rank") <= top_b)
+        .select(
+            "g",
+            F.substring_index(F.col("g"), " ", 1).alias("__w1"),
+            "cnt",
+        )
+    )
+    return top.join(
+        F.broadcast(uni), top["__w1"] == uni["token"], "inner"
+    ).select(
+        "g",
+        (F.col("cnt").cast("double") / F.col("ucnt")).alias("s_big"),
+    )
+
+
+def _doc_bigrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, g) with g = every ADJACENT token pair as a single
+    space-joined string (all occurrences, NOT distinct — LM scoring
+    weights repeated transitions); explode_outer keeps docs with <2
+    tokens alive with g NULL."""
+    from ..functions.text import casefold
+
+    toks = tokens(casefold(F.coalesce(F.col("text"), F.lit(""))))
+    return docs.select(
+        "doc_id",
+        F.explode_outer(_ngrams(toks, F.size(toks), 2)).alias("g"),
+    )
+
+
+def x45_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram stupid-backoff LM scoring (Brants et al. 2007): every
+    adjacent token transition scores s = cnt(w1 w2)/cnt(w1) when the
+    bigram is in the top-B table, else ALPHA times x42's vocab-capped
+    unigram probability of w2 (aggregate-<unk> OOV mass) — the 5-gram
+    KenLM gate's shape at order 2, fully cross-engine checkable.
+    Output per doc: transition count, backoff fraction, mean bits per
+    transition.  Docs with <2 tokens keep their row with NULL metrics
+    (x42's NULL contract).
+
+    Shape at 100 TB: training is two hash-aggs (bigram key + token
+    key) with the top-B cut over the distinct-bigram table (x39 shard
+    rank, no global sort); both LM artifacts are capped → broadcast;
+    scoring is one corpus scan + two broadcast joins + one doc_id
+    exchange."""
+    docs = load_table(spark, "documents", sf_dir)
+    big = train_bigram_lm(docs)
+    vocab, stats = train_lm(docs)
+    return score_bigram_lm(docs, big, vocab, stats)
+
+
+def score_bigram_lm(
+    docs: DataFrame, big: DataFrame, vocab: DataFrame, stats: DataFrame
+) -> DataFrame:
+    """Scoring half of x45 (see x45_bigram_lm): docs against frozen
+    bigram + unigram artifacts."""
+    grams = _doc_bigrams(docs)
+    has_g = F.col("g").isNotNull()
+    w2 = F.substring_index(F.col("g"), " ", -1)
+    scored = (
+        grams.join(F.broadcast(big), "g", "left")
+        .join(
+            F.broadcast(vocab.withColumnRenamed("cnt", "__w2cnt")),
+            w2 == F.col("token"),
+            "left",
+        )
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            has_g.alias("__has"),
+            F.when(
+                has_g,
+                F.when(F.col("s_big").isNull(), 1.0).otherwise(0.0),
+            ).alias("__backoff"),
+            F.when(
+                has_g,
+                -F.log2(
+                    F.coalesce(
+                        F.col("s_big"),
+                        F.lit(BACKOFF_ALPHA)
+                        * F.coalesce(
+                            F.col("__w2cnt").cast("double"), F.col("__unk")
+                        )
+                        / F.col("__total"),
+                    )
+                ),
+            ).alias("__bits"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("__has"), 1).otherwise(0)).alias("__n"),
+        F.avg("__backoff").alias("__backoff_frac"),
+        F.avg("__bits").alias("__bits_avg"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("__n").cast("bigint").alias("n_transitions"),
+        round_fixed(F.col("__backoff_frac"), 6).alias("backoff_frac"),
+        round_fixed(F.col("__bits_avg"), 6).alias("bits_per_transition"),
+    )
+
+
+def _x45_sql() -> str:
+    from ..functions.text import CASEFOLD_SQL
+
+    tk = _TOKS_SQL.format(c=CASEFOLD_SQL.format(c="coalesce(text, '')"))
+    return f"""
+WITH toks AS (SELECT doc_id, {tk} AS w FROM documents),
+tok AS (SELECT doc_id, unnest(w) AS token FROM toks),
+uni AS (SELECT token, COUNT(*) AS ucnt FROM tok GROUP BY token),
+t AS (SELECT CAST(SUM(ucnt) AS DOUBLE) AS total FROM uni),
+v AS (SELECT token, ucnt FROM (
+        SELECT token, ucnt,
+               ROW_NUMBER() OVER (ORDER BY ucnt DESC, token ASC) AS r
+        FROM uni) WHERE r <= {LM_VOCAB}),
+u AS (SELECT t.total,
+             t.total - COALESCE(
+                 (SELECT CAST(SUM(ucnt) AS DOUBLE) FROM v), 0.0) AS unk
+      FROM t),
+gr AS (SELECT doc_id, unnest({_ngrams_sql(2)}) AS g FROM toks),
+bc AS (SELECT g, COUNT(*) AS cnt FROM gr GROUP BY g),
+big AS (SELECT b.g,
+               CAST(b.cnt AS DOUBLE) / uni.ucnt AS s_big
+        FROM (SELECT g, cnt FROM (
+                SELECT g, cnt,
+                       ROW_NUMBER() OVER (ORDER BY cnt DESC, g ASC) AS r
+                FROM bc) WHERE r <= {BIGRAM_TOP_B}) b
+        JOIN uni ON uni.token = split_part(b.g, ' ', 1)),
+s AS (SELECT gr.doc_id,
+             COUNT(*) AS n,
+             AVG(CASE WHEN big.s_big IS NULL THEN 1.0 ELSE 0.0 END)
+                 AS backoff_frac,
+             AVG(-log2(COALESCE(big.s_big,
+                 {BACKOFF_ALPHA} * COALESCE(CAST(v.ucnt AS DOUBLE), u.unk)
+                     / u.total))) AS bits_avg
+      FROM gr
+      LEFT JOIN big USING (g)
+      LEFT JOIN v ON v.token = split_part(gr.g, ' ', 2), u
+      GROUP BY gr.doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(s.n, 0) AS BIGINT) AS n_transitions,
+       {round_fixed_sql("s.backoff_frac", 6)} AS backoff_frac,
+       {round_fixed_sql("s.bits_avg", 6)} AS bits_per_transition
+FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+"""
+
+
+_X45_SQL = _x45_sql()
+
+
 def st07_streaming_lm_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of x42: the unigram LM is trained batch-side and
     PERSISTED to parquet (the frozen model artifact), the documents
@@ -816,6 +1018,7 @@ QUALITY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x40_passage_dedup": x40_passage_dedup,
     "x42_lm_quality": x42_lm_quality,
     "st07_streaming_lm_gate": st07_streaming_lm_gate,
+    "x45_bigram_lm": x45_bigram_lm,
     "x43_corpus_funnel": x43_corpus_funnel,
 }
 QUALITY_ORACLE: dict[str, str] = {
@@ -825,5 +1028,6 @@ QUALITY_ORACLE: dict[str, str] = {
     "x40_passage_dedup": _X40_SQL,
     "x42_lm_quality": _X42_SQL,
     "st07_streaming_lm_gate": _X42_SQL,
+    "x45_bigram_lm": _X45_SQL,
     "x43_corpus_funnel": _X43_SQL,
 }

@@ -130,6 +130,7 @@ _SUITE_PARTS: dict[str, list[str]] = {
         "x40_passage_dedup",
         "x42_lm_quality",
         "st07_streaming_lm_gate",
+        "x45_bigram_lm",
         "x43_corpus_funnel",
         "x38_chunk_documents",
         "x39_vocab_coverage",

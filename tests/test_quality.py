@@ -379,3 +379,59 @@ def test_st07_streaming_gate_equals_batch_scoring(spark):
         for r in st07_streaming_lm_gate(spark, SF_DIR).collect()
     }
     assert batch == stream
+
+
+def test_bigram_lm_known_answer(spark):
+    import math
+
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans.quality import (
+        score_bigram_lm,
+        train_bigram_lm,
+        train_lm,
+    )
+
+    # unigrams: a=3 b=3 c=1 x=1, total 8; bigram counts: "a b"=3,
+    # "b a"=1, "b c"=1; top_b=2 keeps "a b" (s=3/3) and "b a" (s=1/3,
+    # tie vs "b c" broken by g ASC); "b c" takes the backoff path:
+    # 0.4 * p(c) = 0.4/8
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b"), (3, "x"), (4, "")],
+        ["doc_id", "text"],
+    )
+    big = train_bigram_lm(df, top_b=2)
+    vocab, stats = train_lm(df)
+    got = {
+        r["doc_id"]: r for r in score_bigram_lm(df, big, vocab, stats).collect()
+    }
+    assert got[1]["n_transitions"] == 4
+    assert got[1]["backoff_frac"] == 0.25
+    exp = (0.0 + math.log2(3) + 0.0 + -math.log2(0.4 / 8)) / 4
+    assert abs(got[1]["bits_per_transition"] - round(exp, 6)) < 1e-9
+    assert got[2]["n_transitions"] == 1
+    assert got[2]["backoff_frac"] == 0.0
+    assert got[2]["bits_per_transition"] == 0.0  # s("a b")=3/3=1 → 0 bits
+    # <2-token docs keep their row with NULL metrics (x42 contract)
+    for d in (3, 4):
+        assert got[d]["n_transitions"] == 0
+        assert got[d]["backoff_frac"] is None
+        assert got[d]["bits_per_transition"] is None
+
+
+def test_x45_fixture_backoff_binds_both_ways(spark):
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans.quality import (
+        x45_bigram_lm,
+    )
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    out = x45_bigram_lm(spark, SF_DIR).cache()
+    n_docs = load_table(spark, "documents", SF_DIR).count()
+    assert out.count() == n_docs
+    agg = out.where("n_transitions > 0").agg(
+        F.min("backoff_frac").alias("lo"), F.max("backoff_frac").alias("hi")
+    ).collect()[0]
+    # the top-48 cap binds: some transitions score in-table, most back
+    # off — neither path is degenerate on the fixture
+    assert agg["lo"] < 1.0 and agg["hi"] > 0.0
+    out.unpersist()

@@ -58,6 +58,7 @@ HEADLINE = [
     ("x42_lm_quality", "LM trains in ONE checkpointed pass (explode + token hash-agg); top-V cut via monotone log2(cnt) shards + broadcast offsets (no global sort); scoring pass = single corpus scan + broadcast LM join + one doc_id exchange; explode_outer keeps empty docs without a rejoin"),
     ("x43_corpus_funnel", "gates keep their own plans; the funnel adds only co-keyed doc_id flag joins that collapse to a SCALAR aggregate before the 3-row stack — nothing stage-shaped ever moves"),
     ("x44_snapshot_diff", "fingerprints are scan-side projections; ONE co-keyed full-outer join on doc_id is the only exchange — 8-byte hashes shuffle, never document strings"),
+    ("x45_bigram_lm", "training = two hash-aggs (bigram key, token key) + top-B cut over the distinct-bigram table via monotone log2(cnt) shards; both LM artifacts capped → broadcast; scoring = corpus scan + two broadcast joins + one doc_id exchange"),
 ]
 
 
