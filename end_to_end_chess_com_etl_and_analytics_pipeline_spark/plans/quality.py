@@ -478,12 +478,10 @@ def lm_quality(
     Shape at 100 TB: two corpus passes (the LM is trained on the same
     corpus it scores — CCNet's structure exactly), TWO corpus-scale
     key exchanges total, and a broadcast.  Pass 1: explode + hash-agg
-    on token (map-side combined); the top-V cut reuses x39's monotone
-    floor(log2(cnt)) shard rank — every count in shard k exceeds every
-    count in shard k+1, so per-shard row_number + broadcast shard
-    offsets compose the exact global (cnt DESC, token ASC) order with
-    NO global sort, and those rank windows run over the distinct-token
-    table, orders of magnitude below corpus size.  Pass 2: the LM
+    on token (map-side combined); the top-V cut is orderBy+limit →
+    TakeOrderedAndProject (per-partition top-V, driver merges
+    V·n_partitions rows — no global sort materialization; V is the
+    model-vocab constant).  Pass 2: the LM
     table (V rows — 10^5 at production) broadcasts to a scan-side left
     join and the per-doc mean is one exchange on doc_id.
     ``explode_outer`` keeps token-less documents alive in pass 2 with
@@ -509,8 +507,23 @@ def _lm_tokens(docs: DataFrame) -> DataFrame:
     )
 
 
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Checkpointed (token, cnt) over the corpus — the shared pass-1
+    input of train_lm and train_bigram_lm (x45 computes it once and
+    hands it to both, saving a corpus scan)."""
+    tok = _lm_tokens(docs)
+    return (
+        tok.where(F.col("token").isNotNull())
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint()
+    )
+
+
 def train_lm(
-    docs: DataFrame, vocab_size: int = LM_VOCAB
+    docs: DataFrame,
+    vocab_size: int = LM_VOCAB,
+    counts: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Pass 1 of lm_quality: the unigram LM as two small frames —
     ``vocab`` (token, cnt — the top-``vocab_size`` rows) and ``stats``
@@ -518,49 +531,20 @@ def train_lm(
     model-artifact-sized: persist them to parquet and any later batch
     or stream scores against the frozen model (see
     streaming.pipeline.streaming_lm_gate)."""
-    from pyspark.sql import Window
-
-    tok = _lm_tokens(docs)
-    # counts feeds three consumers (rank shards, shard offsets, the
-    # total); localCheckpoint pins the distinct-token table — vocab-
-    # sized, tiny next to the corpus — so the explode + token agg runs
-    # ONCE instead of once per consumer (without it the executed plan
-    # re-scans the corpus four times)
-    counts = (
-        tok.where(F.col("token").isNotNull())
-        .groupBy("token")
-        .agg(F.count("*").alias("cnt"))
-        .localCheckpoint()
-    )
-    # x39's two-phase global rank: log2-count shard is monotone in the
-    # (cnt DESC, token ASC) target order, so local rank + prior-shard
-    # row offsets give the exact global rank without a global sort
-    sharded = counts.withColumn(
-        "__shard",
-        (-F.floor(F.log2(F.col("cnt").cast("double")))).cast("long"),
-    )
-    w_local = Window.partitionBy("__shard").orderBy(
-        F.desc("cnt"), F.asc("token")
-    )
-    offsets = (
-        sharded.groupBy("__shard")
-        .agg(F.count("*").alias("__n"))
-        .select(
-            "__shard",
-            F.coalesce(
-                F.sum("__n").over(
-                    Window.orderBy("__shard").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
-                ),
-                F.lit(0),
-            ).alias("__off"),
-        )
-    )
+    # counts feeds two consumers (the top-V cut and the total); the
+    # checkpoint in token_counts pins the distinct-token table —
+    # vocab-sized, tiny next to the corpus — so the explode + token
+    # agg runs ONCE instead of once per consumer
+    if counts is None:
+        counts = token_counts(docs)
+    # top-V cut: orderBy+limit compiles to TakeOrderedAndProject —
+    # per-partition top-V then a V·n_partitions driver merge, NO
+    # global sort materialization at any scale (k is the model-vocab
+    # constant).  (cnt DESC, token ASC) is a total order (tokens are
+    # distinct), so the cut is deterministic.
     vocab = (
-        sharded.withColumn("__rank", F.row_number().over(w_local))
-        .join(F.broadcast(offsets), "__shard")
-        .where(F.col("__off") + F.col("__rank") <= vocab_size)
+        counts.orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(vocab_size)
         .select("token", "cnt")
     )
     # one-row LM stats: total token mass and the aggregate <unk> mass
@@ -653,47 +637,29 @@ BIGRAM_TOP_B = 48
 BACKOFF_ALPHA = 0.4  # Brants et al. 2007's fixed backoff weight
 
 
-def train_bigram_lm(docs: DataFrame, top_b: int = BIGRAM_TOP_B) -> DataFrame:
+def train_bigram_lm(
+    docs: DataFrame,
+    top_b: int = BIGRAM_TOP_B,
+    counts: DataFrame | None = None,
+) -> DataFrame:
     """The bigram half of the stupid-backoff artifact: the top
     ``top_b`` bigrams by corpus count, each with its PRECOMPUTED
     conditional score s = cnt(w1 w2) / cnt(w1) — storing the
     conditional (not the raw count) means scoring never needs the full
-    unigram table, only this capped frame.  Top-B cut via the x39
-    monotone log2(cnt) shard rank — no global sort."""
-    from pyspark.sql import Window
-
-    tok = _lm_tokens(docs)
-    uni = (
-        tok.where(F.col("token").isNotNull())
-        .groupBy("token")
-        .agg(F.count("*").alias("ucnt"))
-    )
+    unigram table, only this capped frame.  Top-B cut via
+    orderBy+limit → TakeOrderedAndProject: per-partition top-B then a
+    B·n_partitions driver merge — no global sort materialization, no
+    second pass over the bigram table.  (cnt DESC, g ASC) is a total
+    order (bigram strings are distinct), so the cut is
+    deterministic."""
+    if counts is None:
+        counts = token_counts(docs)
+    uni = counts.withColumnRenamed("cnt", "ucnt")
     grams = _doc_bigrams(docs).where(F.col("g").isNotNull())
-    bi = grams.groupBy("g").agg(F.count("*").alias("cnt")).localCheckpoint()
-    sharded = bi.withColumn(
-        "__shard",
-        (-F.floor(F.log2(F.col("cnt").cast("double")))).cast("long"),
-    )
-    w_local = Window.partitionBy("__shard").orderBy(F.desc("cnt"), F.asc("g"))
-    offsets = (
-        sharded.groupBy("__shard")
-        .agg(F.count("*").alias("__n"))
-        .select(
-            "__shard",
-            F.coalesce(
-                F.sum("__n").over(
-                    Window.orderBy("__shard").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
-                ),
-                F.lit(0),
-            ).alias("__off"),
-        )
-    )
+    bi = grams.groupBy("g").agg(F.count("*").alias("cnt"))
     top = (
-        sharded.withColumn("__rank", F.row_number().over(w_local))
-        .join(F.broadcast(offsets), "__shard")
-        .where(F.col("__off") + F.col("__rank") <= top_b)
+        bi.orderBy(F.desc("cnt"), F.asc("g"))
+        .limit(top_b)
         .select(
             "g",
             F.substring_index(F.col("g"), " ", 1).alias("__w1"),
@@ -712,14 +678,28 @@ def _doc_bigrams(docs: DataFrame) -> DataFrame:
     """(doc_id, g) with g = every ADJACENT token pair as a single
     space-joined string (all occurrences, NOT distinct — LM scoring
     weights repeated transitions); explode_outer keeps docs with <2
-    tokens alive with g NULL."""
+    tokens alive with g NULL.
+
+    NOT _ngrams(toks, n, 2): higher-order functions run interpreted,
+    and the per-position array_join(slice(...)) there costs ~11 µs per
+    output element at volume (measured 30.8 s for 2.7M bigrams on 32
+    cores).  Two O(n) shifted slices + one zip_with concat build the
+    same strings in a single interpreted pass — measured ~7x faster —
+    and the emitted pair strings are byte-identical, so the oracle SQL
+    is unchanged."""
     from ..functions.text import casefold
 
     toks = tokens(casefold(F.coalesce(F.col("text"), F.lit(""))))
-    return docs.select(
-        "doc_id",
-        F.explode_outer(_ngrams(toks, F.size(toks), 2)).alias("g"),
-    )
+    n = F.size(toks)
+    pairs = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select("doc_id", F.explode_outer(pairs).alias("g"))
 
 
 def x45_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -738,8 +718,9 @@ def x45_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring is one corpus scan + two broadcast joins + one doc_id
     exchange."""
     docs = load_table(spark, "documents", sf_dir)
-    big = train_bigram_lm(docs)
-    vocab, stats = train_lm(docs)
+    counts = token_counts(docs)  # shared pass-1: ONE corpus token scan
+    big = train_bigram_lm(docs, counts=counts)
+    vocab, stats = train_lm(docs, counts=counts)
     return score_bigram_lm(docs, big, vocab, stats)
 
 

@@ -55,10 +55,10 @@ HEADLINE = [
     ("x39_vocab_coverage", "corpus-scale work = one explode + one token hash-agg exchange (plus the undersplit-scan spread); every later exchange moves only the distinct-token table (vocab-bounded rows), where the monotone log2(cnt) shards + broadcast offsets replace a global sort"),
     ("x40_passage_dedup", "ONE corpus scan (explode_outer keeps short docs, no rejoin); two key exchanges — passage-key COUNT window + per-doc re-agg (plus the undersplit-scan spread, a no-op at cluster scale); sentinel key de-skews passage-less rows"),
     ("x41_semantic_dedup", "IVF-cell-bucketed pairwise (never corpus-quadratic): one cell-key join for the exists-lower-neighbor mark, one vec_id mark join; no iteration — keep-first is closure-free"),
-    ("x42_lm_quality", "LM trains in ONE checkpointed pass (explode + token hash-agg); top-V cut via monotone log2(cnt) shards + broadcast offsets (no global sort); scoring pass = single corpus scan + broadcast LM join + one doc_id exchange; explode_outer keeps empty docs without a rejoin"),
+    ("x42_lm_quality", "LM trains in ONE checkpointed pass (explode + token hash-agg); top-V cut via orderBy+limit -> TakeOrderedAndProject (no global sort materialization); scoring pass = single corpus scan + broadcast LM join + one doc_id exchange; explode_outer keeps empty docs without a rejoin"),
     ("x43_corpus_funnel", "gates keep their own plans; the funnel adds only co-keyed doc_id flag joins that collapse to a SCALAR aggregate before the 3-row stack — nothing stage-shaped ever moves"),
     ("x44_snapshot_diff", "fingerprints are scan-side projections; ONE co-keyed full-outer join on doc_id is the only exchange — 8-byte hashes shuffle, never document strings"),
-    ("x45_bigram_lm", "training = two hash-aggs (bigram key, token key) + top-B cut over the distinct-bigram table via monotone log2(cnt) shards; both LM artifacts capped → broadcast; scoring = corpus scan + two broadcast joins + one doc_id exchange"),
+    ("x45_bigram_lm", "training = two hash-aggs (bigram key, token key) + TakeOrderedAndProject top-B cut; both LM artifacts capped -> broadcast; scoring = corpus scan + two broadcast joins + one doc_id exchange"),
 ]
 
 

@@ -151,6 +151,7 @@ PROBES = [
     "x41_semantic_dedup",
     "x42_lm_quality",
     "x44_snapshot_diff",
+    "x45_bigram_lm",
 ]
 
 # operators whose result is pair/fan-out shaped: their cost tracks
