@@ -71,11 +71,11 @@ def pack_sequences(
     )
     offset = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("offset")
     laid = base.select(ident, "shard", "n_tokens", offset)
-    cap = F.lit(float(capacity))
-    chunk_first = F.floor(F.col("offset") / cap).cast("long")
-    chunk_last = F.floor(
-        (F.col("offset") + F.col("n_tokens") - 1) / cap
-    ).cast("long")
+    # Integer DIV on both engines (oracle uses //): offsets are nonnegative
+    # longs, so this equals floor(x / capacity) with no float channel at all.
+    cap = int(capacity)
+    chunk_first = F.expr(f"offset DIV {cap}").cast("long")
+    chunk_last = F.expr(f"(offset + n_tokens - 1) DIV {cap}").cast("long")
     return laid.select(
         ident,
         "shard",

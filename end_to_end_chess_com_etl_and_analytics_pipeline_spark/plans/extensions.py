@@ -1285,17 +1285,19 @@ sharded AS (
     SELECT doc_id, doc_id % 8 AS shard, n_tokens FROM counted
     WHERE n_tokens > 0),
 laid AS (
+    -- DuckDB promotes windowed SUM(BIGINT) to HUGEINT; cast back so the
+    -- driver's typed value-hash matches Spark's BIGINT (round-4 red row).
     SELECT doc_id, shard, n_tokens,
-           COALESCE(SUM(n_tokens) OVER (
+           CAST(COALESCE(SUM(n_tokens) OVER (
                PARTITION BY shard ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-               0) AS "offset"
+               0) AS BIGINT) AS "offset"
     FROM sharded)
 SELECT doc_id, shard, n_tokens, "offset",
-       CAST(FLOOR("offset" / 256.0) AS BIGINT) AS chunk_first,
-       CAST(FLOOR(("offset" + n_tokens - 1) / 256.0) AS BIGINT) AS chunk_last,
-       CAST(FLOOR(("offset" + n_tokens - 1) / 256.0) AS BIGINT)
-           - CAST(FLOOR("offset" / 256.0) AS BIGINT) + 1 AS n_chunks
+       CAST("offset" // 256 AS BIGINT) AS chunk_first,
+       CAST(("offset" + n_tokens - 1) // 256 AS BIGINT) AS chunk_last,
+       CAST(("offset" + n_tokens - 1) // 256 AS BIGINT)
+           - CAST("offset" // 256 AS BIGINT) + 1 AS n_chunks
 FROM laid
 """
 

@@ -33,8 +33,10 @@ def test_scored_registry_within_driver_window_and_oracled():
     spec.loader.exec_module(mod)
     q = mod.queries()
     o = mod.oracle_sql()
-    # the driver scores only the first 50 rows — never exceed it
-    assert len(q) <= 50, f"registry overflows the driver window: {len(q)}"
+    # the driver scores exactly the first 50 rows — keep the registry at
+    # exactly 50: overflow drops evidence (round-3 failure mode), and a
+    # shrink wastes scored slots.  New operators fold into suites.
+    assert len(q) == 50, f"registry must stay at exactly 50: {len(q)}"
     assert set(o) <= set(q), "oracle for unregistered query"
     missing = sorted(set(q) - set(o))
     # every scored entry is oracled (rows-only checks are weaker; keep

@@ -36,7 +36,7 @@ def main() -> int:
 
     from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans import suites
     from end_to_end_chess_com_etl_and_analytics_pipeline_spark.session import get_spark
-    from oracle_compare import _canon
+    from oracle_compare import _canon, dtype_mismatches
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     # FULL registry: the ≤50 scored entries plus every fine-grained query
@@ -69,6 +69,7 @@ def main() -> int:
                 drows = rel.fetchall()
                 dcols = list(rel.columns)
                 ok_cols = sorted(cols) == sorted(dcols)
+                bad_types = dtype_mismatches(df, rel) if ok_cols else []
                 s_order = sorted(range(len(cols)), key=lambda i: cols[i])
                 d_order = sorted(range(len(dcols)), key=lambda i: dcols[i])
                 sp_rows = sorted(
@@ -78,13 +79,17 @@ def main() -> int:
                     tuple(_canon(r[i]) for i in d_order) for r in drows
                 )
                 ok_rows = len(sp_rows) == len(du_rows)
-                ok_vals = ok_cols and ok_rows and sp_rows == du_rows
+                ok_vals = (
+                    ok_cols and not bad_types and ok_rows and sp_rows == du_rows
+                )
                 status = "PASS" if ok_vals else "FAIL"
                 if not ok_vals:
                     failures += 1
                     detail = (
                         f" cols_match={ok_cols} rows {len(sp_rows)}/{len(du_rows)}"
                     )
+                    if bad_types:
+                        detail += f" dtype_mismatch={bad_types}"
                     if ok_cols and ok_rows:
                         for i, (a, b) in enumerate(zip(sp_rows, du_rows)):
                             if a != b:
