@@ -70,20 +70,34 @@ def usable_vec(a: Column, require_nonzero: bool = True) -> Column:
     (cosine is 0/0-undefined on zero vectors; ANSI raises
     DIVIDE_BY_ZERO).  Embedding operators filter on this at entry; the
     DuckDB oracles apply USABLE_VEC_SQL identically."""
-    finite = F.forall(
-        a,
-        lambda x: ~F.isnan(x.cast("double"))
-        & (F.abs(x.cast("double")) != F.lit(float("inf"))),
+    # coalesce to false: forall yields NULL (not false) when a COMPONENT
+    # is NULL — a NULL-component vector must be excluded, and DuckDB's
+    # list_filter silently drops NULL predicate results, so both engines
+    # get an explicit no-NULL-component rule (see usable_vec_sql)
+    finite = F.coalesce(
+        F.forall(
+            a,
+            lambda x: ~F.isnan(x.cast("double"))
+            & (F.abs(x.cast("double")) != F.lit(float("inf"))),
+        ),
+        F.lit(False),
     )
     if not require_nonzero:
         return finite
-    return finite & F.exists(a, lambda x: x.cast("double") != 0.0)
+    return finite & F.coalesce(
+        F.exists(a, lambda x: x.cast("double") != 0.0), F.lit(False)
+    )
 
 
 def usable_vec_sql(expr: str, require_nonzero: bool = True) -> str:
     """DuckDB twin of :func:`usable_vec`."""
+    # the explicit IS NULL clause mirrors usable_vec's coalesce-to-false:
+    # list_filter DROPS rows where the predicate is NULL, so a NULL
+    # component would otherwise sail through the finite check here while
+    # Spark excludes the vector
     finite = (
-        f"len(list_filter({expr}, x -> isnan(CAST(x AS DOUBLE))"
+        f"len(list_filter({expr}, x -> x IS NULL)) = 0"
+        f" AND len(list_filter({expr}, x -> isnan(CAST(x AS DOUBLE))"
         f" OR isinf(CAST(x AS DOUBLE)))) = 0"
     )
     if not require_nonzero:

@@ -561,7 +561,15 @@ def train_lm(
         )
         .select(
             "__total",
-            (F.col("__total") - F.col("__vmass")).alias("__unk"),
+            # floor the OOV mass at one pseudo-count: a fully-in-vocab
+            # training corpus would give __unk = 0, and an unseen token
+            # in a LATER batch scored against the frozen model (the
+            # streaming_lm_gate use) would then hit -log2(0) — NULL in
+            # Spark, -Infinity in DuckDB.  Laplace-style floor keeps
+            # p(<unk>) > 0 always; a no-op whenever real OOV mass ≥ 1.
+            F.greatest(
+                F.col("__total") - F.col("__vmass"), F.lit(1.0)
+            ).alias("__unk"),
         )
     )
     return vocab, stats
@@ -666,8 +674,11 @@ def train_bigram_lm(
             "cnt",
         )
     )
-    return top.join(
-        F.broadcast(uni), top["__w1"] == uni["token"], "inner"
+    # broadcast the CAPPED side: top has ≤ top_b rows by construction,
+    # while uni is the full unigram table whose distinct-token
+    # cardinality is unbounded at corpus scale
+    return F.broadcast(top).join(
+        uni, top["__w1"] == uni["token"], "inner"
     ).select(
         "g",
         (F.col("cnt").cast("double") / F.col("ucnt")).alias("s_big"),
@@ -789,8 +800,9 @@ v AS (SELECT token, ucnt FROM (
                ROW_NUMBER() OVER (ORDER BY ucnt DESC, token ASC) AS r
         FROM uni) WHERE r <= {LM_VOCAB}),
 u AS (SELECT t.total,
-             t.total - COALESCE(
-                 (SELECT CAST(SUM(ucnt) AS DOUBLE) FROM v), 0.0) AS unk
+             GREATEST(t.total - COALESCE(
+                 (SELECT CAST(SUM(ucnt) AS DOUBLE) FROM v), 0.0),
+                 1.0) AS unk
       FROM t),
 gr AS (SELECT doc_id, unnest({_ngrams_sql(2)}) AS g FROM toks),
 bc AS (SELECT g, COUNT(*) AS cnt FROM gr GROUP BY g),
@@ -873,8 +885,9 @@ v AS (SELECT token, cnt FROM (
                ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS r
         FROM c) WHERE r <= {LM_VOCAB}),
 u AS (SELECT t.total,
-             t.total - COALESCE(
-                 (SELECT CAST(SUM(cnt) AS DOUBLE) FROM v), 0.0) AS unk
+             GREATEST(t.total - COALESCE(
+                 (SELECT CAST(SUM(cnt) AS DOUBLE) FROM v), 0.0),
+                 1.0) AS unk
       FROM t),
 s AS (SELECT tok.doc_id,
              COUNT(*) AS n,
@@ -928,9 +941,11 @@ def x43_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(lm, "doc_id")
         .agg(
             F.count(F.lit(1)).alias("n0"),
-            F.sum(k1.cast("long")).alias("n1"),
-            F.sum(k2.cast("long")).alias("n2"),
-            F.sum(k3.cast("long")).alias("n3"),
+            # coalesce: sum() over ZERO rows is NULL, but the funnel's
+            # contract (and its oracle) reports 0-row stages, not NULLs
+            F.coalesce(F.sum(k1.cast("long")), F.lit(0)).alias("n1"),
+            F.coalesce(F.sum(k2.cast("long")), F.lit(0)).alias("n2"),
+            F.coalesce(F.sum(k3.cast("long")), F.lit(0)).alias("n3"),
         )
     )
     stages = totals.select(
