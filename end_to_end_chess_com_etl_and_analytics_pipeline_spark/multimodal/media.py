@@ -152,15 +152,55 @@ def resize_plan(
     return media.mapInPandas(batches, RESIZE_SCHEMA)
 
 
+DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mode", T.StringType()),
+    ]
+)
+
+
 def decode_image_stub(payload: bytes) -> dict:
-    """Image decode stub: the real implementation needs PIL (not in this
-    container).  The plumbing that would call it per Arrow batch is
-    ``extract_media_features`` — swap the feature lambda for this once
-    the decode dependency exists."""
+    """Per-image decode: REAL when PIL is importable (width/height/mode
+    from the decoded header), NotImplementedError otherwise — this
+    sandbox ships no image libraries, so the error branch is what tests
+    here exercise; environments with PIL run the live branch through
+    the identical ``decode_images`` Arrow plumbing
+    (tests/test_multimodal.py's skip-marked case)."""
     try:
-        from PIL import Image  # noqa: F401
+        from PIL import Image
     except ImportError as exc:  # pragma: no cover
         raise NotImplementedError(
             "image decode requires PIL; this environment stubs it"
         ) from exc
-    raise NotImplementedError("wire PIL decode here when available")
+    import io
+
+    with Image.open(io.BytesIO(bytes(payload))) as img:
+        return {"width": img.width, "height": img.height, "mode": img.mode}
+
+
+def decode_images(media: DataFrame) -> DataFrame:
+    """Arrow-batched image decode over (doc_id, payload) rows — the
+    same mapInPandas shape as ``extract_media_features``, but calling
+    the real decoder.  Raises NotImplementedError AT EXECUTORS when PIL
+    is absent: a decode pipeline must fail loudly, not emit fake pixel
+    geometry.  Scale shape: parallelism = input partitions, zero
+    shuffle, payload bytes never leave their partition."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                d = decode_image_stub(payload)
+                rows.append((doc_id, d["width"], d["height"], d["mode"]))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "mode"]
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        batches, DECODE_SCHEMA
+    )

@@ -502,13 +502,16 @@ SELECT url AS game_url, time_control, rated, time_class, rules,
            || ' ' || REGEXP_EXTRACT(pgn, '\[EndTime "(.*?)"', 1),
            '%Y/%m/%d %H:%M:%S') AS end_time,
        TRY_STRPTIME(REPLACE(REGEXP_EXTRACT(pgn, '\[EndDate "(.*?)"', 1), '.', '/'), '%Y/%m/%d')::DATE AS end_game_date,
-       ARRAY_TO_STRING(__moves, ' ') AS pgn_raw,
-       ARRAY_TO_STRING(
+       -- COALESCE: ARRAY_TO_STRING([]) is NULL in DuckDB but Spark's
+       -- array_join([]) is '' (the reference's ''.join([]) semantics);
+       -- a ZERO-move game (abandoned before move 1) must agree
+       COALESCE(ARRAY_TO_STRING(__moves, ' '), '') AS pgn_raw,
+       COALESCE(ARRAY_TO_STRING(
            LIST_TRANSFORM(
                RANGE((LEN(__moves) + 1) // 2),
                i -> CAST(i + 1 AS VARCHAR) || '. ' || __moves[2 * i + 1]
                     || ' ' || COALESCE(__moves[2 * i + 2], '')),
-           ' ') AS pgn_trans
+           ' '), '') AS pgn_trans
 FROM raw
 """
 

@@ -359,6 +359,67 @@ def fetch_month_api(
     return resp.json().get("games", [])
 
 
+def fetch_archives(
+    spark: SparkSession,
+    user_months: DataFrame,
+    fetcher=None,
+    partitions: int | None = None,
+) -> DataFrame:
+    """S1 at scale: distribute the monthly-archive fetch across
+    executors (SURVEY §2.1 — the shape ``fetch_month_api`` documents).
+
+    ``user_months`` is a ``(username, year, month)`` frame — the full
+    fan-out a backfill enumerates.  It is hash-repartitioned on the
+    triple so the per-month requests spread evenly across the cluster,
+    then each partition calls ``fetcher(username, year, month)``
+    (default: the live HTTP ``fetch_month_api``) and emits one row per
+    game with the raw payload as a JSON string.  Parsing happens
+    JVM-side via ``from_json`` against the declared RAW_GAME_SCHEMA —
+    Python does network + ``json.dumps`` only, so the slow path stays
+    out of the parse, and the result is schema-identical to the S2
+    bronze scan (``read_json(..., RAW_GAME_SCHEMA)``).
+
+    Offline tests inject a file-backed fetcher over ``sources.demo``
+    payloads; the network fetcher shares the exact same plumbing.
+    Reference: python_scripts.py:30-61 (one-request-per-user-month
+    loop, here fanned out instead of sequential).
+    """
+    import json as _json
+
+    import pandas as _pd
+
+    from ..schemas import RAW_GAME_SCHEMA
+
+    fetch = fetcher or fetch_month_api
+    n = partitions or spark.sparkContext.defaultParallelism
+    out_schema = (
+        "username string, year int, month int, raw string"
+    )
+
+    def _fetch_part(batches):
+        for pdf in batches:
+            rows = []
+            for u, y, m in pdf[["username", "year", "month"]].itertuples(
+                index=False
+            ):
+                for game in fetch(u, int(y), int(m)):
+                    rows.append((u, int(y), int(m), _json.dumps(game)))
+            if rows:
+                yield _pd.DataFrame(
+                    rows, columns=["username", "year", "month", "raw"]
+                )
+
+    fetched = user_months.repartition(
+        n, "username", "year", "month"
+    ).mapInPandas(_fetch_part, out_schema)
+    return fetched.select(
+        "username",
+        "year",
+        "month",
+        F.from_json("raw", RAW_GAME_SCHEMA).alias("game"),
+    ).select("username", "year", "month", "game.*")
+
+
 def read_jdbc(
     spark: SparkSession, url: str, dbtable: str, properties: dict[str, str] | None = None
 ) -> DataFrame:

@@ -472,3 +472,44 @@ def test_x44_fixture_all_statuses_and_counts(spark):
             exp["unchanged"] += 1
     assert got == {k: v for k, v in exp.items() if v > 0}
     assert all(v > 0 for v in exp.values())  # all four statuses bind
+
+
+def test_suite_kernel_sharing_preserves_subquery_output(spark):
+    """The x32 suite hands a precomputed cluster frame to x32/x37
+    (suites._corpus_selection_suite); suite rows must be IDENTICAL to
+    each standalone query's rows — kernel sharing is an execution
+    optimization, never a semantic one."""
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans import suites
+
+    suite_rows = suites.SUITE_QUERIES["x32_corpus_selection"](
+        spark, SF_DIR
+    ).collect()
+    by_sub: dict[str, set] = {}
+    for r in suite_rows:
+        by_sub.setdefault(r["sub"], set()).add(
+            tuple(str(v) for k, v in sorted(r.asDict().items()) if k != "sub")
+        )
+    for sub in ("x32_canonical_docs", "x37_leakage_safe_split"):
+        standalone = suites._FINE_QUERIES[sub](spark, SF_DIR)
+        cols = sorted(standalone.columns)
+        want = {
+            tuple(str(row[c]) for c in cols) for row in standalone.collect()
+        }
+        # suite rows are the union-tagged superset schema; project the
+        # sub-query's own columns back out in the same sorted order
+        got = {
+            tuple(
+                v
+                for (k, v) in zip(
+                    sorted(
+                        k2
+                        for k2 in suite_rows[0].asDict()
+                        if k2 != "sub"
+                    ),
+                    t,
+                )
+                if k in cols
+            )
+            for t in by_sub[sub]
+        }
+        assert got == want, f"suite output drifted from standalone {sub}"
