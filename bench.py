@@ -67,6 +67,8 @@ HEADLINE = [
     "x44_snapshot_diff",
     "x38_chunk_documents",
     "x39_vocab_coverage",
+    "x46_source_quota",
+    "x50_source_similarity",
     "q14_rollup",
     "q22_cube",
     "q25_scd2",

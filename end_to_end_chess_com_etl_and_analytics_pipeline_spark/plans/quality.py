@@ -33,7 +33,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.rounding import round_fixed, round_fixed_sql
@@ -1007,6 +1007,153 @@ UNION ALL {stage(3, 'lm_quality', 'n2', 'n3')}
 _X43_SQL = _x43_sql()
 
 
+# --- x48: unicode script mix ------------------------------------------------
+# Explicit codepoint ranges, not \p{Script=...} classes: Java regex and
+# RE2 agree exactly on literal ranges, while named script classes have
+# version-skew (assigned-codepoint differences across ICU/Unicode
+# versions) — the same single-sourcing discipline as casefold().
+_SCRIPT_RANGES = [
+    ("latin", "[A-Za-z]"),
+    ("cyrillic", "[\\x{0400}-\\x{04FF}]"),
+    ("greek", "[\\x{0370}-\\x{03FF}]"),
+    ("arabic", "[\\x{0600}-\\x{06FF}]"),
+    ("cjk", "[\\x{4E00}-\\x{9FFF}]"),
+]
+
+
+def x48_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unicode-script histogram + dominant script + mixed
+    flag — the script-level complement of lang_id (a doc claiming
+    lang='en' that is 40% Cyrillic is mojibake, spam, or a labeling
+    bug; CCNet-style corpora gate on exactly this).
+
+    One codegen projection over the scan — five regexp_count columns,
+    zero shuffles, zero Python.  Dominant = first script in the fixed
+    order achieving the max count ('none' when no script binds);
+    is_mixed = at least two scripts present."""
+    docs = load_table(spark, "documents", sf_dir)
+    text = F.coalesce(F.col("text"), F.lit(""))
+    cnts = [
+        (nm, F.regexp_count(text, F.lit(pat)).cast("int"))
+        for nm, pat in _SCRIPT_RANGES
+    ]
+    best = F.lit("none")
+    best_c = F.lit(0)
+    for nm, c in cnts:  # strict > : first-listed script wins ties
+        better = c > best_c
+        best = F.when(better, F.lit(nm)).otherwise(best)
+        best_c = F.when(better, c).otherwise(best_c)
+    n_scripts = sum(
+        (F.when(c > 0, 1).otherwise(0) for _, c in cnts), F.lit(0)
+    ).cast("int")
+    return docs.select(
+        "doc_id",
+        *[c.alias(f"n_{nm}") for nm, c in cnts],
+        n_scripts.alias("n_scripts"),
+        best.alias("dominant_script"),
+        (n_scripts >= 2).alias("is_mixed"),
+    )
+
+
+def _x48_sql() -> str:
+    cnt = {
+        nm: f"CAST(len(regexp_extract_all(coalesce(text, ''), '{pat}')) AS INTEGER)"
+        for nm, pat in _SCRIPT_RANGES
+    }
+    names = [nm for nm, _ in _SCRIPT_RANGES]
+    mx = "greatest(" + ", ".join(f"n_{n}" for n in names) + ")"
+    # first-in-order-wins argmax ≡ the Spark strict-> fold
+    dom = "CASE WHEN " + mx + " = 0 THEN 'none' " + " ".join(
+        f"WHEN n_{n} = {mx} THEN '{n}'" for n in names
+    ) + " END"
+    nsc = "CAST(" + " + ".join(
+        f"(CASE WHEN n_{n} > 0 THEN 1 ELSE 0 END)" for n in names
+    ) + " AS INTEGER)"
+    return f"""
+WITH c AS (
+    SELECT doc_id, {', '.join(f"{e} AS n_{n}" for n, e in cnt.items())}
+    FROM documents)
+SELECT doc_id, {', '.join(f"n_{n}" for n in names)},
+       {nsc} AS n_scripts,
+       {dom} AS dominant_script,
+       {nsc} >= 2 AS is_mixed
+FROM c
+"""
+
+
+# --- x49: Zipf rank-frequency fit -------------------------------------------
+ZIPF_TOP_R = 200
+
+
+def x49_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus health diagnostic: OLS slope of log(freq) vs log(rank)
+    over the top-R token frequencies (natural text tracks Zipf's law,
+    slope ≈ -1; template/boilerplate-heavy or synthetic corpora bend
+    it).  Brants et al. 2007-style corpus statistics, single-number.
+
+    Scale shape: the corpus collapses to the distinct-token table
+    (shared checkpointed token_counts pass), the top-R cut is
+    orderBy+limit → TakeOrderedAndProject (per-partition top-R, no
+    global sort), and the unpartitioned rank window touches exactly R
+    rows — a CONSTANT, not a function of corpus size."""
+    docs = load_table(spark, "documents", sf_dir)
+    counts = token_counts(docs)
+    top = counts.orderBy(F.desc("cnt"), F.asc("token")).limit(ZIPF_TOP_R)
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    ranked = top.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+    )
+    agg = ranked.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    guard = F.col("n") < 2  # degenerate: no spread in ln(rank)
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_top_tokens"),
+        round_fixed(F.when(guard, F.lit(0.0)).otherwise(slope), 6).alias(
+            "zipf_slope"
+        ),
+        round_fixed(
+            F.when(guard, F.lit(0.0)).otherwise(intercept), 6
+        ).alias("zipf_intercept"),
+    )
+
+
+def _x49_sql() -> str:
+    from ..functions.text import CASEFOLD_SQL
+
+    tk = _TOKS_SQL.format(c=CASEFOLD_SQL.format(c="coalesce(text, '')"))
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({tk}) AS token FROM documents),
+c AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+top AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS r
+        FROM c QUALIFY r <= {ZIPF_TOP_R}),
+pts AS (SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y
+        FROM top),
+s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy
+      FROM pts)
+SELECT CAST(n AS BIGINT) AS n_top_tokens,
+       {round_fixed_sql(
+           "CASE WHEN n < 2 THEN 0.0 ELSE"
+           " (n * sxy - sx * sy) / (n * sxx - sx * sx) END", 6)}
+           AS zipf_slope,
+       {round_fixed_sql(
+           "CASE WHEN n < 2 THEN 0.0 ELSE"
+           " (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n END",
+           6)} AS zipf_intercept
+FROM s
+"""
+
+
 QUALITY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x29_repetition_filters": x29_repetition_filters,
     "x30_pii_scan": x30_pii_scan,
@@ -1016,6 +1163,8 @@ QUALITY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st07_streaming_lm_gate": st07_streaming_lm_gate,
     "x45_bigram_lm": x45_bigram_lm,
     "x43_corpus_funnel": x43_corpus_funnel,
+    "x48_script_mix": x48_script_mix,
+    "x49_zipf_fit": x49_zipf_fit,
 }
 QUALITY_ORACLE: dict[str, str] = {
     "x29_repetition_filters": _X29_SQL,
@@ -1026,4 +1175,6 @@ QUALITY_ORACLE: dict[str, str] = {
     "st07_streaming_lm_gate": _X42_SQL,
     "x45_bigram_lm": _X45_SQL,
     "x43_corpus_funnel": _X43_SQL,
+    "x48_script_mix": _x48_sql(),
+    "x49_zipf_fit": _x49_sql(),
 }

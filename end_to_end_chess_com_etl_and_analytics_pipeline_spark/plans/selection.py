@@ -60,7 +60,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_long, md5_long_sql
-from ..functions.text import bpe_ish_token_count, quality_score
+from ..functions.rounding import round_fixed, round_fixed_sql
+from ..functions.text import bpe_ish_token_count, casefold, quality_score, tokens
 from ..sources.tables import load_table
 
 # x33: quality-bucket shard count and the token budget.  The budget is
@@ -813,6 +814,229 @@ FROM j
 """
 
 
+# --- x46: per-source quota cap ---------------------------------------------
+SRC_QUOTA = 12  # keep at most this many docs per source
+N_QUOTA_SALTS = 4  # phase-1 fan-out within a source
+
+
+def x46_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota cap: keep each source's top-``SRC_QUOTA`` docs
+    by (quality DESC, doc_id ASC) — the anti-domination gate that stops
+    one crawler/domain from swamping a training mix (C4/RefinedWeb-style
+    source balancing).
+
+    Two-phase top-Q so no source is ever fully sorted in one task:
+    phase 1 ranks within (source, doc_id % N_QUOTA_SALTS) — a doc's
+    salted rank is ≤ its true per-source rank, so local rank ≤ Q keeps
+    a superset of every true top-Q doc while discarding the bulk of a
+    hot source map-side; phase 2 ranks the ≤ SALTS·Q survivors per
+    source.  The phase-2 window therefore touches a CONSTANT number of
+    rows per source at any corpus size — a 10-billion-doc domain costs
+    the same final sort as a 100-doc one."""
+    docs = load_table(spark, "documents", sf_dir)
+    scored = docs.select(
+        "doc_id",
+        "source",
+        quality_score(F.coalesce(F.col("text"), F.lit(""))).alias("quality"),
+    ).withColumn(
+        "__salt", F.pmod(F.col("doc_id"), F.lit(N_QUOTA_SALTS))
+    )
+    w1 = Window.partitionBy("source", "__salt").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    survivors = scored.withColumn("__r1", F.row_number().over(w1)).where(
+        F.col("__r1") <= SRC_QUOTA
+    )
+    w2 = Window.partitionBy("source").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return (
+        survivors.select(
+            "doc_id",
+            "source",
+            "quality",
+            F.row_number().over(w2).cast("int").alias("src_rank"),
+        )
+        .where(F.col("src_rank") <= SRC_QUOTA)
+    )
+
+
+def _x46_sql() -> str:
+    from ..plans.extensions import _QUALITY_SQL
+
+    return f"""
+WITH scored AS (
+    SELECT doc_id, source, {_QUALITY_SQL} AS quality
+    FROM (SELECT doc_id, source, coalesce(text, '') AS text
+          FROM documents) documents),
+r AS (
+    SELECT doc_id, source, quality,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY quality DESC, doc_id ASC)
+               AS INTEGER) AS src_rank
+    FROM scored)
+SELECT doc_id, source, quality, src_rank FROM r WHERE src_rank <= {SRC_QUOTA}
+"""
+
+
+# --- x47: weighted sampling without replacement -----------------------------
+WS_SEED = "ws0"
+WS_K = 25
+_HASH_SPACE = float(1 << 60)  # md5_long is a 60-bit hash
+
+
+def x47_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted sampling without replacement
+    (Efraimidis-Spirakis exponential-sort): each doc draws a
+    DETERMINISTIC uniform u from the shared 60-bit md5 hash and
+    receives key = -ln(u) / w with w = its quality score; the k
+    smallest keys are exactly a weighted sample without replacement.
+
+    Hash-derived u makes the draw reproducible across runs, engines,
+    and repartitionings (same property as deterministic_sample), and
+    the top-k cut is orderBy+limit → TakeOrderedAndProject: per-
+    partition k-row heaps, no global sort, driver merge of
+    k·n_partitions rows."""
+    docs = load_table(spark, "documents", sf_dir)
+    scored = docs.select(
+        "doc_id",
+        quality_score(F.coalesce(F.col("text"), F.lit(""))).alias("quality"),
+    )
+    u = (
+        md5_long(
+            F.concat(F.lit(WS_SEED + "|"), F.col("doc_id").cast("string"))
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(_HASH_SPACE)
+    # quality 0 docs get a tiny-but-positive weight: never favored,
+    # never a division by zero
+    key = -F.log(u) / F.greatest(F.col("quality"), F.lit(1e-6))
+    return (
+        scored.withColumn("__k", key)
+        .orderBy(F.asc("__k"), F.asc("doc_id"))
+        .limit(WS_K)
+        .select("doc_id", "quality", round_fixed(F.col("__k"), 6).alias("es_key"))
+    )
+
+
+def _x47_sql() -> str:
+    from ..plans.extensions import _QUALITY_SQL
+
+    h = md5_long_sql(f"concat('{WS_SEED}', '|', CAST(doc_id AS VARCHAR))")
+    return f"""
+WITH scored AS (
+    SELECT doc_id, {_QUALITY_SQL} AS quality
+    FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents) documents),
+keyed AS (
+    SELECT doc_id, quality,
+           -ln((CAST({h} AS DOUBLE) + 1.0) / {_HASH_SPACE!r}) /
+               GREATEST(quality, 0.000001) AS k
+    FROM scored)
+SELECT doc_id, quality, {round_fixed_sql('k', 6)} AS es_key
+FROM keyed ORDER BY k ASC, doc_id ASC LIMIT {WS_K}
+"""
+
+
+# --- x50: source-pair n-gram Jaccard ----------------------------------------
+SRC_SHINGLE_N = 3
+
+
+def x50_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise source-level Jaccard over distinct token
+    3-shingles — "which crawls/dumps overlap, and how much" at the
+    SOURCE grain (the corpus-mixture design question; doc-grain overlap
+    is x01-x14's job).
+
+    Scale shape: the corpus collapses to DISTINCT (source, shingle)
+    first (hash-agg, map-side combined), pair counts come from a
+    shingle-keyed self-join — candidate work is proportional to
+    shingle co-occurrence, never |A|x|B| — and source sizes broadcast
+    back onto the pair counts.  Shingle construction uses the
+    shifted-slice + zip_with form (x45's measured 20x lesson: no
+    per-element interpreted array_join).  Hot boilerplate shingles are
+    the skew risk; AQE skew-join handles them, same as the LSH band
+    joins."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = tokens(casefold(F.coalesce(F.col("text"), F.lit(""))))
+    t2 = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+    g2 = F.zip_with(
+        toks, t2, lambda a, b: F.concat(a, F.lit(" "), b)
+    )  # trailing position pairs with NULL -> concat NULL, filtered below
+    t3 = F.slice(toks, 3, F.greatest(F.size(toks) - 2, F.lit(0)))
+    g3 = F.filter(
+        F.zip_with(g2, t3, lambda a, b: F.concat(a, F.lit(" "), b)),
+        lambda x: x.isNotNull(),
+    )
+    # localCheckpoint: sh feeds THREE consumers (both join sides and the
+    # size agg) — without pinning, the corpus shingle-explode pass runs
+    # three times (measured: 14 exchanges → 6).  Same pattern as
+    # quality.token_counts; the pinned table is the post-distinct
+    # (source, shingle) set, already collapsed from the corpus.
+    sh = (
+        docs.select("source", F.explode(g3).alias("shingle"))
+        .distinct()
+        .localCheckpoint()
+    )
+    sizes = sh.groupBy("source").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, on="shingle")
+        .where(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("source_a"), F.col("n_sh").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("source").alias("source_b"), F.col("n_sh").alias("n_b")
+    )
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_inter").cast("bigint").alias("n_inter"),
+            round_fixed(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def _x50_sql() -> str:
+    from ..functions.text import CASEFOLD_SQL, TOKS_SQL
+    from ..plans.quality import _ngrams_sql
+
+    tk = TOKS_SQL.format(c=CASEFOLD_SQL.format(c="coalesce(text, '')"))
+    return f"""
+WITH toks AS (SELECT source, {tk} AS w FROM documents),
+sh AS (
+    SELECT DISTINCT source, unnest({_ngrams_sql(SRC_SHINGLE_N)}) AS shingle
+    FROM toks),
+sizes AS (SELECT source, COUNT(*) AS n_sh FROM sh GROUP BY source),
+inter AS (
+    SELECT a.source AS source_a, b.source AS source_b,
+           COUNT(*) AS n_inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+    GROUP BY 1, 2)
+SELECT i.source_a, i.source_b,
+       CAST(i.n_inter AS BIGINT) AS n_inter,
+       {round_fixed_sql(
+           "CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter)", 6)}
+           AS jaccard
+FROM inter i
+JOIN sizes sa ON i.source_a = sa.source
+JOIN sizes sb ON i.source_b = sb.source
+"""
+
+
 SELECTION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x32_canonical_docs": x32_canonical_docs,
     "x33_token_budget_select": x33_token_budget_select,
@@ -824,6 +1048,9 @@ SELECTION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x38_chunk_documents": x38_chunk_documents,
     "x39_vocab_coverage": x39_vocab_coverage,
     "x44_snapshot_diff": x44_snapshot_diff,
+    "x46_source_quota": x46_source_quota,
+    "x47_weighted_sample": x47_weighted_sample,
+    "x50_source_similarity": x50_source_similarity,
 }
 
 SELECTION_ORACLE: dict[str, str] = {
@@ -837,4 +1064,7 @@ SELECTION_ORACLE: dict[str, str] = {
     "x38_chunk_documents": _x38_sql(),
     "x39_vocab_coverage": _x39_sql(),
     "x44_snapshot_diff": _x44_sql(),
+    "x46_source_quota": _x46_sql(),
+    "x47_weighted_sample": _x47_sql(),
+    "x50_source_similarity": _x50_sql(),
 }

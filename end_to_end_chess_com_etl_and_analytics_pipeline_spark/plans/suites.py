@@ -134,6 +134,8 @@ _SUITE_PARTS: dict[str, list[str]] = {
         "x43_corpus_funnel",
         "x38_chunk_documents",
         "x39_vocab_coverage",
+        "x48_script_mix",
+        "x49_zipf_fit",
     ],
     # tumbling + sliding time windows (x11 session stays separate as
     # st02's batch oracle twin)
@@ -165,6 +167,9 @@ _SUITE_PARTS: dict[str, list[str]] = {
         "x37_leakage_safe_split",
         "x41_semantic_dedup",
         "x44_snapshot_diff",
+        "x46_source_quota",
+        "x47_weighted_sample",
+        "x50_source_similarity",
     ],
     # mapInPandas feature extraction + resize/frame-sample plumbing
     "m01_multimodal_suite": [

@@ -51,7 +51,8 @@ _FIXED_SHAPE_MAX = {
     # even over an empty corpus — an empty funnel table would hide
     # which gates ran; the suite inherits the funnel's 3 fixed rows
     "x43_corpus_funnel": 3,
-    "x08_text_quality_suite": 3,
+    # funnel's 3 stage rows + x49's one global-fit row (n_top_tokens=0)
+    "x08_text_quality_suite": 4,
 }
 
 

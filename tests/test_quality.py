@@ -435,3 +435,96 @@ def test_x45_fixture_backoff_binds_both_ways(spark):
     # off — neither path is degenerate on the fixture
     assert agg["lo"] < 1.0 and agg["hi"] > 0.0
     out.unpersist()
+
+
+def _docs_dir(spark, tmp_path, rows):
+    d = str(tmp_path / "docs_sf")
+    spark.createDataFrame(
+        [(i, t, "en", "s0", len(t or "")) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(d + "/documents.parquet")
+    return d
+
+
+def test_script_mix_known_answer(spark, tmp_path):
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans.quality import (
+        x48_script_mix,
+    )
+
+    rows = [
+        (1, "hello world"),                    # pure latin
+        (2, "привет мир"),                     # pure cyrillic
+        (3, "hello привет"),                   # mixed latin+cyrillic
+        (4, "你好世界"),                        # pure cjk
+        (5, "mixed 世界 and ελληνικά وعربى"),  # 4 scripts
+        (6, "12345 !!! ..."),                  # no script at all
+        (7, None),                             # NULL text ≡ ''
+    ]
+    d = _docs_dir(spark, tmp_path, rows)
+    got = {r["doc_id"]: r for r in x48_script_mix(spark, d).collect()}
+    assert (got[1]["dominant_script"], got[1]["is_mixed"]) == ("latin", False)
+    assert (got[2]["dominant_script"], got[2]["n_cyrillic"]) == ("cyrillic", 9)
+    assert got[3]["is_mixed"] and got[3]["n_scripts"] == 2
+    assert (got[4]["dominant_script"], got[4]["n_cjk"]) == ("cjk", 4)
+    assert got[5]["n_scripts"] == 4 and got[5]["is_mixed"]
+    assert (got[6]["dominant_script"], got[6]["n_scripts"]) == ("none", 0)
+    assert (got[7]["dominant_script"], got[7]["is_mixed"]) == ("none", False)
+
+
+def test_script_mix_matches_oracle_on_hostile_text(spark, tmp_path, duck):
+    """Differential check on text the fixtures never carry: the five
+    range regexes must count identically in Java regex and RE2."""
+    import duckdb
+
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans.quality import (
+        _x48_sql,
+        x48_script_mix,
+    )
+    from tests.oracle_compare import compare
+
+    rows = [
+        (1, "Ωμέγα και ω"),
+        (2, "كتاب عربي 123 abc"),
+        (3, "日本語テキスト 漢字"),   # kana NOT in the CJK-ideograph range
+        (4, "ёЁђѕ АБВ xyz"),
+        (5, "ЀӿͰϿ؀ۿ一鿿"),  # range edges
+    ]
+    d = _docs_dir(spark, tmp_path, rows)
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{d}/documents.parquet/*.parquet'"  # Spark writes a directory
+    )
+    compare(x48_script_mix(spark, d), con.sql(_x48_sql()))
+
+
+def test_zipf_fit_known_answer(spark, tmp_path):
+    """Exact-frequency corpus: token i appears c_i times; the OLS fit
+    over (ln rank, ln cnt) recomputed in Python must match."""
+    import math
+
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans.quality import (
+        x49_zipf_fit,
+    )
+
+    freqs = {"alpha": 16, "beta": 8, "gamma": 4, "delta": 2, "eps": 1}
+    text = " ".join(" ".join([w] * c) for w, c in freqs.items())
+    d = _docs_dir(spark, tmp_path, [(1, text)])
+    row = x49_zipf_fit(spark, d).collect()[0]
+    pts = [
+        (math.log(r + 1), math.log(c))
+        for r, c in enumerate(sorted(freqs.values(), reverse=True))
+    ]
+    n = float(len(pts))
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    sxy = sum(x * y for x, y in pts)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    assert row["n_top_tokens"] == 5
+    assert abs(row["zipf_slope"] - slope) < 1e-6
+    assert abs(row["zipf_intercept"] - intercept) < 1e-6
+    # this geometric corpus is exactly Zipf-like in log2: slope of
+    # ln(cnt) vs ln(rank) is negative and steep
+    assert row["zipf_slope"] < -1.0

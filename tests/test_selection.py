@@ -513,3 +513,102 @@ def test_suite_kernel_sharing_preserves_subquery_output(spark):
             for t in by_sub[sub]
         }
         assert got == want, f"suite output drifted from standalone {sub}"
+
+
+def _docs_dir(spark, tmp_path, rows):
+    """(doc_id, text, lang, source, n_chars) parquet dir usable as a
+    sf_dir for operators that only load the documents table."""
+    d = str(tmp_path / "docs_sf")
+    spark.createDataFrame(
+        [(i, t, "en", s, len(t or "")) for i, t, s in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(d + "/documents.parquet")
+    return d
+
+
+def test_source_quota_caps_and_ranks(spark):
+    out = S.x46_source_quota(spark, SF_DIR).collect()
+    per_src: dict[str, list] = {}
+    for r in out:
+        per_src.setdefault(r["source"], []).append(r)
+    for src, rows in per_src.items():
+        assert len(rows) <= S.SRC_QUOTA
+        assert sorted(r["src_rank"] for r in rows) == list(
+            range(1, len(rows) + 1)
+        ), f"ranks not contiguous for {src}"
+        # rank order agrees with the (quality DESC, doc_id ASC) policy
+        ordered = sorted(rows, key=lambda r: (-r["quality"], r["doc_id"]))
+        assert [r["doc_id"] for r in ordered] == [
+            r["doc_id"]
+            for r in sorted(rows, key=lambda r: r["src_rank"])
+        ]
+
+
+def test_source_quota_two_phase_equals_plain_rank(spark, tmp_path):
+    """A source larger than SALTS·Q: the salted two-phase cut must equal
+    the straightforward single-window formulation."""
+    rows = [(i, f"doc {i} " + "word " * (i % 37), f"s{i % 2}") for i in range(120)]
+    d = _docs_dir(spark, tmp_path, rows)
+    got = {
+        (r["doc_id"], r["src_rank"])
+        for r in S.x46_source_quota(spark, d).collect()
+    }
+    scored = sorted(
+        (
+            (r["doc_id"], r["source"], r["quality"])
+            for r in spark.read.parquet(d + "/documents.parquet")
+            .select(
+                "doc_id",
+                "source",
+                S.quality_score(F.coalesce(F.col("text"), F.lit(""))).alias(
+                    "quality"
+                ),
+            )
+            .collect()
+        ),
+        key=lambda t: (t[1], -t[2], t[0]),
+    )
+    want = set()
+    rank, prev_src = 0, None
+    for doc_id, src, _q in scored:
+        rank = rank + 1 if src == prev_src else 1
+        prev_src = src
+        if rank <= S.SRC_QUOTA:
+            want.add((doc_id, rank))
+    assert got == want
+
+
+def test_weighted_sample_is_deterministic_and_sized(spark):
+    a = S.x47_weighted_sample(spark, SF_DIR).collect()
+    b = S.x47_weighted_sample(spark, SF_DIR).collect()
+    key = lambda rows: sorted((r["doc_id"], r["es_key"]) for r in rows)  # noqa: E731
+    assert key(a) == key(b)
+    assert len(a) == S.WS_K
+
+
+def test_weighted_sample_prefers_quality(spark, tmp_path):
+    """With one very-high-quality doc among junk, the E-S draw keeps it:
+    its key is scaled by 1/w, so w >> others makes selection near-sure.
+    Construct quality ≈ 1 vs quality ≈ tiny and check inclusion."""
+    rows = [(0, "the of and is in it you that he was " * 5, "good")]
+    rows += [(i, "!!!???!!!", "junk") for i in range(1, 200)]
+    d = _docs_dir(spark, tmp_path, rows)
+    got = {r["doc_id"] for r in S.x47_weighted_sample(spark, d).collect()}
+    assert 0 in got
+    assert len(got) == S.WS_K
+
+
+def test_source_similarity_known_answer(spark, tmp_path):
+    """Two sources sharing half their shingles, one disjoint source."""
+    rows = [
+        (1, "a b c d e", "s1"),      # shingles: abc bcd cde
+        (2, "a b c x y", "s2"),      # shingles: abc bcx cxy
+        (3, "p q r s t", "s3"),      # disjoint
+    ]
+    d = _docs_dir(spark, tmp_path, rows)
+    got = {
+        (r["source_a"], r["source_b"]): (r["n_inter"], r["jaccard"])
+        for r in S.x50_source_similarity(spark, d).collect()
+    }
+    # |s1 ∩ s2| = 1 ('a b c'), |s1 ∪ s2| = 5
+    assert got == {("s1", "s2"): (1, 0.2)}
