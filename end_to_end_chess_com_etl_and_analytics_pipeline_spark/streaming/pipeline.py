@@ -509,6 +509,59 @@ def streaming_lm_gate(
             spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+def streaming_archive_ingest(
+    spark: SparkSession,
+    requests_dir: str,
+    bronze_path: str,
+    checkpoint_dir: str,
+    fetcher=None,
+    partitions: int | None = None,
+) -> None:
+    """S1 x T1: continuous archive ingestion — a file-source stream of
+    (username, year, month) fetch REQUESTS; each micro-batch fans out
+    through ``sources.tables.fetch_archives`` (hash-partitioned
+    per-executor fetch, JVM-side declared-schema parse) and appends the
+    parsed games to the bronze parquet layer.
+
+    This is the reference's backfill loop (python_scripts.py:30-61, a
+    sequential month loop on one machine) turned into the shape a
+    standing crawl needs: requests arrive whenever, fetch parallelism =
+    cluster width, exactly-once per request via the streaming
+    checkpoint, and a fetch batch's output depends only on its own
+    requests — so the union of micro-batch appends equals the one-shot
+    batch fetch over all requests (the test's oracle).
+    ``availableNow`` drains the backlog then stops."""
+    from ..sources.tables import fetch_archives
+
+    schema = spark.read.parquet(requests_dir).schema  # footer probe
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(requests_dir)
+    )
+
+    def fetch_batch(batch_df: DataFrame, batch_id: int) -> None:
+        fetch_archives(
+            spark, batch_df, fetcher=fetcher, partitions=partitions
+        ).write.mode("append").parquet(bronze_path)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        (
+            stream.writeStream.foreachBatch(fetch_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, table_name: str, output_mode: str = "complete"
 ) -> None:

@@ -104,3 +104,48 @@ def test_fetch_missing_month_yields_no_rows(spark, tmp_path):
     assert got.count() == 0
     # empty result still carries the full declared schema
     assert "pgn" in got.columns and "white" in got.columns
+
+
+def test_streaming_archive_ingest_equals_batch_fetch(spark, tmp_path):
+    """S1 x T1: micro-batched request draining must append exactly the
+    rows the one-shot batch fetch produces over the same requests."""
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.streaming.pipeline import (
+        streaming_archive_ingest,
+    )
+
+    root = _payload_dir(tmp_path)
+    requests_dir = str(tmp_path / "requests")
+    # two files -> two micro-batches under maxFilesPerTrigger=1
+    spark.createDataFrame(
+        [(USERS[0], 2024, m) for m in MONTHS],
+        "username string, year int, month int",
+    ).coalesce(1).write.mode("overwrite").parquet(requests_dir)
+    spark.createDataFrame(
+        [(USERS[1], 2024, m) for m in MONTHS],
+        "username string, year int, month int",
+    ).coalesce(1).write.mode("append").parquet(requests_dir)
+
+    bronze = str(tmp_path / "bronze_stream")
+    streaming_archive_ingest(
+        spark,
+        requests_dir,
+        bronze,
+        str(tmp_path / "ckpt"),
+        fetcher=_file_fetcher(root),
+        partitions=4,
+    )
+    got = spark.read.parquet(bronze)
+    want = fetch_archives(
+        spark,
+        spark.read.parquet(requests_dir),
+        fetcher=_file_fetcher(root),
+        partitions=4,
+    )
+    assert got.schema == want.schema
+    key = lambda df: sorted(  # noqa: E731
+        (r["username"], r["month"], r["uuid"]) for r in df.collect()
+    )
+    assert key(got) == key(want)
+    assert got.count() == sum(10 + 3 * USERS.index(u) for u in USERS) * len(
+        MONTHS
+    )
