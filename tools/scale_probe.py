@@ -152,6 +152,10 @@ PROBES = [
     "x42_lm_quality",
     "x44_snapshot_diff",
     "x45_bigram_lm",
+    "x46_source_quota",
+    "x48_script_mix",
+    "x49_zipf_fit",
+    "x50_source_similarity",
 ]
 
 # operators whose result is pair/fan-out shaped: their cost tracks
