@@ -1363,6 +1363,81 @@ FROM quantized
 """
 
 
+# x51: target dim and seed for the ±1 random projection.  K = 4 makes
+# the Johnson-Lindenstrauss scale 1/sqrt(K) = 0.5 EXACT in binary
+# floating point — no engine-divergent sqrt literal.
+_RP_K = 4
+_RP_SEED = "rp0"
+
+
+def _rp_signs(k: int, dim: int) -> list[list[int]]:
+    """Deterministic ±1 projection matrix: sign from the parity of the
+    first md5 byte of 'seed|row|col'.  Computed DRIVER-SIDE once and
+    embedded as literals in both engines' plans — per-row work is pure
+    arithmetic, no hashing."""
+    import hashlib
+
+    return [
+        [
+            1
+            if hashlib.md5(
+                f"{_RP_SEED}|{r}|{c}".encode()
+            ).digest()[0] % 2 == 0
+            else -1
+            for c in range(dim)
+        ]
+        for r in range(k)
+    ]
+
+
+def x51_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimensionality reduction by signed random projection
+    (Achlioptas 2003 database-friendly JL: entries ±1, scale 1/√K):
+    64-dim embeddings → K=4 sketch dims, r_k = 0.5·Σ_j s_kj·v_j.
+
+    The sketch step before cheap pre-filtering / coarse clustering of
+    an embedding corpus; x14's SRP-LSH keeps only the SIGNS of such
+    projections — this keeps the values.  Zero-shuffle scan-local
+    projection; the per-vector reduction is a fixed-dim (64-element)
+    sequential fold, identical left-to-right order in both engines
+    (the established x07/x14 float-parity pattern)."""
+    from ..functions.vectors import usable_vec
+
+    e = load_table(spark, "embeddings", sf_dir).where(
+        usable_vec(F.col("embedding"), require_nonzero=False)
+    )
+    dim = 64  # fixture contract (TESTDATA.md); asserted by the oracle twin
+    signs = _rp_signs(_RP_K, dim)
+    cols = []
+    for k in range(_RP_K):
+        sk = F.array(*[F.lit(float(s)) for s in signs[k]])
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("embedding"), sk, lambda v, s: v.cast("double") * s
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cols.append(round_fixed(dot * F.lit(0.5), 6).alias(f"r{k}"))
+    return e.select("vec_id", *cols)
+
+
+def _x51_sql() -> str:
+    signs = _rp_signs(_RP_K, 64)
+    outs = []
+    for k in range(_RP_K):
+        arr = "[" + ", ".join(f"{float(s):.1f}" for s in signs[k]) + "]"
+        dot = (
+            f"list_sum(list_transform(range(1, 65), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({arr})[i]))"
+        )
+        outs.append(round_fixed_sql(f"({dot}) * 0.5", 6) + f" AS r{k}")
+    return f"""
+SELECT vec_id, {', '.join(outs)}
+FROM {_EMB_FINITE} e
+"""
+
+
 def x28_stable_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense 0-based row enumeration without a global sort
     (operators.ids): per-shard rank + broadcast cumulative offsets.
@@ -1413,6 +1488,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x25_stratified_sample": x25_stratified_sample,
     "x26_pack_sequences": x26_pack_sequences,
     "x27_quantize_embeddings": x27_quantize_embeddings,
+    "x51_random_projection": x51_random_projection,
     "x41_semantic_dedup": x41_semantic_dedup,
     "x28_stable_row_ids": x28_stable_row_ids,
 }
@@ -1443,6 +1519,7 @@ EXT_ORACLE: dict[str, str] = {
     "x25_stratified_sample": _x25_sql(),
     "x26_pack_sequences": _x26_sql(),
     "x27_quantize_embeddings": _X27_SQL,
+    "x51_random_projection": _x51_sql(),
     "x41_semantic_dedup": _X41_SQL,
     "x28_stable_row_ids": _X28_SQL,
     # x21/x22 ship contract views — exact columns plus invariant/bound

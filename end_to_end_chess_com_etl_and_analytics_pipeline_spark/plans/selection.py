@@ -1037,6 +1037,60 @@ JOIN sizes sb ON i.source_b = sb.source
 """
 
 
+def x52_source_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality calibration: a raw quality score is not
+    comparable ACROSS sources (a mid-tier academic page outscores a
+    top-tier forum post), so mixture builders select on the quality
+    PERCENTILE WITHIN each source.  percent_rank over (source) plus
+    the corpus-wide percentile for reference; RANK-based, so ties get
+    identical values in both engines and no float summation is
+    involved — the only doubles are the two (n-1)-denominator
+    divisions, bit-identical by construction.
+
+    Scale: one window shuffle keyed by source (hot sources are a
+    ranking, not a running aggregate — no x33-style sharding needed
+    because percent_rank needs only (rank, count), both computable
+    per-partition-group), plus one corpus-wide window whose input is
+    the already-collapsed (doc_id, quality) projection."""
+    docs = load_table(spark, "documents", sf_dir)
+    scored = docs.select(
+        "doc_id",
+        "source",
+        quality_score(F.coalesce(F.col("text"), F.lit(""))).alias("quality"),
+    )
+    w_src = Window.partitionBy("source").orderBy(
+        F.asc("quality"), F.asc("doc_id")
+    )
+    w_all = Window.orderBy(F.asc("quality"), F.asc("doc_id"))
+    return scored.select(
+        "doc_id",
+        "source",
+        "quality",
+        round_fixed(F.percent_rank().over(w_src), 6).alias("pct_in_source"),
+        round_fixed(F.percent_rank().over(w_all), 6).alias("pct_global"),
+    )
+
+
+def _x52_sql() -> str:
+    from ..plans.extensions import _QUALITY_SQL
+
+    return f"""
+WITH scored AS (
+    SELECT doc_id, source, {_QUALITY_SQL} AS quality
+    FROM (SELECT doc_id, source, coalesce(text, '') AS text
+          FROM documents) documents)
+SELECT doc_id, source, quality,
+       {round_fixed_sql(
+           "PERCENT_RANK() OVER ("
+           "PARTITION BY source ORDER BY quality ASC, doc_id ASC)", 6)}
+           AS pct_in_source,
+       {round_fixed_sql(
+           "PERCENT_RANK() OVER (ORDER BY quality ASC, doc_id ASC)", 6)}
+           AS pct_global
+FROM scored
+"""
+
+
 SELECTION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x32_canonical_docs": x32_canonical_docs,
     "x33_token_budget_select": x33_token_budget_select,
@@ -1051,6 +1105,7 @@ SELECTION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x46_source_quota": x46_source_quota,
     "x47_weighted_sample": x47_weighted_sample,
     "x50_source_similarity": x50_source_similarity,
+    "x52_source_calibration": x52_source_calibration,
 }
 
 SELECTION_ORACLE: dict[str, str] = {
@@ -1067,4 +1122,5 @@ SELECTION_ORACLE: dict[str, str] = {
     "x46_source_quota": _x46_sql(),
     "x47_weighted_sample": _x47_sql(),
     "x50_source_similarity": _x50_sql(),
+    "x52_source_calibration": _x52_sql(),
 }

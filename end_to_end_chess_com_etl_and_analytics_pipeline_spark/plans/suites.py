@@ -170,6 +170,13 @@ _SUITE_PARTS: dict[str, list[str]] = {
         "x46_source_quota",
         "x47_weighted_sample",
         "x50_source_similarity",
+        "x52_source_calibration",
+    ],
+    # embedding vector transforms: int8 quantization + signed random
+    # projection (one family; both zero-shuffle scan-local projections)
+    "x27_vector_suite": [
+        "x27_quantize_embeddings",
+        "x51_random_projection",
     ],
     # mapInPandas feature extraction + resize/frame-sample plumbing
     "m01_multimodal_suite": [

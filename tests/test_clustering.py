@@ -235,3 +235,32 @@ def test_usable_vec_contract(spark):
     import math
 
     assert all(math.isfinite(x) for _, vec in cents for x in vec)
+
+
+def test_random_projection_known_answer(spark):
+    """r_k must equal the driver-side sign matrix applied in Python."""
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans.extensions import (
+        _RP_K,
+        _rp_signs,
+        x51_random_projection,
+    )
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    vecs = {
+        r["vec_id"]: r["embedding"]
+        for r in load_table(spark, "embeddings", SF).collect()
+    }
+    signs = _rp_signs(_RP_K, 64)
+    got = {r["vec_id"]: r for r in x51_random_projection(spark, SF).collect()}
+    assert set(got) <= set(vecs) and len(got) >= len(vecs) - 1  # finite filter
+    for vid, row in list(got.items())[:25]:
+        v = vecs[vid]
+        for k in range(_RP_K):
+            exp = 0.0
+            for s, x in zip(signs[k], v):
+                exp += s * float(x)
+            exp *= 0.5
+            assert abs(row[f"r{k}"] - exp) < 1e-4, (vid, k)

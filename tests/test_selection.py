@@ -612,3 +612,20 @@ def test_source_similarity_known_answer(spark, tmp_path):
     }
     # |s1 ∩ s2| = 1 ('a b c'), |s1 ∪ s2| = 5
     assert got == {("s1", "s2"): (1, 0.2)}
+
+
+def test_source_calibration_percentile_contract(spark):
+    out = S.x52_source_calibration(spark, SF_DIR).collect()
+    by_src: dict[str, list] = {}
+    for r in out:
+        assert 0.0 <= r["pct_in_source"] <= 1.0
+        assert 0.0 <= r["pct_global"] <= 1.0
+        by_src.setdefault(r["source"], []).append(r)
+    for rows in by_src.values():
+        if len(rows) > 1:
+            pcts = sorted(r["pct_in_source"] for r in rows)
+            assert pcts[0] == 0.0 and pcts[-1] == 1.0
+        # percentile order agrees with quality order (ties share pct)
+        srt = sorted(rows, key=lambda r: (r["quality"], r["doc_id"]))
+        for a, b in zip(srt, srt[1:]):
+            assert a["pct_in_source"] <= b["pct_in_source"]

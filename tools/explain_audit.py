@@ -59,6 +59,11 @@ HEADLINE = [
     ("x43_corpus_funnel", "gates keep their own plans; the funnel adds only co-keyed doc_id flag joins that collapse to a SCALAR aggregate before the 3-row stack — nothing stage-shaped ever moves"),
     ("x44_snapshot_diff", "fingerprints are scan-side projections; ONE co-keyed full-outer join on doc_id is the only exchange — 8-byte hashes shuffle, never document strings"),
     ("x45_bigram_lm", "training = two hash-aggs (bigram key, token key) + TakeOrderedAndProject top-B cut; both LM artifacts capped -> broadcast; scoring = corpus scan + two broadcast joins + one doc_id exchange"),
+    ("x46_source_quota", "two-phase top-Q: salted (source,salt) window prunes map-side, final source window sees <= SALTS*Q rows per source — no full-source sort at any scale"),
+    ("x47_weighted_sample", "hash-derived E-S keys in a scan-local projection; orderBy+limit -> TakeOrderedAndProject (per-partition k-heaps, no global sort exchange)"),
+    ("x48_script_mix", "five regexp_count columns + argmax fold in ONE codegen projection — zero exchanges beyond the undersplit-scan spread"),
+    ("x49_zipf_fit", "corpus collapses to the shared checkpointed token-counts table; top-R via TakeOrderedAndProject; the unpartitioned rank window holds exactly R (constant) rows; final OLS is a scalar agg"),
+    ("x50_source_similarity", "distinct (source,shingle) hash-agg pinned once for three consumers; shingle-keyed self-join (co-occurrence-bounded, AQE-skew-split) + two broadcast size joins"),
 ]
 
 
