@@ -64,6 +64,8 @@ HEADLINE = [
     ("x48_script_mix", "five regexp_count columns + argmax fold in ONE codegen projection — zero exchanges beyond the undersplit-scan spread"),
     ("x49_zipf_fit", "corpus collapses to the shared checkpointed token-counts table; top-R via TakeOrderedAndProject; the unpartitioned rank window holds exactly R (constant) rows; final OLS is a scalar agg"),
     ("x50_source_similarity", "distinct (source,shingle) hash-agg pinned once for three consumers; shingle-keyed self-join (co-occurrence-bounded, AQE-skew-split) + two broadcast size joins"),
+    ("x51_random_projection", "constant ±1 sign matrix embedded as literals; zero-shuffle scan-local fixed-dim fold — no hashing, no exchange beyond the undersplit-scan spread"),
+    ("x52_source_calibration", "one source-keyed window exchange for pct_in_source; the corpus-wide percent_rank runs over the already-collapsed (doc_id, quality) projection"),
 ]
 
 
