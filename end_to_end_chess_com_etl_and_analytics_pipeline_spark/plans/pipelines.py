@@ -325,6 +325,120 @@ FROM events v JOIN events c
 """
 
 
+def _write_flush_files(events_path: str) -> None:
+    """Append two staggered single-FILE flush parquets next to the
+    events file, in the file's OWN footer flavor (events.ts has shipped
+    as both TIMESTAMP(NANOS)-as-int64 and timestamp[us]; pyarrow row
+    construction against the source schema preserves whichever this
+    fixture carries, and a plain file — not a Spark output directory —
+    is what the file-source actually lists).
+
+    Two files, not one, because a micro-batch's watermark comes from
+    the PREVIOUS batch's data: flush-0 (max+3h) puts every real view's
+    interval behind the watermark, and flush-1's batch is where those
+    final outer rows emit (availableNow runs no trailing no-data
+    batch — measured: 8 tail views stayed withheld with one flush)."""
+    import datetime as _dt
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(events_path)
+    ts_max = pc.max(tbl["ts"]).as_py()
+    out_dir = os.path.dirname(events_path)
+    for i, hours in enumerate((3, 6)):
+        if isinstance(ts_max, int):  # NANOS-as-int64 flavor
+            ts = ts_max + hours * 3_600_000_000_000
+        else:
+            ts = ts_max + _dt.timedelta(hours=hours)
+        arrays = []
+        for field in tbl.schema:
+            if field.name == "event_id":
+                arr = pa.array([-1 - 2 * i, -2 - 2 * i], field.type)
+            elif field.name == "ts":
+                arr = pa.array([ts, ts], field.type)
+            elif field.name == "user_id":
+                arr = pa.array([-1, -1], field.type)
+            elif field.name == "event_type":
+                arr = pa.array(["view", "purchase"], field.type)
+            else:
+                arr = pa.array([None, None], field.type)
+            arrays.append(arr)
+        pq.write_table(
+            pa.table(arrays, schema=tbl.schema),
+            os.path.join(out_dir, f"zz_flush{i}.parquet"),
+        )
+
+
+def st08_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked LEFT OUTER stream-stream interval join: st05's query
+    with the unmatched views KEPT — a view with no purchase in the
+    following hour emits (user_id, view_id, NULL) once the watermark
+    passes its interval end.  This exercises the state-EVICTION
+    semantics the inner join never does: an outer result exists only
+    because the engine can prove no future match is possible.
+
+    Outer-side completeness under ``availableNow`` needs the watermark
+    to pass EVERY view's interval, so the stage appends one far-future
+    flush row per side (user_id -1, excluded from the output) — the
+    stream idiom for "close the books"; a production stream gets this
+    from real event-time progress.  With the books closed, the drained
+    stream must equal the batch LEFT JOIN (the oracle).  State stays
+    bounded by interval + watermark delay at any stream length."""
+    from ..streaming.pipeline import _events_stream
+
+    stream_dir = _staged_events_dir(sf_dir)
+    _write_flush_files(os.path.join(stream_dir, "events.parquet"))
+    views = (
+        _events_stream(spark, stream_dir, max_files_per_trigger=1)
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, stream_dir, max_files_per_trigger=1)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            "user_id = p_user_id AND purchase_ts >= view_ts "
+            "AND purchase_ts <= view_ts + interval 1 hour"
+        ),
+        "left_outer",
+    ).select("user_id", "view_id", "purchase_id")
+    name = f"st_ssloj_{uuid.uuid4().hex[:8]}"
+    run_stream_to_memory(joined, name, output_mode="append")
+    # Drop the flush sentinel's own row AFTER the drain: a stream-side
+    # user_id filter is pushed through the left-outer join into BOTH
+    # scans (left directly, right via the p_user_id = user_id equi
+    # constraint), which prunes the flush rows at the source — before
+    # they ever reach the watermark operators, silently defeating the
+    # close-the-books mechanism (measured: 8 tail views withheld).
+    return spark.table(name).where(F.col("user_id") >= 0)
+
+
+_ST08_SQL = """
+SELECT v.user_id, v.event_id AS view_id, c.event_id AS purchase_id
+FROM events v LEFT JOIN events c
+  ON v.user_id = c.user_id
+ AND c.event_type = 'purchase'
+ AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+WHERE v.event_type = 'view'
+"""
+
+
 def m01_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline: documents → opaque binary payload + typed
     metadata → Arrow-batched mapInPandas feature extraction.  The
@@ -679,6 +793,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st03_streaming_dedup": st03_streaming_dedup,
     "st04_incremental_gold": st04_incremental_gold,
     "st05_stream_stream_join": st05_stream_stream_join,
+    "st08_stream_stream_left_join": st08_stream_stream_left_join,
     "m01_multimodal_features": m01_multimodal_features,
     "m02_multimodal_resize": m02_multimodal_resize,
     "s01_io_formats": s01_io_formats,
@@ -699,6 +814,7 @@ PIPELINE_ORACLE: dict[str, str] = {
     "st03_streaming_dedup": _ST03_SQL,
     "st04_incremental_gold": _ST04_SQL,
     "st05_stream_stream_join": _ST05_SQL,
+    "st08_stream_stream_left_join": _ST08_SQL,
     "m01_multimodal_features": _M01_SQL,
     "m02_multimodal_resize": _M02_SQL,
     "s01_io_formats": _s01_sql(),

@@ -178,6 +178,13 @@ _SUITE_PARTS: dict[str, list[str]] = {
         "x27_quantize_embeddings",
         "x51_random_projection",
     ],
+    # watermarked stream-stream interval joins: inner + left-outer
+    # (outer exercises state EVICTION — a result that exists only
+    # because no future match is possible)
+    "st05_stream_join_suite": [
+        "st05_stream_stream_join",
+        "st08_stream_stream_left_join",
+    ],
     # mapInPandas feature extraction + resize/frame-sample plumbing
     "m01_multimodal_suite": [
         "m01_multimodal_features",
