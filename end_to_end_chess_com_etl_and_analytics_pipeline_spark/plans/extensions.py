@@ -1200,6 +1200,161 @@ FROM orders GROUP BY o_orderpriority
 
 
 # ---------------------------------------------------------------------------
+# x53/st09: count-min sketch heavy hitters (operators/sketch.py)
+# ---------------------------------------------------------------------------
+
+# Fixture-derivation mods (the x44 SNAP_* pattern): the synthetic events
+# table is near-uniform per user, so a skewed item stream is derived
+# deterministically in BOTH engines — 40% of users (user_id % 5 < 2)
+# collapse onto two hot items (user_id % 2), the rest keep their id.
+# At sf0.01 the two hot items carry ~20% of all events each (~2000 of
+# 10000) while every uniform item sits near 67 — a clean heavy-hitter
+# separation at threshold N/100.
+CMS_HOT_USER_MOD = 5
+CMS_HOT_USER_LIM = 2
+CMS_HOT_ITEM_MOD = 2
+CMS_HH_DIVISOR = 100  # heavy hitter ⇔ est_cnt ≥ ⌈N / 100⌉
+
+_CMS_ITEM_SQL = (
+    f"CASE WHEN user_id % {CMS_HOT_USER_MOD} < {CMS_HOT_USER_LIM}"
+    f" THEN user_id % {CMS_HOT_ITEM_MOD} ELSE user_id END"
+)
+
+
+def _cms_item() -> Column:
+    return F.when(
+        F.col("user_id") % CMS_HOT_USER_MOD < CMS_HOT_USER_LIM,
+        F.col("user_id") % CMS_HOT_ITEM_MOD,
+    ).otherwise(F.col("user_id"))
+
+
+def _cms_verdict(counts: DataFrame, cells: DataFrame) -> DataFrame:
+    """Point-query the sketch for every distinct item and emit the
+    heavy-hitter verdict next to the exact count (the verification
+    harness — at 100 TB you keep only item/est_cnt/is_heavy)."""
+    from ..operators.sketch import cms_estimate
+
+    est = cms_estimate(counts, cells)
+    total = counts.agg(F.sum("exact_cnt").alias("__total"))
+    thresh = F.expr(f"(__total + {CMS_HH_DIVISOR - 1}) div {CMS_HH_DIVISOR}")
+    return est.crossJoin(F.broadcast(total)).select(
+        "item",
+        "exact_cnt",
+        "est_cnt",
+        (F.col("est_cnt") >= thresh).alias("is_heavy"),
+        (F.col("exact_cnt") >= thresh).alias("is_true_heavy"),
+        (F.col("est_cnt") >= F.col("exact_cnt")).alias("never_underestimates"),
+    )
+
+
+def x53_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters over the derived skewed item
+    stream: D·W = 3072 cells estimate every item's frequency; an item
+    is flagged heavy when its estimate clears ⌈N/100⌉.
+
+    Both engines compute the sketch from the same md5 hash family, so
+    ``est_cnt`` is hash-compared EXACTLY, not just bounded — and the
+    two CMS invariants ride along as checked booleans: estimates never
+    underestimate (is_true_heavy ⇒ is_heavy: the sketch has no false
+    negatives), and the exact counts pin the false-positive margin.
+
+    Shape at 100 TB: the sketch build partial-aggregates map-side to
+    ≤ D·W cells per task (operators/sketch.py); here it is built from
+    the (item, cnt) table — the sketch is linear in counts, so the
+    constructions are cell-identical and the exact counts are needed
+    anyway as the verification harness.  The probe side broadcasts the
+    24 KiB cell table; no exchange beyond the one counts shuffle."""
+    from ..operators.sketch import cms_cells
+
+    ev = load_table(spark, "events", sf_dir)
+    # NULL user_id rows (the NULL probe) carry no item identity —
+    # excluded in both engines (see _x53_sql's WHERE)
+    counts = (
+        ev.select(_cms_item().alias("item"))
+        .where(F.col("item").isNotNull())
+        .groupBy("item")
+        .agg(F.count("*").alias("exact_cnt"))
+        # counts feeds three consumers (cells, probe, total); pin the
+        # distinct-item table so the events scan + shuffle runs once
+        .localCheckpoint()
+    )
+    cells = cms_cells(counts, weight="exact_cnt")
+    return _cms_verdict(counts, cells)
+
+
+def st09_streaming_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of x53 — the MERGEABILITY proof: events arrive as
+    a file-source stream (several files → several micro-batches), each
+    micro-batch builds its own D×W cell table from raw rows in
+    foreachBatch and appends it; the running sketch is the cellwise sum
+    of everything appended.  Because the sketch is linear, the merged
+    sketch equals the one-shot batch sketch cell-for-cell — so the
+    oracle is x53's SQL, and a drifting merge hash-fails the driver."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from ..streaming.pipeline import streaming_sketch_merge
+
+    ev = load_table(spark, "events", sf_dir)
+    root = tempfile.mkdtemp(prefix="st09_")
+    batch_dir = _os.path.join(root, "batch")
+    cells_path = _os.path.join(root, "cells")
+    ckpt = _os.path.join(root, "ckpt")
+    try:
+        # several arriving files → several micro-batch sketches to merge
+        ev.select(_cms_item().alias("item")).where(
+            F.col("item").isNotNull()
+        ).repartition(3).write.parquet(batch_dir)
+        streaming_sketch_merge(spark, batch_dir, cells_path, ckpt)
+        merged = (
+            spark.read.parquet(cells_path)
+            .groupBy("seed", "bucket")
+            .agg(F.sum("cell_cnt").alias("cell_cnt"))
+            .localCheckpoint()  # pin before the temp tree disappears
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    counts = (
+        load_table(spark, "events", sf_dir)
+        .select(_cms_item().alias("item"))
+        .where(F.col("item").isNotNull())
+        .groupBy("item")
+        .agg(F.count("*").alias("exact_cnt"))
+        .localCheckpoint()
+    )
+    return _cms_verdict(counts, merged)
+
+
+def _x53_sql() -> str:
+    from ..operators.sketch import CMS_SEEDS, CMS_W
+
+    seeds = ", ".join(f"({s})" for s in CMS_SEEDS)
+    h = md5_long_sql(
+        "concat(CAST(s.seed AS VARCHAR), '|', CAST(c.item AS VARCHAR))"
+    )
+    return f"""
+WITH it AS (SELECT {_CMS_ITEM_SQL} AS item
+            FROM events WHERE user_id IS NOT NULL),
+c AS (SELECT item, COUNT(*) AS exact_cnt FROM it GROUP BY item),
+pr AS (SELECT c.item, c.exact_cnt, s.seed, {h} % {CMS_W} AS bucket
+       FROM c CROSS JOIN (VALUES {seeds}) AS s(seed)),
+cells AS (SELECT seed, bucket, CAST(SUM(exact_cnt) AS BIGINT) AS cell_cnt
+          FROM pr GROUP BY 1, 2),
+e AS (SELECT pr.item, pr.exact_cnt, MIN(cells.cell_cnt) AS est_cnt
+      FROM pr JOIN cells USING (seed, bucket) GROUP BY 1, 2),
+t AS (SELECT CAST(SUM(exact_cnt) AS BIGINT) AS total FROM c)
+SELECT e.item, e.exact_cnt, e.est_cnt,
+       e.est_cnt >= (t.total + {CMS_HH_DIVISOR - 1}) // {CMS_HH_DIVISOR}
+           AS is_heavy,
+       e.exact_cnt >= (t.total + {CMS_HH_DIVISOR - 1}) // {CMS_HH_DIVISOR}
+           AS is_true_heavy,
+       e.est_cnt >= e.exact_cnt AS never_underestimates
+FROM e, t
+"""
+
+
+# ---------------------------------------------------------------------------
 # windowed event aggregation (batch form; streaming variant in streaming/)
 # ---------------------------------------------------------------------------
 
@@ -1491,6 +1646,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x51_random_projection": x51_random_projection,
     "x41_semantic_dedup": x41_semantic_dedup,
     "x28_stable_row_ids": x28_stable_row_ids,
+    "x53_cms_heavy_hitters": x53_cms_heavy_hitters,
+    "st09_streaming_sketch_merge": st09_streaming_sketch_merge,
 }
 
 EXT_ORACLE: dict[str, str] = {
@@ -1528,4 +1685,9 @@ EXT_ORACLE: dict[str, str] = {
     # pinned in tests against exact aggregates / numpy
     "x21_approx_sketches": _X21_SQL,
     "x22_kmeans_clusters": _X22_SQL,
+    # x53/st09's estimates are EXACTLY reproducible (shared md5 cells),
+    # so unlike x21 the sketch values themselves are hash-compared;
+    # st09's oracle is x53's SQL — merged sketch ≡ one-shot sketch
+    "x53_cms_heavy_hitters": _x53_sql(),
+    "st09_streaming_sketch_merge": _x53_sql(),
 }

@@ -178,6 +178,14 @@ _SUITE_PARTS: dict[str, list[str]] = {
         "x27_quantize_embeddings",
         "x51_random_projection",
     ],
+    # sketch family: HLL/quantile bounded-error contracts + count-min
+    # heavy hitters (exact-reproducible cells) + the streaming sketch
+    # merge proving CMS linearity (st09's oracle is x53's batch SQL)
+    "x21_sketch_suite": [
+        "x21_approx_sketches",
+        "x53_cms_heavy_hitters",
+        "st09_streaming_sketch_merge",
+    ],
     # watermarked stream-stream interval joins: inner + left-outer
     # (outer exercises state EVICTION — a result that exists only
     # because no future match is possible)

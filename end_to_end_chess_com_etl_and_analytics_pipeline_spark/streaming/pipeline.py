@@ -562,6 +562,53 @@ def streaming_archive_ingest(
             spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+def streaming_sketch_merge(
+    spark: SparkSession,
+    batch_dir: str,
+    cells_path: str,
+    checkpoint_dir: str,
+) -> None:
+    """Incremental count-min-sketch maintenance: a file-source stream of
+    (item) rows; each micro-batch builds its own D×W cell table from raw
+    rows in ``foreachBatch`` (one pass, map-side-bounded — see
+    operators/sketch.py) and APPENDS it to ``cells_path``.  The running
+    sketch is the cellwise sum of every appended batch sketch.
+
+    This is the streaming half of the CMS linearity property:
+    sketch(∪ batches) = Σ_cells sketch(batch), so frequency monitoring
+    over an unbounded stream keeps exactly D·W integers of state and
+    never reprocesses history.  The checkpoint gives exactly-once per
+    arriving file; the reader merges with one ≤D·W-row aggregation."""
+    from ..operators.sketch import cms_cells
+
+    schema = spark.read.parquet(batch_dir).schema  # footer probe
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(batch_dir)
+    )
+
+    def append_cells(batch_df: DataFrame, batch_id: int) -> None:
+        cms_cells(batch_df).write.mode("append").parquet(cells_path)
+
+    # batch-scoped shuffle width (see run_incremental_gold)
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        (
+            stream.writeStream.foreachBatch(append_cells)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, table_name: str, output_mode: str = "complete"
 ) -> None:

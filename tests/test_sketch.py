@@ -1,0 +1,158 @@
+"""Count-min sketch tests: python-reference hash pinning, the CMS
+no-underestimate guarantee under forced collisions, linearity
+(mergeability), and the x53 derived-skew fixture's separation."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from end_to_end_chess_com_etl_and_analytics_pipeline_spark.operators.sketch import (
+    CMS_SEEDS,
+    CMS_W,
+    cms_cells,
+    cms_estimate,
+)
+
+from tests.conftest import SF_DIR
+
+
+def _ref_bucket(item: str, seed: int, w: int) -> int:
+    """Independent python reference of the shared md5 cell contract."""
+    h = int(hashlib.md5(f"{seed}|{item}".encode()).hexdigest()[:15], 16)
+    return h % w
+
+
+def _ref_cells(items: list[str], w: int) -> dict[tuple[int, int], int]:
+    cells: dict[tuple[int, int], int] = {}
+    for it in items:
+        for s in CMS_SEEDS:
+            key = (s, _ref_bucket(it, s, w))
+            cells[key] = cells.get(key, 0) + 1
+    return cells
+
+
+def test_cells_match_python_reference(spark):
+    items = [f"key{i}" for i in range(40)] + ["hot"] * 25
+    df = spark.createDataFrame([(s,) for s in items], "item string")
+    got = {
+        (r["seed"], r["bucket"]): r["cell_cnt"]
+        for r in cms_cells(df).collect()
+    }
+    assert got == _ref_cells(items, CMS_W)
+
+
+def test_estimate_never_underestimates_under_forced_collisions(spark):
+    # W=4: 30 distinct keys in 4 buckets — every cell is a pile-up, so
+    # est > exact for most keys; the CMS guarantee is est >= exact.
+    w = 4
+    items = [f"k{i}" for i in range(30) for _ in range(i % 5 + 1)]
+    df = spark.createDataFrame([(s,) for s in items], "item string")
+    exact = df.groupBy("item").agg(F.count("*").alias("exact_cnt"))
+    cells = cms_cells(df, w=w)
+    est = cms_estimate(exact, cells, w=w).collect()
+    assert len(est) == 30
+    assert all(r["est_cnt"] >= r["exact_cnt"] for r in est)
+    # the collision regime must actually be exercised
+    assert any(r["est_cnt"] > r["exact_cnt"] for r in est)
+    # and est is exactly min over the key's D reference cells
+    ref = {}
+    for it in items:
+        ref[it] = ref.get(it, 0) + 1
+    ref_cells: dict[tuple[int, int], int] = {}
+    for it, cnt in ref.items():
+        for s in CMS_SEEDS:
+            key = (s, _ref_bucket(it, s, w))
+            ref_cells[key] = ref_cells.get(key, 0) + cnt
+    for r in est:
+        want = min(
+            ref_cells[(s, _ref_bucket(r["item"], s, w))] for s in CMS_SEEDS
+        )
+        assert r["est_cnt"] == want
+
+
+def test_sketch_is_linear_in_the_input(spark):
+    # sketch(A ∪ B) == cellwise-sum(sketch(A), sketch(B)) — the property
+    # st09's append-merge relies on
+    a = spark.createDataFrame([(f"a{i % 7}",) for i in range(50)], "item string")
+    b = spark.createDataFrame([(f"b{i % 5}",) for i in range(30)], "item string")
+    merged = (
+        cms_cells(a)
+        .unionByName(cms_cells(b))
+        .groupBy("seed", "bucket")
+        .agg(F.sum("cell_cnt").alias("cell_cnt"))
+    )
+    whole = cms_cells(a.unionByName(b))
+    got = {(r["seed"], r["bucket"]): r["cell_cnt"] for r in merged.collect()}
+    want = {(r["seed"], r["bucket"]): r["cell_cnt"] for r in whole.collect()}
+    assert got == want
+
+
+def test_weighted_build_equals_row_build(spark):
+    # batch form (from pre-aggregated counts) ≡ streaming form (raw rows)
+    rows = [(f"k{i % 9}",) for i in range(60)]
+    df = spark.createDataFrame(rows, "item string")
+    counts = df.groupBy("item").agg(F.count("*").alias("cnt"))
+    from_rows = {
+        (r["seed"], r["bucket"]): r["cell_cnt"] for r in cms_cells(df).collect()
+    }
+    from_counts = {
+        (r["seed"], r["bucket"]): r["cell_cnt"]
+        for r in cms_cells(counts, weight="cnt").collect()
+    }
+    assert from_rows == from_counts
+
+
+def test_x53_invariants_and_hot_items(spark):
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans.extensions import (
+        x53_cms_heavy_hitters,
+    )
+
+    out = x53_cms_heavy_hitters(spark, SF_DIR).collect()
+    assert all(r["never_underestimates"] for r in out)
+    # no false NEGATIVES ever: every true heavy hitter is flagged
+    assert all(r["is_heavy"] for r in out if r["is_true_heavy"])
+    # the two derived hot items carry the top-2 exact counts and are
+    # flagged heavy at every sf
+    by_cnt = sorted(out, key=lambda r: -r["exact_cnt"])
+    assert sorted(r["item"] for r in by_cnt[:2]) == [0, 1]
+    assert all(r["is_heavy"] for r in by_cnt[:2])
+
+
+def test_x53_separation_at_sf001(spark):
+    """At sf0.01+ (150+ users) the uniform items sit well under N/100,
+    so the heavy set is EXACTLY the two derived hot items.  (At sf0.001
+    there are only 15 users — every item clears 1% — so separation is a
+    scale-dependent property pinned against the sf0.01 fixture.)"""
+    import os
+
+    import pytest
+
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans.extensions import (
+        x53_cms_heavy_hitters,
+    )
+
+    sf01 = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf01):
+        pytest.skip("sf0.01 fixture not present")
+    out = x53_cms_heavy_hitters(spark, sf01).collect()
+    assert sorted(r["item"] for r in out if r["is_heavy"]) == [0, 1]
+    assert sorted(r["item"] for r in out if r["is_true_heavy"]) == [0, 1]
+
+
+def test_st09_merge_equals_batch_sketch(spark):
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans.extensions import (
+        st09_streaming_sketch_merge,
+        x53_cms_heavy_hitters,
+    )
+
+    batch = {
+        r["item"]: (r["exact_cnt"], r["est_cnt"])
+        for r in x53_cms_heavy_hitters(spark, SF_DIR).collect()
+    }
+    streamed = {
+        r["item"]: (r["exact_cnt"], r["est_cnt"])
+        for r in st09_streaming_sketch_merge(spark, SF_DIR).collect()
+    }
+    assert batch == streamed
