@@ -1142,6 +1142,126 @@ FROM orders
 """
 
 
+# ---------------------------------------------------------------------------
+# x54: z-order layout (operators/layout.py)
+# ---------------------------------------------------------------------------
+
+# the pruning probe: an axis-aligned box predicate on the 256×256 grid,
+# 16 cells wide per dimension and deliberately NOT tile-aligned (90 is
+# mid-tile), so the z-layout verdict exercises partial tile overlap
+ZBOX_LO = 90
+ZBOX_HI = 105
+
+
+def x54_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order vs linear layout, as checkable per-file stats: lineitem's
+    (l_partkey, l_suppkey) keys are mapped onto a 256×256 grid, files
+    are modeled as fixed-width z-ranges (z >> 8: aligned 16×16 Morton
+    tiles) for the z layout and as partkey slabs for the linear layout,
+    and each file row carries exactly what parquet footers would — the
+    min/max of BOTH dimensions — plus the verdict of a 2-D box
+    predicate against those stats.
+
+    The point the output makes: z-order files are small rectangles, so
+    the box touches ~4 of 256; linear files span the full second
+    dimension, so the same box touches every slab the first dimension
+    admits (~16) and a second-dimension-only predicate touches ALL of
+    them.  The real write path (range-partition by z, in-partition
+    sort) is ``operators/layout.py::write_zordered``, whose footer
+    stats are pinned by tests/test_layout.py; this query is its
+    deterministic fixed-boundary twin, exact in both engines (integer
+    div + shift/mask only).
+
+    Shape at 100 TB: ONE corpus-grain shuffle (groupBy to the ≤ 2^16
+    occupied grid cells); both layouts' file stats derive from the tiny
+    cell table.  The z-value itself is a zero-shuffle codegen
+    projection."""
+    from ..operators.layout import Z_BITS, grid_bucket_expr, interleave_bits
+
+    li = (
+        load_table(spark, "lineitem", sf_dir)
+        .select("l_partkey", "l_suppkey")
+        .where(F.col("l_partkey").isNotNull() & F.col("l_suppkey").isNotNull())
+    )
+    mm = li.agg(
+        F.min("l_partkey").alias("__amin"),
+        F.max("l_partkey").alias("__amax"),
+        F.min("l_suppkey").alias("__bmin"),
+        F.max("l_suppkey").alias("__bmax"),
+    )
+    cell = (
+        li.crossJoin(F.broadcast(mm))
+        .select(
+            grid_bucket_expr("l_partkey", "__amin", "__amax").alias("pk_b"),
+            grid_bucket_expr("l_suppkey", "__bmin", "__bmax").alias("sk_b"),
+        )
+        .groupBy("pk_b", "sk_b")
+        .agg(F.count("*").alias("n"))
+        # cell feeds both layouts' stats; pin the ≤2^16-row table so
+        # the corpus scan + shuffle runs once
+        .localCheckpoint()
+    )
+    stats = [
+        F.sum("n").alias("n_rows"),
+        F.min("pk_b").alias("d1_min"),
+        F.max("pk_b").alias("d1_max"),
+        F.min("sk_b").alias("d2_min"),
+        F.max("sk_b").alias("d2_max"),
+    ]
+    zs = (
+        cell.withColumn(
+            "file_id",
+            F.shiftright(interleave_bits(F.col("pk_b"), F.col("sk_b")), Z_BITS),
+        )
+        .groupBy("file_id")
+        .agg(*stats)
+        .select(F.lit("zorder").alias("layout"), "*")
+    )
+    ls = (
+        cell.groupBy(F.col("pk_b").alias("file_id"))
+        .agg(*stats)
+        .select(F.lit("linear").alias("layout"), "*")
+    )
+    touched = (
+        (F.col("d1_min") <= ZBOX_HI)
+        & (F.col("d1_max") >= ZBOX_LO)
+        & (F.col("d2_min") <= ZBOX_HI)
+        & (F.col("d2_max") >= ZBOX_LO)
+    )
+    return zs.unionByName(ls).withColumn("touched", touched)
+
+
+def _x54_sql() -> str:
+    from ..operators.layout import Z_BITS, grid_bucket_sql, interleave_bits_sql
+
+    return f"""
+WITH k AS (SELECT l_partkey AS a, l_suppkey AS b FROM lineitem
+           WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL),
+mm AS (SELECT MIN(a) AS amin, MAX(a) AS amax,
+              MIN(b) AS bmin, MAX(b) AS bmax FROM k),
+g AS (SELECT {grid_bucket_sql('a', 'amin', 'amax')} AS pk_b,
+             {grid_bucket_sql('b', 'bmin', 'bmax')} AS sk_b
+      FROM k, mm),
+cell AS (SELECT pk_b, sk_b, COUNT(*) AS n FROM g GROUP BY 1, 2),
+zs AS (SELECT 'zorder' AS layout,
+              {interleave_bits_sql('pk_b', 'sk_b')} >> {Z_BITS} AS file_id,
+              CAST(SUM(n) AS BIGINT) AS n_rows,
+              MIN(pk_b) AS d1_min, MAX(pk_b) AS d1_max,
+              MIN(sk_b) AS d2_min, MAX(sk_b) AS d2_max
+       FROM cell GROUP BY 2),
+ls AS (SELECT 'linear' AS layout, pk_b AS file_id,
+              CAST(SUM(n) AS BIGINT) AS n_rows,
+              MIN(pk_b) AS d1_min, MAX(pk_b) AS d1_max,
+              MIN(sk_b) AS d2_min, MAX(sk_b) AS d2_max
+       FROM cell GROUP BY 2),
+u AS (SELECT * FROM zs UNION ALL SELECT * FROM ls)
+SELECT layout, file_id, n_rows, d1_min, d1_max, d2_min, d2_max,
+       (d1_min <= {ZBOX_HI} AND d1_max >= {ZBOX_LO}
+        AND d2_min <= {ZBOX_HI} AND d2_max >= {ZBOX_LO}) AS touched
+FROM u
+"""
+
+
 def x21_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based approximate aggregates — the 100 TB path where exact
     DISTINCT/median would shuffle the world: HyperLogLog++ distinct
@@ -1648,6 +1768,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x28_stable_row_ids": x28_stable_row_ids,
     "x53_cms_heavy_hitters": x53_cms_heavy_hitters,
     "st09_streaming_sketch_merge": st09_streaming_sketch_merge,
+    "x54_zorder_layout": x54_zorder_layout,
 }
 
 EXT_ORACLE: dict[str, str] = {
@@ -1690,4 +1811,5 @@ EXT_ORACLE: dict[str, str] = {
     # st09's oracle is x53's SQL — merged sketch ≡ one-shot sketch
     "x53_cms_heavy_hitters": _x53_sql(),
     "st09_streaming_sketch_merge": _x53_sql(),
+    "x54_zorder_layout": _x54_sql(),
 }

@@ -186,6 +186,13 @@ _SUITE_PARTS: dict[str, list[str]] = {
         "x53_cms_heavy_hitters",
         "st09_streaming_sketch_merge",
     ],
+    # table-ops family: column profiling (the stats pruning reads) +
+    # z-order layout (the clustering that makes those stats selective
+    # on every dimension)
+    "x23_table_ops_suite": [
+        "x23_profile",
+        "x54_zorder_layout",
+    ],
     # watermarked stream-stream interval joins: inner + left-outer
     # (outer exercises state EVICTION — a result that exists only
     # because no future match is possible)

@@ -66,6 +66,8 @@ HEADLINE = [
     ("x50_source_similarity", "distinct (source,shingle) hash-agg pinned once for three consumers; shingle-keyed self-join (co-occurrence-bounded, AQE-skew-split) + two broadcast size joins"),
     ("x51_random_projection", "constant ±1 sign matrix embedded as literals; zero-shuffle scan-local fixed-dim fold — no hashing, no exchange beyond the undersplit-scan spread"),
     ("x52_source_calibration", "one source-keyed window exchange for pct_in_source; the corpus-wide percent_rank runs over the already-collapsed (doc_id, quality) projection"),
+    ("x53_cms_heavy_hitters", "counts pinned once (checkpoint); sketch cells = one <=D*W-row hash-agg; probe joins the broadcast 24 KiB cell table; total = one-row broadcast nested loop"),
+    ("x54_zorder_layout", "ONE corpus-grain shuffle to <=2^16 grid cells (checkpointed); both layouts' file stats are tiny hash-aggs over the cell table; z-value is zero-shuffle shift/mask codegen"),
 ]
 
 
