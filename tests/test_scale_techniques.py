@@ -129,6 +129,64 @@ def test_longest_prefix_match_never_shuffles_text_as_key(spark, prefix_fixture):
             assert "text#" not in key_spec, line
 
 
+def test_runtime_bloom_filter_prunes_probe_side(spark, tmp_path):
+    """The 100 TB pre-shuffle pruning lever: when a join's build side is
+    selectively filtered, Catalyst can inject a bloom filter of the
+    surviving keys into the PROBE side's scan, dropping non-matching
+    rows before they are shuffled (`spark.sql.optimizer.runtime.
+    bloomFilter.enabled`).  Local fixtures sit under the default
+    size thresholds, so the thresholds are scoped down to prove the
+    rewrite fires and preserves semantics."""
+    import os
+
+    big = spark.range(200_000).select(
+        F.col("id").alias("k"), (F.col("id") % 997).alias("v")
+    )
+    dim = spark.range(20_000).select(
+        F.col("id").alias("k"), (F.col("id") % 100).alias("flag")
+    )
+    big.write.parquet(os.path.join(str(tmp_path), "big"))
+    dim.write.parquet(os.path.join(str(tmp_path), "dim"))
+    scoped = {
+        # force the shuffle-join path and allow tiny-table injection
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    prev = {k: spark.conf.get(k, None) for k in scoped}
+    try:
+        for k, v in scoped.items():
+            spark.conf.set(k, v)
+        b = spark.read.parquet(os.path.join(str(tmp_path), "big"))
+        dm = spark.read.parquet(os.path.join(str(tmp_path), "dim")).where(
+            F.col("flag") == 3  # 1% of dim keys survive
+        )
+        j = b.join(dm, "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        # the probe side carries a runtime might_contain(bloom) filter
+        assert "might_contain" in plan, plan
+        assert j.count() == 200
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    # semantics identical with the rewrite off
+    plain = (
+        spark.read.parquet(os.path.join(str(tmp_path), "big"))
+        .join(
+            spark.read.parquet(os.path.join(str(tmp_path), "dim")).where(
+                F.col("flag") == 3
+            ),
+            "k",
+        )
+        .count()
+    )
+    assert plain == 200
+
+
 def test_bucketed_join_elides_shuffle(spark, tmp_path):
     """Two tables bucketed on the join key must sort-merge join with no
     Exchange on either side (bucket-pruned co-located join)."""
