@@ -69,6 +69,8 @@ HEADLINE = [
     "x39_vocab_coverage",
     "x46_source_quota",
     "x50_source_similarity",
+    "x53_cms_heavy_hitters",
+    "x54_zorder_layout",
     "q14_rollup",
     "q22_cube",
     "q25_scd2",

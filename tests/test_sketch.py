@@ -141,6 +141,48 @@ def test_x53_separation_at_sf001(spark):
     assert sorted(r["item"] for r in out if r["is_true_heavy"]) == [0, 1]
 
 
+def test_cms_estimate_property_random_multisets(spark):
+    """Differential property (hypothesis): for arbitrary small-alphabet
+    multisets and a tiny W forcing collisions, the Spark estimate
+    equals the python-reference min over the item's D cells — and
+    therefore never underestimates."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=8, deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        items=st.lists(
+            st.sampled_from([f"t{i}" for i in range(12)]),
+            min_size=1, max_size=40,
+        )
+    )
+    def check(items):
+        w = 8
+        df = spark.createDataFrame([(s,) for s in items], "item string")
+        exact: dict[str, int] = {}
+        for it in items:
+            exact[it] = exact.get(it, 0) + 1
+        ref_cells: dict[tuple[int, int], int] = {}
+        for it, cnt in exact.items():
+            for s in CMS_SEEDS:
+                key = (s, _ref_bucket(it, s, w))
+                ref_cells[key] = ref_cells.get(key, 0) + cnt
+        cand = df.groupBy("item").agg(F.count("*").alias("exact_cnt"))
+        got = cms_estimate(cand, cms_cells(df, w=w), w=w).collect()
+        assert len(got) == len(exact)
+        for r in got:
+            want = min(
+                ref_cells[(s, _ref_bucket(r["item"], s, w))]
+                for s in CMS_SEEDS
+            )
+            assert r["est_cnt"] == want >= exact[r["item"]]
+
+    check()
+
+
 def test_st09_merge_equals_batch_sketch(spark):
     from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans.extensions import (
         st09_streaming_sketch_merge,

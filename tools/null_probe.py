@@ -66,6 +66,11 @@ def build_fixture() -> str:
         e["value"][i] = None
     for i in range(5, m, 13):
         e["event_type"][i] = None
+    # round-5: NULL event keys — x53's item derivation must exclude
+    # them (CONTRACTS.md), and the window/join family must agree with
+    # the oracle on NULL-key grouping
+    for i in range(7, m, 17):
+        e["user_id"][i] = None
     pq.write_table(pa.table(e), os.path.join(DST, "events.parquet"))
     v = pq.read_table(os.path.join(SRC, "embeddings.parquet")).to_pydict()
     k = len(v["vec_id"])

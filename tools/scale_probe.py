@@ -22,8 +22,8 @@ from scratch — TESTDATA.md is the source of truth for shape):
 
 Usage::
 
-    python tools/scale_probe.py [N] [out_dir]
-    # default N=10, out_dir=/tmp/spark_graft_scale_sf1
+    python tools/scale_probe.py [N] [out_dir] [probe ...]
+    # default N=10, out_dir=/tmp/spark_graft_scale_sf1, all PROBES
 
 Interpretation notes printed with the table: operators whose OUTPUT is
 pair-shaped (x03/x14 LSH near-dup) are expected to grow faster than
@@ -156,6 +156,8 @@ PROBES = [
     "x48_script_mix",
     "x49_zipf_fit",
     "x50_source_similarity",
+    "x53_cms_heavy_hitters",
+    "x54_zorder_layout",
 ]
 
 # operators whose result is pair/fan-out shaped: their cost tracks
@@ -182,8 +184,9 @@ def main() -> int:
         "overwrite"
     ).save()
 
+    wanted = sys.argv[3:] or PROBES
     results = {}
-    for name in PROBES:
+    for name in wanted:
         fn = suites.FULL_QUERIES[name]
         row = {}
         for label, sf_dir in (("base", SRC), (f"x{n}", out_dir)):
