@@ -941,6 +941,28 @@ FROM keyed ORDER BY k ASC, doc_id ASC LIMIT {WS_K}
 SRC_SHINGLE_N = 3
 
 
+def _source_shingles(docs: DataFrame) -> DataFrame:
+    """Checkpointed DISTINCT (source, shingle) over the corpus — the
+    shared source-grain kernel of x50 (exact Jaccard) and x55 (KMV
+    sketch).  Shingle construction uses the shifted-slice + zip_with
+    form (x45's measured 20x lesson: no per-element interpreted
+    array_join); the checkpoint pins the post-distinct set so every
+    consumer reads the collapsed table, not the corpus."""
+    toks = tokens(casefold(F.coalesce(F.col("text"), F.lit(""))))
+    t2 = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+    g2 = F.zip_with(toks, t2, lambda a, b: F.concat(a, F.lit(" "), b))
+    t3 = F.slice(toks, 3, F.greatest(F.size(toks) - 2, F.lit(0)))
+    g3 = F.filter(
+        F.zip_with(g2, t3, lambda a, b: F.concat(a, F.lit(" "), b)),
+        lambda x: x.isNotNull(),
+    )
+    return (
+        docs.select("source", F.explode(g3).alias("shingle"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+
 def x50_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact pairwise source-level Jaccard over distinct token
     3-shingles — "which crawls/dumps overlap, and how much" at the
@@ -957,26 +979,10 @@ def x50_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the skew risk; AQE skew-join handles them, same as the LSH band
     joins."""
     docs = load_table(spark, "documents", sf_dir)
-    toks = tokens(casefold(F.coalesce(F.col("text"), F.lit(""))))
-    t2 = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
-    g2 = F.zip_with(
-        toks, t2, lambda a, b: F.concat(a, F.lit(" "), b)
-    )  # trailing position pairs with NULL -> concat NULL, filtered below
-    t3 = F.slice(toks, 3, F.greatest(F.size(toks) - 2, F.lit(0)))
-    g3 = F.filter(
-        F.zip_with(g2, t3, lambda a, b: F.concat(a, F.lit(" "), b)),
-        lambda x: x.isNotNull(),
-    )
-    # localCheckpoint: sh feeds THREE consumers (both join sides and the
-    # size agg) — without pinning, the corpus shingle-explode pass runs
-    # three times (measured: 14 exchanges → 6).  Same pattern as
-    # quality.token_counts; the pinned table is the post-distinct
-    # (source, shingle) set, already collapsed from the corpus.
-    sh = (
-        docs.select("source", F.explode(g3).alias("shingle"))
-        .distinct()
-        .localCheckpoint()
-    )
+    # checkpointed kernel: sh feeds THREE consumers (both join sides and
+    # the size agg) — without pinning, the corpus shingle-explode pass
+    # runs three times (measured: 14 exchanges → 6)
+    sh = _source_shingles(docs)
     sizes = sh.groupBy("source").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -1034,6 +1040,123 @@ SELECT i.source_a, i.source_b,
 FROM inter i
 JOIN sizes sa ON i.source_a = sa.source
 JOIN sizes sb ON i.source_b = sb.source
+"""
+
+
+# --- x55: KMV sketch source overlap ------------------------------------------
+# K-minimum-values (bottom-k / theta) sketch: keep the K smallest hash
+# values per source.  K is the sketch's whole memory footprint, so the
+# cross-source comparison cost is O(sources² · K) — independent of
+# corpus size — where x50's exact form pays a shingle-keyed self-join.
+KMV_K = 128
+
+
+def x55_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV-sketch source-overlap estimation — the sketch companion to
+    x50's exact source-pair Jaccard (Apache-DataSketches-style theta
+    sketch; Bar-Yossef et al. 2002, Beyer et al. 2007).  Per source,
+    keep the K smallest 60-bit md5 hashes of its distinct shingles;
+    for a pair (A, B), the K smallest of the union are an unbiased
+    sample of A ∪ B, and the fraction of them present in BOTH sketches
+    estimates |A∩B| / |A∪B| with ~1/√K error.
+
+    The hash order is the shared md5 contract, so the sketches — and
+    therefore the estimates — are DETERMINISTIC and hash-compared
+    exactly against the oracle (the accuracy-vs-x50 bound is pinned in
+    tests/test_sketch.py, where the exact join is affordable).
+
+    Shape at 100 TB: the corpus-grain work is the same one distinct
+    (source, shingle) hash-agg x50 pays; everything after is sketch-
+    sized — one source-keyed window over it (per-source top-K by hash)
+    collapses each source to K rows, and the pair stage touches only
+    S·K rows (model-artifact-sized BY CONSTRUCTION, at any corpus
+    size), so its broadcast pair join never grows."""
+    docs = load_table(spark, "documents", sf_dir)
+    sh = _source_shingles(docs).where(F.col("source").isNotNull())
+    hashed = sh.select("source", md5_long(F.col("shingle")).alias("h"))
+    w = Window.partitionBy("source").orderBy(F.asc("h"))
+    kmv = (
+        hashed.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= KMV_K)
+        .select("source", "h")
+        # sketch feeds the pair table and both membership sides
+        .localCheckpoint()
+    )
+    srcs = kmv.select("source").distinct()
+    pairs = (
+        srcs.select(F.col("source").alias("source_a"))
+        .crossJoin(srcs.select(F.col("source").alias("source_b")))
+        .where(F.col("source_a") < F.col("source_b"))
+    )
+    # membership per (pair, hash): kmv is S·K rows → broadcast; the
+    # IN-pair predicate compiles to a broadcast nested loop over two
+    # constant-sized frames (this is sketch algebra, not corpus work)
+    mem = (
+        pairs.join(
+            F.broadcast(kmv),
+            (F.col("source") == F.col("source_a"))
+            | (F.col("source") == F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b", "h")
+        .agg(
+            F.max((F.col("source") == F.col("source_a")).cast("int")).alias(
+                "in_a"
+            ),
+            F.max((F.col("source") == F.col("source_b")).cast("int")).alias(
+                "in_b"
+            ),
+        )
+    )
+    pw = Window.partitionBy("source_a", "source_b").orderBy(F.asc("h"))
+    top = mem.withColumn("__r", F.row_number().over(pw)).where(
+        F.col("__r") <= KMV_K
+    )
+    return top.groupBy("source_a", "source_b").agg(
+        F.count("*").cast("bigint").alias("k_used"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("matches"),
+        round_fixed(
+            F.sum(F.col("in_a") * F.col("in_b")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("est_jaccard"),
+    )
+
+
+def _x55_sql() -> str:
+    from ..functions.text import CASEFOLD_SQL, TOKS_SQL
+    from ..plans.quality import _ngrams_sql
+
+    tk = TOKS_SQL.format(c=CASEFOLD_SQL.format(c="coalesce(text, '')"))
+    h = md5_long_sql("shingle")
+    return f"""
+WITH toks AS (SELECT source, {tk} AS w FROM documents),
+sh AS (
+    SELECT DISTINCT source, unnest({_ngrams_sql(SRC_SHINGLE_N)}) AS shingle
+    FROM toks WHERE source IS NOT NULL),
+hashed AS (SELECT source, {h} AS h FROM sh),
+kmv AS (SELECT source, h FROM (
+            SELECT source, h,
+                   ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS r
+            FROM hashed) WHERE r <= {KMV_K}),
+srcs AS (SELECT DISTINCT source FROM kmv),
+pairs AS (SELECT a.source AS source_a, b.source AS source_b
+          FROM srcs a JOIN srcs b ON a.source < b.source),
+mem AS (SELECT p.source_a, p.source_b, k.h,
+               MAX(CASE WHEN k.source = p.source_a THEN 1 ELSE 0 END) AS in_a,
+               MAX(CASE WHEN k.source = p.source_b THEN 1 ELSE 0 END) AS in_b
+        FROM pairs p JOIN kmv k
+          ON k.source = p.source_a OR k.source = p.source_b
+        GROUP BY 1, 2, 3),
+top AS (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY source_a, source_b ORDER BY h) AS r
+        FROM mem)
+SELECT source_a, source_b,
+       CAST(COUNT(*) AS BIGINT) AS k_used,
+       CAST(SUM(in_a * in_b) AS BIGINT) AS matches,
+       {round_fixed_sql("CAST(SUM(in_a * in_b) AS DOUBLE) / COUNT(*)", 6)}
+           AS est_jaccard
+FROM top WHERE r <= {KMV_K}
+GROUP BY 1, 2
 """
 
 
@@ -1106,6 +1229,7 @@ SELECTION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x47_weighted_sample": x47_weighted_sample,
     "x50_source_similarity": x50_source_similarity,
     "x52_source_calibration": x52_source_calibration,
+    "x55_kmv_source_overlap": x55_kmv_source_overlap,
 }
 
 SELECTION_ORACLE: dict[str, str] = {
@@ -1123,4 +1247,5 @@ SELECTION_ORACLE: dict[str, str] = {
     "x47_weighted_sample": _x47_sql(),
     "x50_source_similarity": _x50_sql(),
     "x52_source_calibration": _x52_sql(),
+    "x55_kmv_source_overlap": _x55_sql(),
 }

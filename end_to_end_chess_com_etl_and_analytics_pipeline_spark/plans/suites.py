@@ -185,6 +185,7 @@ _SUITE_PARTS: dict[str, list[str]] = {
         "x21_approx_sketches",
         "x53_cms_heavy_hitters",
         "st09_streaming_sketch_merge",
+        "x55_kmv_source_overlap",
     ],
     # table-ops family: column profiling (the stats pruning reads) +
     # z-order layout (the clustering that makes those stats selective

@@ -47,6 +47,8 @@ def empty_dir(tmp_path_factory):
 # fixed-shape outputs: rows exist per SCHEMA element, not per data row
 _FIXED_SHAPE_MAX = {
     "x23_profile": 4,  # one row per profiled column, even over 0 rows
+    # the table-ops suite inherits x23's fixed per-column profile rows
+    "x23_table_ops_suite": 4,
     # the hygiene funnel reports one row per STAGE (rows_in=rows_out=0)
     # even over an empty corpus — an empty funnel table would hide
     # which gates ran; the suite inherits the funnel's 3 fixed rows

@@ -183,6 +183,83 @@ def test_cms_estimate_property_random_multisets(spark):
     check()
 
 
+def test_kmv_matches_python_reference(spark):
+    """The whole KMV pipeline (per-source bottom-K by md5, union
+    bottom-K per pair, both-membership count) against an independent
+    python implementation on a controlled two-source fixture."""
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans.selection import (
+        KMV_K,
+        x55_kmv_source_overlap,
+    )
+
+    # build docs so the (source, shingle) sets are known exactly:
+    # tokens are single words -> 3-shingles are word triples
+    words_a = [f"w{i}" for i in range(40)]
+    words_b = [f"w{i}" for i in range(20, 60)]  # half overlap
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(words_a), "en", "srcA", 0),
+            (2, " ".join(words_b), "en", "srcB", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="kmv_")
+    docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    got = {
+        (r["source_a"], r["source_b"]): (
+            r["k_used"],
+            r["matches"],
+            r["est_jaccard"],
+        )
+        for r in x55_kmv_source_overlap(spark, d).collect()
+    }
+
+    def shingles(ws):
+        return {
+            " ".join(ws[i : i + 3]) for i in range(len(ws) - 2)
+        }
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    sa = {h(s) for s in shingles(words_a)}
+    sb = {h(s) for s in shingles(words_b)}
+    ka, kb = set(sorted(sa)[:KMV_K]), set(sorted(sb)[:KMV_K])
+    union_k = sorted(ka | kb)[:KMV_K]
+    matches = sum(1 for x in union_k if x in ka and x in kb)
+    want = (len(union_k), matches, round(matches / len(union_k), 6))
+    assert got == {("srcA", "srcB"): want}
+
+
+def test_kmv_estimate_tracks_exact_jaccard(spark):
+    """Accuracy pin at fixture scale: the KMV estimate sits within the
+    ~1/sqrt(K) band of x50's exact source-pair Jaccard (the exact join
+    is affordable here; at corpus scale you'd have only the sketch)."""
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans.selection import (
+        KMV_K,
+        x50_source_similarity,
+        x55_kmv_source_overlap,
+    )
+
+    exact = {
+        (r["source_a"], r["source_b"]): r["jaccard"]
+        for r in x50_source_similarity(spark, SF_DIR).collect()
+    }
+    est = {
+        (r["source_a"], r["source_b"]): r["est_jaccard"]
+        for r in x55_kmv_source_overlap(spark, SF_DIR).collect()
+    }
+    # x50 emits only intersecting pairs; x55 emits all pairs
+    assert set(exact) <= set(est)
+    band = 3.0 / (KMV_K ** 0.5)  # ~3 sigma
+    for pair, e in est.items():
+        x = exact.get(pair, 0.0)
+        assert abs(e - x) <= band, (pair, e, x)
+
+
 def test_st09_merge_equals_batch_sketch(spark):
     from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans.extensions import (
         st09_streaming_sketch_merge,
