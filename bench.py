@@ -71,6 +71,7 @@ HEADLINE = [
     "x50_source_similarity",
     "x53_cms_heavy_hitters",
     "x54_zorder_layout",
+    "x55_kmv_source_overlap",
     "q14_rollup",
     "q22_cube",
     "q25_scd2",

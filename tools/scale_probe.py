@@ -158,6 +158,7 @@ PROBES = [
     "x50_source_similarity",
     "x53_cms_heavy_hitters",
     "x54_zorder_layout",
+    "x55_kmv_source_overlap",
 ]
 
 # operators whose result is pair/fan-out shaped: their cost tracks

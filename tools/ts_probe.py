@@ -1,0 +1,93 @@
+"""Timestamp-extremes differential sweep: oracle parity when event
+timestamps sit at the edges real logs produce — pre-epoch (negative
+epoch micros), far-future, exact epoch, and a leap-day boundary +1µs.
+
+The driver fixture's events live in one tame month, so floor-division
+window bucketing, session gap arithmetic, and as-of/range ordering are
+never exercised on negative or huge epoch values.  This tool derives a
+fixture with a block of extreme timestamps injected (a block, not lone
+rows, so windows/sessions/joins form GROUPS at the extremes rather
+than degenerate singletons) and runs the time-family queries through
+``tools/local_sweep``'s comparator against their oracles over the SAME
+files.
+
+The contract it pins (CONTRACTS.md "Timestamp extremes"): window
+bucketing is floor-div on epoch micros — exact for negative epochs in
+both engines — so the whole family agrees with the oracle with no
+special-casing.
+
+Usage:
+    python tools/ts_probe.py            # prints one status line/query
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import shutil
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SRC = "/root/testdata/sf0.001"
+DST = "/tmp/sf_ts_extremes"
+
+EXTREMES = [
+    dt.datetime(1969, 7, 20, 20, 17, 40),          # pre-epoch
+    dt.datetime(1901, 12, 13, 20, 45, 52),         # deep pre-epoch
+    dt.datetime(1970, 1, 1, 0, 0, 0),              # exact epoch
+    dt.datetime(2261, 1, 1, 0, 0, 0),              # far future
+    dt.datetime(2020, 2, 29, 0, 0, 0, 1),          # leap day + 1µs
+]
+
+# the queries that consume events.ts (fine-grained + their suites)
+TIME_FAMILY = [
+    "x09_tumbling_window",
+    "x10_sliding_window",
+    "x11_sessionize",
+    "x16_asof_join",
+    "x17_range_join",
+    "x09_time_windows",
+    "x16_temporal_joins",
+]
+
+
+def build_fixture() -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(DST, exist_ok=True)
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "documents embeddings"
+    ).split():
+        shutil.copy(
+            os.path.join(SRC, f"{t}.parquet"), os.path.join(DST, f"{t}.parquet")
+        )
+    e = pq.read_table(os.path.join(SRC, "events.parquet"))
+    d = e.to_pydict()
+    m = len(d["event_id"])
+    # a BLOCK per extreme (10 rows each, stride keeps user mix) so the
+    # extreme regions hold real groups
+    for j, ts in enumerate(EXTREMES):
+        for i in range(10):
+            idx = (j * 10 + i * 7) % m
+            d["ts"][idx] = ts + dt.timedelta(minutes=i * 7, seconds=j)
+    pq.write_table(
+        pa.table(d, schema=e.schema), os.path.join(DST, "events.parquet")
+    )
+    return DST
+
+
+def main() -> int:
+    build_fixture()
+    return subprocess.call(
+        [sys.executable, os.path.join(REPO, "tools", "local_sweep.py"), DST]
+        + TIME_FAMILY
+    )
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
