@@ -72,6 +72,8 @@ HEADLINE = [
     "x53_cms_heavy_hitters",
     "x54_zorder_layout",
     "x55_kmv_source_overlap",
+    "x56_native_session_window",
+    "x57_mergeable_rollup",
     "q14_rollup",
     "q22_cube",
     "q25_scd2",

@@ -1143,6 +1143,80 @@ FROM orders
 
 
 # ---------------------------------------------------------------------------
+# x57: mergeable rollup maintenance
+# ---------------------------------------------------------------------------
+
+# fixture-derivation mods (x44 SNAP_* pattern): event_id % 10 < 8 plays
+# the already-materialized history; the rest is the arriving batch.
+# NULL event_id (no identity) routes to the batch side so the split
+# covers every row.
+ROLLUP_OLD_MOD = 10
+ROLLUP_OLD_LIM = 8
+
+
+def x57_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Summary-table maintenance with mergeable aggregate STATE: the
+    per-(event_type, day) rollup is kept as (count, integer-micros sum,
+    min ts, max ts) — all associative — so folding a new batch in is
+    partial(batch) ⊎ materialized, a merge that touches only
+    rollup-grain rows.  Raw history is never re-read (it may already be
+    discarded): this is the summary-table pattern for metrics layers
+    where st04's partition-scoped merge (which retains facts) is too
+    heavy.
+
+    The query materializes the history partials and the batch partials
+    SEPARATELY (deterministic event_id split), merges them, and the
+    oracle recomputes the rollup from all rows in one pass — equality
+    IS the associativity proof, hash-checked.  Sums ride integer
+    micros (the x17 lesson) so partial-agg order can't move the hash;
+    non-finite values contribute NULL (skipped by SUM, both engines).
+
+    Shape at 100 TB: the merge input is two grain-bounded aggregate
+    tables (days × event types), not events — O(grain) regardless of
+    history length; each partial build is one map-side-combined
+    hash-agg over only ITS slice."""
+    ev = load_table(spark, "events", sf_dir)
+    v = F.col("value")
+    micros = F.when(
+        F.isnan(v) | (F.abs(v) == F.lit(float("inf"))), F.lit(None)
+    ).otherwise(F.round(v * 1000000, 0).cast("bigint"))
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+        ).agg(
+            F.count("*").alias("n"),
+            F.sum(micros).alias("s"),
+            F.min("ts").alias("mn"),
+            F.max("ts").alias("mx"),
+        )
+
+    is_old = F.col("event_id") % ROLLUP_OLD_MOD < ROLLUP_OLD_LIM
+    old = ev.where(is_old)
+    new = ev.where(F.col("event_id").isNull() | ~is_old)
+    merged = partial(old).unionByName(partial(new))
+    return merged.groupBy("event_type", "day").agg(
+        F.sum("n").alias("n_events"),
+        F.sum("s").alias("sum_value_micros"),
+        F.min("mn").alias("first_ts"),
+        F.max("mx").alias("last_ts"),
+    )
+
+
+_X57_SQL = """
+SELECT event_type,
+       -- DuckDB date_trunc('day', ts) is DATE; Spark's is TIMESTAMP
+       CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN isnan(value) OR isinf(value) THEN NULL
+                ELSE CAST(ROUND(value * 1000000, 0) AS BIGINT) END) AS BIGINT)
+           AS sum_value_micros,
+       MIN(ts) AS first_ts, MAX(ts) AS last_ts
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # x54: z-order layout (operators/layout.py)
 # ---------------------------------------------------------------------------
 
@@ -1513,6 +1587,59 @@ def x11_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(load_table(spark, "events", sf_dir), gap="30 minutes")
 
 
+def x56_native_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's NATIVE ``F.session_window`` — the
+    Catalyst session-window operator (one MergingSessionsExec pass over
+    a user_id exchange), beside x11's relational gaps-and-islands form.
+    Two implementations of the same concept, both oracle-verified; the
+    native one is what the streaming path uses under the hood.
+
+    Boundary semantics pinned empirically and encoded in the oracle: a
+    new session starts when the gap STRICTLY exceeds 30 minutes at
+    MICROSECOND precision (an event exactly gap-after its predecessor
+    merges), and ``window.end`` is last_event + gap (x11's
+    ``session_end`` is max(ts) — the two queries expose different
+    ends on purpose).  NULL ts rows carry no event time — excluded in
+    both engines."""
+    ev = load_table(spark, "events", sf_dir).where(F.col("ts").isNotNull())
+    sw = ev.groupBy("user_id", F.session_window("ts", "30 minutes")).agg(
+        F.count("*").alias("n_events")
+    )
+    return sw.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end_gap"),
+        "n_events",
+    )
+
+
+_X56_SQL = """
+WITH e AS (SELECT user_id, ts FROM events WHERE ts IS NOT NULL),
+lagged AS (
+    SELECT user_id, ts,
+           LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+    FROM e),
+flagged AS (
+    SELECT user_id, ts,
+           CASE WHEN prev_ts IS NULL
+                     OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                THEN 1 ELSE 0 END AS new_session
+    FROM lagged),
+numbered AS (
+    SELECT user_id, ts,
+           CAST(SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_seq
+    FROM flagged)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL '30 minutes' AS session_end_gap,
+       COUNT(*) AS n_events
+FROM numbered GROUP BY user_id, session_seq
+"""
+
+
 _X11_SQL = """
 WITH lagged AS (
     SELECT user_id, ts,
@@ -1769,6 +1896,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x53_cms_heavy_hitters": x53_cms_heavy_hitters,
     "st09_streaming_sketch_merge": st09_streaming_sketch_merge,
     "x54_zorder_layout": x54_zorder_layout,
+    "x56_native_session_window": x56_native_session_window,
+    "x57_mergeable_rollup": x57_mergeable_rollup,
 }
 
 EXT_ORACLE: dict[str, str] = {
@@ -1812,4 +1941,8 @@ EXT_ORACLE: dict[str, str] = {
     "x53_cms_heavy_hitters": _x53_sql(),
     "st09_streaming_sketch_merge": _x53_sql(),
     "x54_zorder_layout": _x54_sql(),
+    "x56_native_session_window": _X56_SQL,
+    # x57's oracle recomputes the rollup in ONE pass over all events;
+    # matching the two-part merged state proves associativity
+    "x57_mergeable_rollup": _X57_SQL,
 }

@@ -137,11 +137,14 @@ _SUITE_PARTS: dict[str, list[str]] = {
         "x48_script_mix",
         "x49_zipf_fit",
     ],
-    # tumbling + sliding time windows (x11 session stays separate as
-    # st02's batch oracle twin)
+    # tumbling + sliding time windows + native session windows (x11's
+    # gaps-and-islands session form stays separate as st02's batch
+    # oracle twin; x56 is the same concept through Catalyst's native
+    # session-window operator)
     "x09_time_windows": [
         "x09_tumbling_window",
         "x10_sliding_window",
+        "x56_native_session_window",
     ],
     # skew mitigation: two-phase hot-key count + salted join (one family)
     "x15_skew_suite": [
@@ -178,14 +181,17 @@ _SUITE_PARTS: dict[str, list[str]] = {
         "x27_quantize_embeddings",
         "x51_random_projection",
     ],
-    # sketch family: HLL/quantile bounded-error contracts + count-min
-    # heavy hitters (exact-reproducible cells) + the streaming sketch
-    # merge proving CMS linearity (st09's oracle is x53's batch SQL)
+    # mergeable-summary family: HLL/quantile bounded-error contracts,
+    # count-min heavy hitters (exact-reproducible cells), the streaming
+    # sketch merge proving CMS linearity (st09's oracle is x53's batch
+    # SQL), KMV source overlap, and mergeable rollup state (x57's
+    # oracle is the one-pass recompute — associativity, hash-checked)
     "x21_sketch_suite": [
         "x21_approx_sketches",
         "x53_cms_heavy_hitters",
         "st09_streaming_sketch_merge",
         "x55_kmv_source_overlap",
+        "x57_mergeable_rollup",
     ],
     # table-ops family: column profiling (the stats pruning reads) +
     # z-order layout (the clustering that makes those stats selective

@@ -260,6 +260,37 @@ def test_kmv_estimate_tracks_exact_jaccard(spark):
         assert abs(e - x) <= band, (pair, e, x)
 
 
+def test_x57_split_covers_null_event_ids(spark):
+    """The history/batch derivation split must be disjoint AND
+    exhaustive even when event_id is NULL (NULL % k is NULL, which is
+    neither < k nor >= k — an unguarded split silently drops the row
+    and the merged rollup undercounts vs the one-pass oracle)."""
+    import datetime as dt
+
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans.extensions import (
+        x57_mergeable_rollup,
+    )
+
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        (i if i % 4 else None, base + dt.timedelta(hours=i), 1, "click", 1.5, None)
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="x57_")
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = x57_mergeable_rollup(spark, d).collect()
+    assert sum(r["n_events"] for r in out) == 20  # nothing dropped
+    assert all(r["sum_value_micros"] == r["n_events"] * 1_500_000 for r in out)
+
+
 def test_st09_merge_equals_batch_sketch(spark):
     from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans.extensions import (
         st09_streaming_sketch_merge,

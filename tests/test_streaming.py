@@ -252,3 +252,44 @@ def test_multimodal_features_roundtrip(spark):
         assert r.payload_md5 == hashlib.md5(raw).hexdigest()
         assert r.head_hex == raw[:8].hex()
         assert r.media_type == "text/plain"
+
+
+def test_native_session_window_boundary_semantics(spark):
+    """Pin Spark's session_window boundary behaviour (encoded in x56's
+    oracle): a gap EXACTLY equal to 30 min merges (strictly-greater
+    starts a new session), at MICROSECOND precision, and window.end is
+    last_event + gap."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base), (1, base + dt.timedelta(seconds=1800)),
+        (2, base), (2, base + dt.timedelta(seconds=1799, microseconds=999999)),
+        (3, base), (3, base + dt.timedelta(seconds=1800, microseconds=1)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = (
+        df.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("s"),
+            F.col("session_window.end").alias("e"),
+            "n",
+        )
+    )
+    got = sorted((r["user_id"], r["s"], r["e"], r["n"]) for r in out.collect())
+    gap = dt.timedelta(minutes=30)
+    assert got == [
+        (1, base, base + dt.timedelta(seconds=1800) + gap, 2),
+        (2, base, base + dt.timedelta(seconds=1799, microseconds=999999) + gap, 2),
+        (3, base, base + gap, 1),
+        (
+            3,
+            base + dt.timedelta(seconds=1800, microseconds=1),
+            base + dt.timedelta(seconds=1800, microseconds=1) + gap,
+            1,
+        ),
+    ]

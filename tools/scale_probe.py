@@ -159,6 +159,8 @@ PROBES = [
     "x53_cms_heavy_hitters",
     "x54_zorder_layout",
     "x55_kmv_source_overlap",
+    "x56_native_session_window",
+    "x57_mergeable_rollup",
 ]
 
 # operators whose result is pair/fan-out shaped: their cost tracks
