@@ -50,7 +50,7 @@ from .analytics import (
     result_distribution,
     win_rate_by_opening,
 )
-from .extensions import _X09_SQL, _X11_SQL
+from .extensions import _X09_SQL, _X11_SQL, _X56_SQL
 from .gold import build_gold
 from .silver import bronze_to_silver
 
@@ -439,6 +439,49 @@ WHERE v.event_type = 'view'
 """
 
 
+def st10_streaming_native_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked NATIVE session windows in append mode — the
+    streaming twin of x56 (st02 covers the custom-state form; this is
+    Catalyst's own session operator under a watermark): a session row
+    emits exactly once, when the watermark proves no further event can
+    extend it, and session state is evicted — bounded by gap +
+    watermark delay at any stream length.
+
+    Append-mode completeness under ``availableNow`` reuses st08's
+    close-the-books staging: two staggered far-future flush rows
+    (user_id -1) advance the watermark past every real session's end
+    (a micro-batch's watermark comes from the PREVIOUS batch's data,
+    so one flush emits nothing).  The sentinel's own session is
+    excluded AFTER the drain — a stream-side filter would prune the
+    flush rows at the scan and silently withhold the tail (the st08
+    lesson, CONTRACTS.md).  Drained, the stream must equal x56's
+    batch query, so the oracle is x56's SQL."""
+    from ..streaming.pipeline import _events_stream
+
+    stream_dir = _staged_events_dir(sf_dir)
+    _write_flush_files(os.path.join(stream_dir, "events.parquet"))
+    sessions = (
+        _events_stream(spark, stream_dir, max_files_per_trigger=1)
+        .where(F.col("ts").isNotNull())
+        .withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end_gap"),
+            "n_events",
+        )
+    )
+    name = f"st_nsess_{uuid.uuid4().hex[:8]}"
+    run_stream_to_memory(sessions, name, output_mode="append")
+    # NULL-safe sentinel exclusion: NULL user_id sessions are real data
+    # (the NULL probe injects them) and must survive this filter
+    return spark.table(name).where(
+        F.col("user_id").isNull() | (F.col("user_id") >= 0)
+    )
+
+
 def m01_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline: documents → opaque binary payload + typed
     metadata → Arrow-batched mapInPandas feature extraction.  The
@@ -794,6 +837,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st04_incremental_gold": st04_incremental_gold,
     "st05_stream_stream_join": st05_stream_stream_join,
     "st08_stream_stream_left_join": st08_stream_stream_left_join,
+    "st10_streaming_native_sessions": st10_streaming_native_sessions,
     "m01_multimodal_features": m01_multimodal_features,
     "m02_multimodal_resize": m02_multimodal_resize,
     "s01_io_formats": s01_io_formats,
@@ -815,6 +859,7 @@ PIPELINE_ORACLE: dict[str, str] = {
     "st04_incremental_gold": _ST04_SQL,
     "st05_stream_stream_join": _ST05_SQL,
     "st08_stream_stream_left_join": _ST08_SQL,
+    "st10_streaming_native_sessions": _X56_SQL,
     "m01_multimodal_features": _M01_SQL,
     "m02_multimodal_resize": _M02_SQL,
     "s01_io_formats": _s01_sql(),

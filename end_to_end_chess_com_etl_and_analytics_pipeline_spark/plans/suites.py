@@ -145,6 +145,7 @@ _SUITE_PARTS: dict[str, list[str]] = {
         "x09_tumbling_window",
         "x10_sliding_window",
         "x56_native_session_window",
+        "st10_streaming_native_sessions",
     ],
     # skew mitigation: two-phase hot-key count + salted join (one family)
     "x15_skew_suite": [

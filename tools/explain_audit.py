@@ -68,6 +68,9 @@ HEADLINE = [
     ("x52_source_calibration", "one source-keyed window exchange for pct_in_source; the corpus-wide percent_rank runs over the already-collapsed (doc_id, quality) projection"),
     ("x53_cms_heavy_hitters", "counts pinned once (checkpoint); sketch cells = one <=D*W-row hash-agg; probe joins the broadcast 24 KiB cell table; total = one-row broadcast nested loop"),
     ("x54_zorder_layout", "ONE corpus-grain shuffle to <=2^16 grid cells (checkpointed); both layouts' file stats are tiny hash-aggs over the cell table; z-value is zero-shuffle shift/mask codegen"),
+    ("x55_kmv_source_overlap", "x50's distinct (source,shingle) kernel is the only corpus-grain exchange; per-source bottom-K window collapses to S*K sketch rows; pair stage = broadcast NLJ over two constant-size frames"),
+    ("x56_native_session_window", "one user_id exchange feeds MergingSessionsExec (Catalyst's native session operator) — same shuffle count as the gaps-and-islands form, no window-function pass"),
+    ("x57_mergeable_rollup", "two slice-local map-side-combined hash-aggs (history, batch) + one grain-bounded merge agg — events never re-shuffled together, merge input is O(grain) rows"),
 ]
 
 
