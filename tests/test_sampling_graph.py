@@ -108,10 +108,12 @@ def test_connected_components_nonconvergence_raises(spark):
 
 def test_approx_sketches_error_bounds(spark):
     """x21's bounded-error contract: every sketch must land inside its
-    published bound (the same flags the driver oracle hash-checks)."""
-    import __spark_entry__ as ep
+    published bound (the same flags the driver oracle hash-checks).
+    x21 is scored through x21_sketch_suite now — the fine-grained form
+    lives in FULL_QUERIES."""
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans import suites
 
-    rows = ep.queries()["x21_approx_sketches"](spark, SF_DIR).collect()
+    rows = suites.FULL_QUERIES["x21_approx_sketches"](spark, SF_DIR).collect()
     assert len(rows) == 5
     for r in rows:
         assert r.acd_within_3sigma, r
