@@ -293,3 +293,51 @@ def test_native_session_window_boundary_semantics(spark):
             1,
         ),
     ]
+
+
+def test_streaming_state_drops_pre_epoch_rows(spark, tmp_path):
+    """Engine boundary (CONTRACTS.md): the streaming event-time
+    watermark floors at epoch 0, so PRE-epoch rows are dropped as late
+    by watermarked stateful operators even in their arrival batch —
+    while an exact-epoch row survives.  Batch session windows have no
+    floor; this is why ts_probe sweeps the time suite by its batch
+    members."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, dt.datetime(1969, 1, 1, 0, 0, 0), 5),
+        (2, dt.datetime(1969, 1, 1, 0, 5, 0), 5),
+        (3, dt.datetime(1970, 1, 1, 0, 0, 0), 6),
+        (4, dt.datetime(2024, 1, 1, 0, 0, 0), 7),
+        (5, dt.datetime(2024, 2, 1, 0, 0, 0), 7),  # advances watermark
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    d = os.path.join(str(tmp_path), "ev")
+    df.coalesce(1).write.parquet(d)
+    schema = spark.read.parquet(d).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n"))
+    )
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.streaming.pipeline import (
+        run_stream_to_memory,
+    )
+
+    run_stream_to_memory(agg, "pre_epoch_probe", output_mode="append")
+    users = {r["user_id"] for r in spark.table("pre_epoch_probe").collect()}
+    assert 5 not in users   # pre-epoch session silently dropped
+    assert 6 in users       # exact-epoch survives
+    # batch form keeps everything
+    batch = df.groupBy(
+        "user_id", F.session_window("ts", "30 minutes")
+    ).agg(F.count("*").alias("n"))
+    assert {r["user_id"] for r in batch.collect()} == {5, 6, 7}

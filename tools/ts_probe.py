@@ -42,14 +42,20 @@ EXTREMES = [
     dt.datetime(2020, 2, 29, 0, 0, 0, 1),          # leap day + 1µs
 ]
 
-# the queries that consume events.ts (fine-grained + their suites)
+# the queries that consume events.ts (fine-grained + their suites).
+# x09_time_windows is listed by MEMBERS, not as the suite: the suite
+# embeds st10 (watermarked streaming), and Spark's streaming watermark
+# floors at epoch 0 — pre-epoch event times are dropped as late by
+# ENGINE design, so the streaming form legitimately diverges on this
+# fixture (CONTRACTS.md "Pre-epoch event times...", pinned by
+# tests/test_streaming.py::test_streaming_state_drops_pre_epoch_rows).
 TIME_FAMILY = [
     "x09_tumbling_window",
     "x10_sliding_window",
     "x11_sessionize",
+    "x56_native_session_window",
     "x16_asof_join",
     "x17_range_join",
-    "x09_time_windows",
     "x16_temporal_joins",
 ]
 
