@@ -346,6 +346,12 @@ def _write_flush_files(events_path: str) -> None:
 
     tbl = pq.read_table(events_path)
     ts_max = pc.max(tbl["ts"]).as_py()
+    if ts_max is None:  # empty (or all-NULL-ts) events: flush from epoch
+        ts_max = (
+            0
+            if pa.types.is_integer(tbl.schema.field("ts").type)
+            else _dt.datetime(1970, 1, 1)
+        )
     out_dir = os.path.dirname(events_path)
     for i, hours in enumerate((3, 6)):
         if isinstance(ts_max, int):  # NANOS-as-int64 flavor

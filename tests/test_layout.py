@@ -126,3 +126,53 @@ def test_write_zordered_footer_stats_prune_second_dimension(spark, tmp_path):
         == spark.read.parquet(lin_path).count()
         == li.count()
     )
+
+
+def test_compact_partitions_binpacks_fragmented_partitions(spark, tmp_path):
+    """Compaction shrinks an over-fragmented partition to its bin-packed
+    file target without touching compact partitions or changing data."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.operators.compact import (
+        compact_partitions,
+        fragmentation_report,
+        partition_file_stats,
+    )
+
+    path = str(tmp_path / "tbl")
+    # month=1: 12 tiny files (fragmented); month=2: 1 file (compact)
+    m1 = spark.range(12_000).select(
+        F.lit(1).alias("month"), F.col("id").alias("v")
+    )
+    m1.repartition(12).write.partitionBy("month").parquet(path)
+    m2 = spark.range(500).select(F.lit(2).alias("month"), F.col("id").alias("v"))
+    (
+        m2.coalesce(1)
+        .write.mode("append")
+        .partitionBy("month")
+        .parquet(path)
+    )
+    before = {rel: (n, b) for rel, n, b in partition_file_stats(spark, path)}
+    assert before["month=1"][0] == 12 and before["month=2"][0] == 1
+    rep = {r["partition"]: r["fragmented"] for r in
+           fragmentation_report(spark, path).collect()}
+    assert rep == {"month=1": True, "month=2": False}
+
+    pre = sorted(
+        (r["month"], r["v"]) for r in spark.read.parquet(path).collect()
+    )
+    rewritten = compact_partitions(
+        spark, path, ["month"], target_bytes=1 << 30
+    )
+    assert rewritten == ["month=1"]
+    after = {rel: (n, b) for rel, n, b in partition_file_stats(spark, path)}
+    assert after["month=1"][0] == 1          # bin-packed to target
+    assert after["month=2"] == before["month=2"]  # untouched partition intact
+    post = sorted(
+        (r["month"], r["v"]) for r in spark.read.parquet(path).collect()
+    )
+    assert post == pre                        # data identical
+    # idempotent: a compact table has nothing to rewrite
+    assert compact_partitions(spark, path, ["month"], target_bytes=1 << 30) == []
