@@ -291,6 +291,47 @@ def test_x57_split_covers_null_event_ids(spark):
     assert all(r["sum_value_micros"] == r["n_events"] * 1_500_000 for r in out)
 
 
+def test_streaming_sketch_merge_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """Checkpoint-recovery exactly-once: drain a partial backlog, then
+    RESTART the same stream (same checkpoint) after more files arrive —
+    already-processed files must not be re-counted (a reprocessed file
+    would double its cells and break the cell-for-cell equality with
+    the one-shot batch sketch)."""
+    import os
+
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.streaming.pipeline import (
+        streaming_sketch_merge,
+    )
+
+    batch_dir = os.path.join(str(tmp_path), "arriving")
+    cells_path = os.path.join(str(tmp_path), "cells")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    first = spark.createDataFrame(
+        [(f"k{i % 11}",) for i in range(300)], "item string"
+    )
+    later = spark.createDataFrame(
+        [(f"k{i % 7}",) for i in range(200)], "item string"
+    )
+    first.coalesce(1).write.parquet(batch_dir)
+    streaming_sketch_merge(spark, batch_dir, cells_path, ckpt)  # drain 1
+    later.coalesce(1).write.mode("append").parquet(batch_dir)
+    streaming_sketch_merge(spark, batch_dir, cells_path, ckpt)  # resume
+    merged = {
+        (r["seed"], r["bucket"]): r["cell_cnt"]
+        for r in (
+            spark.read.parquet(cells_path)
+            .groupBy("seed", "bucket")
+            .agg(F.sum("cell_cnt").alias("cell_cnt"))
+            .collect()
+        )
+    }
+    want = {
+        (r["seed"], r["bucket"]): r["cell_cnt"]
+        for r in cms_cells(first.unionByName(later)).collect()
+    }
+    assert merged == want
+
+
 def test_st09_merge_equals_batch_sketch(spark):
     from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans.extensions import (
         st09_streaming_sketch_merge,
