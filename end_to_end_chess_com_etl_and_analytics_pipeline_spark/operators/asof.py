@@ -51,8 +51,18 @@ def asof_join(
     not (ties across rows at the same instant have no well-defined
     "latest"); callers keep that contract so the result is deterministic
     and oracle-checkable.
+
+    NULL timestamps (CONTRACTS.md): a LEFT row with NULL ``left_ts``
+    is KEPT with NULL payload (as-of is an enrichment — it must not
+    drop events; NULLs sort first in the window, before any right
+    state).  A RIGHT row with NULL ``right_ts`` is DROPPED here — a
+    dimension state with no effective time is meaningless, and left
+    in, Spark's NULLS-FIRST window order would leak it into every key
+    as the fallback state while DuckDB's ASOF (NULLS-high sort) never
+    would.
     """
     rpay = F.struct(*[F.col(c) for c in right_payload]).alias("__rpay")
+    right = right.where(F.col(right_ts).isNotNull())
     r = right.select(
         *[F.col(c) for c in on],
         F.col(right_ts).alias("__ts"),

@@ -21,10 +21,16 @@ def tumbling_agg(
     ts_col: str = "ts",
     keys: list[str] | None = None,
 ) -> DataFrame:
-    """Tumbling-window aggregate: count + sum(value) per window (+keys)."""
+    """Tumbling-window aggregate: count + sum(value) per window (+keys).
+
+    NULL event times have no window membership (CONTRACTS.md): Spark's
+    ``F.window`` silently drops them while SQL GROUP BY would keep a
+    NULL bucket — the exclusion is made EXPLICIT here and mirrored in
+    the oracle so both engines agree by construction."""
     keys = keys or ["event_type"]
     return (
-        events.groupBy(F.window(ts_col, window_size).alias("w"), *keys)
+        events.where(F.col(ts_col).isNotNull())
+        .groupBy(F.window(ts_col, window_size).alias("w"), *keys)
         .agg(
             F.count("*").alias("n_events"),
             round_fixed(F.sum("value"), 6).alias("sum_value"),
@@ -44,9 +50,11 @@ def sliding_agg(
     slide: str = "30 minutes",
     ts_col: str = "ts",
 ) -> DataFrame:
-    """Sliding-window aggregate — each event lands in size/slide windows."""
+    """Sliding-window aggregate — each event lands in size/slide windows.
+    NULL event times excluded (see tumbling_agg)."""
     return (
-        events.groupBy(F.window(ts_col, window_size, slide).alias("w"))
+        events.where(F.col(ts_col).isNotNull())
+        .groupBy(F.window(ts_col, window_size, slide).alias("w"))
         .agg(F.count("*").alias("n_events"))
         .select(F.col("w.start").alias("window_start"), "n_events")
     )
@@ -64,12 +72,18 @@ def sessionize(
 
     (Streaming equivalent: ``F.session_window`` — kept relational here so
     the DuckDB oracle can replay it with window functions.)
+
+    NULL event times excluded (CONTRACTS.md): a NULL has no position in
+    the per-key time order — and left in, the engines would disagree
+    silently (Spark windows sort NULLS FIRST, DuckDB NULLS LAST, so the
+    LAG neighbours — and therefore the session splits — differ).
     """
     from pyspark.sql import Window
 
     gap_secs = {"30 minutes": 1800, "1 hour": 3600}.get(gap)
     if gap_secs is None:
         raise ValueError(f"unsupported gap: {gap}")
+    events = events.where(F.col(ts_col).isNotNull())
     w = Window.partitionBy(key).orderBy(ts_col)
     lagged = events.withColumn("__prev", F.lag(ts_col).over(w))
     flagged = lagged.withColumn(

@@ -735,10 +735,18 @@ WITH rd AS (
     SELECT o_custkey AS user_id, o_orderdate AS order_ts,
            MAX(o_orderkey) AS last_order_key,
            max_by(o_totalprice, o_orderkey) AS last_order_price
-    FROM orders GROUP BY 1, 2)
+    FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1, 2)
+-- NULL-ts events carry NULL payload (CONTRACTS.md): DuckDB's ASOF
+-- sorts NULLs high (a NULL probe time would match the LATEST state),
+-- so NULL-ts rows are routed around the ASOF and re-attached.
 SELECT e.event_id, e.user_id, rd.last_order_key, rd.last_order_price
-FROM events e ASOF LEFT JOIN rd
+FROM (SELECT * FROM events WHERE ts IS NOT NULL) e ASOF LEFT JOIN rd
   ON e.user_id = rd.user_id AND e.ts >= rd.order_ts
+UNION ALL BY NAME
+SELECT event_id, user_id,
+       CAST(NULL AS BIGINT) AS last_order_key,
+       CAST(NULL AS DOUBLE) AS last_order_price
+FROM events WHERE ts IS NULL
 """
 
 
@@ -1562,7 +1570,7 @@ _X09_SQL = f"""
 SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
        COUNT(*) AS n_events,
        {round_fixed_sql('SUM(value)', 6)} AS sum_value
-FROM events GROUP BY 1, 2
+FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 """
 
 
@@ -1577,7 +1585,7 @@ SELECT window_start, COUNT(*) AS n_events FROM (
         time_bucket(INTERVAL '30 minutes', ts),
         time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'
     ]) AS window_start
-    FROM events)
+    FROM events WHERE ts IS NOT NULL)
 GROUP BY window_start
 """
 
@@ -1644,7 +1652,7 @@ _X11_SQL = """
 WITH lagged AS (
     SELECT user_id, ts,
            LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
-    FROM events),
+    FROM events WHERE ts IS NOT NULL),
 flagged AS (
     SELECT user_id, ts,
            CASE WHEN prev_ts IS NULL

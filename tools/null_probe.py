@@ -71,6 +71,13 @@ def build_fixture() -> str:
     # the oracle on NULL-key grouping
     for i in range(7, m, 17):
         e["user_id"][i] = None
+    # round-5: NULL event TIMES — found 4 divergent operators on first
+    # run (Spark F.window drops them vs SQL NULL bucket; Spark windows
+    # sort NULLS FIRST vs DuckDB NULLS LAST in sessionize/as-of; DuckDB
+    # ASOF matches a NULL probe time to the LATEST state).  Contract:
+    # no event time → no window membership / NULL as-of payload.
+    for i in range(11, m, 19):
+        e["ts"][i] = None
     pq.write_table(pa.table(e), os.path.join(DST, "events.parquet"))
     v = pq.read_table(os.path.join(SRC, "embeddings.parquet")).to_pydict()
     k = len(v["vec_id"])
