@@ -368,7 +368,12 @@ def q11_distinct_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q11_SQL = """
 SELECT COUNT(*) AS n_rows,
        COUNT(DISTINCT l_partkey) AS n_parts,
-       COUNT(DISTINCT (l_returnflag, l_linestatus)) AS n_flag_status,
+       -- multi-column DISTINCT: Spark (SQL-standard) skips a tuple when
+       -- ANY member is NULL; DuckDB's row constructor would count
+       -- (NULL, x) as a distinct non-NULL struct — FILTER aligns them
+       COUNT(DISTINCT (l_returnflag, l_linestatus))
+           FILTER (WHERE l_returnflag IS NOT NULL
+                     AND l_linestatus IS NOT NULL) AS n_flag_status,
        MAX(l_shipdate) AS watermark_ts
 FROM lineitem
 """

@@ -60,3 +60,18 @@ def test_sql_first_interface(spark):
     ).collect()
     assert len(got) == 5
     assert sum(r.n_nations for r in got) == 25
+
+
+def test_multi_column_count_distinct_null_semantics(spark):
+    """Pin the q11 contract (CONTRACTS.md): Spark's countDistinct(a, b)
+    follows the SQL standard — a tuple is skipped when ANY member is
+    NULL — which is what the oracle's FILTER replicates (DuckDB's row
+    constructor would count (NULL, x) as a distinct struct)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("A", "x"), ("A", "x"), (None, "x"), ("B", None), ("B", "y")],
+        "a string, b string",
+    )
+    got = df.agg(F.countDistinct("a", "b").alias("n")).first()["n"]
+    assert got == 2  # only (A,x) and (B,y); NULL-member tuples skipped
