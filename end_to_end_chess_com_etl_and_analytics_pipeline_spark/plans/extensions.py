@@ -776,12 +776,14 @@ def x17_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_end="win_end",
         bucket_secs=3600,
     )
-    # non-finite values contribute NULL micros (SUM skips them, both
-    # engines); under ANSI a NaN reaching the bigint cast kills the job
+    # non-finite OR micros-overflowing values contribute NULL (SUM
+    # skips them, both engines); under ANSI a NaN at a plain bigint
+    # cast kills the job — and so does a finite 1e300 (CAST_OVERFLOW),
+    # hence try_cast, the same poison handling at both failure points
     v = F.col("value")
     micros = F.when(
         F.isnan(v) | (F.abs(v) == F.lit(float("inf"))), F.lit(None)
-    ).otherwise(F.round(v * 1000000, 0).cast("bigint"))
+    ).otherwise(F.round(v * 1000000, 0).try_cast("bigint"))
     return joined.groupBy("window_id").agg(
         F.count("*").alias("n_events"),
         F.sum(micros).alias("sum_value_micros"),
@@ -795,7 +797,7 @@ WITH w AS (
     FROM events WHERE event_type = 'signup')
 SELECT w.window_id, COUNT(*) AS n_events,
        CAST(SUM(CASE WHEN isnan(value) OR isinf(value) THEN NULL
-                ELSE CAST(ROUND(value * 1000000, 0) AS BIGINT) END) AS BIGINT)
+                ELSE TRY_CAST(ROUND(value * 1000000, 0) AS BIGINT) END) AS BIGINT)
            AS sum_value_micros
 FROM events e JOIN w
   ON e.user_id = w.user_id
@@ -1185,9 +1187,11 @@ def x57_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-agg over only ITS slice."""
     ev = load_table(spark, "events", sf_dir)
     v = F.col("value")
+    # try_cast: finite-but-huge values overflow the micros BIGINT —
+    # NULL (skipped by SUM) in both engines, same as non-finite
     micros = F.when(
         F.isnan(v) | (F.abs(v) == F.lit(float("inf"))), F.lit(None)
-    ).otherwise(F.round(v * 1000000, 0).cast("bigint"))
+    ).otherwise(F.round(v * 1000000, 0).try_cast("bigint"))
 
     def partial(df: DataFrame) -> DataFrame:
         return df.groupBy(
@@ -1217,7 +1221,7 @@ SELECT event_type,
        CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(SUM(CASE WHEN isnan(value) OR isinf(value) THEN NULL
-                ELSE CAST(ROUND(value * 1000000, 0) AS BIGINT) END) AS BIGINT)
+                ELSE TRY_CAST(ROUND(value * 1000000, 0) AS BIGINT) END) AS BIGINT)
            AS sum_value_micros,
        MIN(ts) AS first_ts, MAX(ts) AS last_ts
 FROM events GROUP BY 1, 2

@@ -55,6 +55,12 @@ def build_fixture() -> str:
     e["value"][5] = float("nan")
     e["value"][11] = float("inf")
     e["value"][23] = float("-inf")
+    # round-5: finite-but-huge — overflows the integer-micros BIGINT
+    # cast; under ANSI a plain cast ABORTS the job (CAST_OVERFLOW), so
+    # the micros sites use try_cast → NULL, mirrored by the oracles'
+    # TRY_CAST (one corrupted row must not kill a 100 TB aggregation)
+    e["value"][31] = 1e300
+    e["value"][37] = -1e300
     pq.write_table(pa.table(e), os.path.join(DST, "events.parquet"))
     return DST
 
