@@ -50,6 +50,14 @@ def build_fixture() -> str:
     v["embedding"][3] = [float("nan")] + list(v["embedding"][3][1:])
     v["embedding"][17] = [float("inf")] + list(v["embedding"][17][1:])
     v["embedding"][29] = [0.0] * len(v["embedding"][29])
+    # round-5: finite-but-huge components — pass the non-finite gate,
+    # then overflow dot products to Inf/NaN downstream; both engines
+    # share IEEE754 semantics, so results stay bit-identical (probed
+    # green across the whole cosine/kmeans/quantize family, no guard
+    # needed — unlike the event-value micros casts, nothing here casts
+    # to an integer type)
+    v["embedding"][7] = [1e300] + list(v["embedding"][7][1:])
+    v["embedding"][13] = [-1e300] * len(v["embedding"][13])
     pq.write_table(pa.table(v), os.path.join(DST, "embeddings.parquet"))
     e = pq.read_table(os.path.join(SRC, "events.parquet")).to_pydict()
     e["value"][5] = float("nan")
