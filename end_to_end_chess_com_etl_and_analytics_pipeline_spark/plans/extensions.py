@@ -1348,6 +1348,11 @@ FROM u
 """
 
 
+# the quantile 2% band is asymptotic; below this group size the
+# discrete-vs-interpolated percentile gap dominates (see x21)
+SKETCH_MIN_N = 50
+
+
 def x21_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based approximate aggregates — the 100 TB path where exact
     DISTINCT/median would shuffle the world: HyperLogLog++ distinct
@@ -1378,18 +1383,35 @@ def x21_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("o_totalprice", F.lit(0.95)).alias("_p95"),
     )
     exact = F.col("exact_customers")
+    # Regime-aware bounds (found by the unicode-relational probe, which
+    # creates ~30-row hostile groups): the published sketch bounds are
+    # ASYMPTOTIC — HLL's 3·rsd band gets an absolute +4 slack for the
+    # small-cardinality (linear-counting) regime, and the 2% quantile
+    # band only applies above SKETCH_MIN_N rows, below which the gap
+    # between percentile_approx's DISCRETE data point and the exact
+    # INTERPOLATED percentile dominates (tiny groups are covered
+    # exactly by q19's exact-median path instead).
+    small = F.col("n_orders") < SKETCH_MIN_N
     return agg.select(
         "o_orderpriority",
         "n_orders",
         "exact_customers",
-        (F.abs(F.col("_acd") - exact) <= 0.06 * exact).alias("acd_within_3sigma"),
+        (F.abs(F.col("_acd") - exact) <= 0.06 * exact + 4).alias(
+            "acd_within_3sigma"
+        ),
         (
-            F.abs(F.element_at("_q", 1) - F.col("_p50"))
-            <= 0.02 * F.col("_p50")
+            small
+            | (
+                F.abs(F.element_at("_q", 1) - F.col("_p50"))
+                <= 0.02 * F.col("_p50")
+            )
         ).alias("q50_within_2pct"),
         (
-            F.abs(F.element_at("_q", 2) - F.col("_p95"))
-            <= 0.02 * F.col("_p95")
+            small
+            | (
+                F.abs(F.element_at("_q", 2) - F.col("_p95"))
+                <= 0.02 * F.col("_p95")
+            )
         ).alias("q95_within_2pct"),
     )
 
