@@ -60,9 +60,17 @@ def asof_join(
     in, Spark's NULLS-FIRST window order would leak it into every key
     as the fallback state while DuckDB's ASOF (NULLS-high sort) never
     would.
+
+    NULL join keys: a RIGHT row with a NULL value in any ``on`` column
+    is likewise DROPPED — SQL ASOF equality never matches NULL keys,
+    but the window formulation would group all NULL-key rows together
+    and carry that state into NULL-key left rows.  NULL-key LEFT rows
+    are kept with NULL payload (same enrichment contract as NULL ts).
     """
     rpay = F.struct(*[F.col(c) for c in right_payload]).alias("__rpay")
     right = right.where(F.col(right_ts).isNotNull())
+    for k in on:
+        right = right.where(F.col(k).isNotNull())
     r = right.select(
         *[F.col(c) for c in on],
         F.col(right_ts).alias("__ts"),

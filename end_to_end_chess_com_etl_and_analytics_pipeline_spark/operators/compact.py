@@ -61,6 +61,11 @@ def partition_file_stats(
             out = []
             for d in subdirs:
                 out.extend(walk(d))
+            # Data files sitting NEXT TO subdirectories (mixed level —
+            # e.g. an unpartitioned writer raced a partitioned one) are
+            # still fragmentation; emit them rather than dropping them.
+            if files:
+                out.append((p, files))
             return out
         return [(p, files)] if files else []
 
@@ -100,6 +105,24 @@ def compact_partitions(
     rewritten = []
     for rel, n, b in todo:
         n_out = max(1, math.ceil(b / target_bytes))
+        if rel == "":
+            # Unpartitioned table (or data files at the root): Spark
+            # cannot overwrite a path it is reading, so stage the
+            # compacted copy through a sibling temp dir and swap it in
+            # with a FileSystem rename (metadata-only on HDFS/local).
+            tmp = path.rstrip("/") + ".__compacting__"
+            spark.read.parquet(path).coalesce(n_out).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            jvm = spark.sparkContext._jvm
+            conf = spark.sparkContext._jsc.hadoopConfiguration()
+            p_root = jvm.org.apache.hadoop.fs.Path(path)
+            p_tmp = jvm.org.apache.hadoop.fs.Path(tmp)
+            fs = p_root.getFileSystem(conf)
+            fs.delete(p_root, True)
+            fs.rename(p_tmp, p_root)
+            rewritten.append(rel)
+            continue
         # partition-pruned read of exactly this leaf; base-path keeps
         # the partition columns in the frame for the overwrite
         part_df: DataFrame = (
@@ -116,12 +139,79 @@ def compact_partitions(
     return rewritten
 
 
-def fragmentation_report(spark: SparkSession, path: str) -> DataFrame:
+def maintain_table(
+    spark: SparkSession,
+    path: str,
+    partition_by: list[str],
+    zorder: tuple[str, str] | None = None,
+    target_bytes: int = DEFAULT_TARGET_BYTES,
+    min_files: int = 2,
+) -> dict:
+    """The lakehouse maintenance loop, one idempotent pass:
+    ``fragmentation_report`` picks the over-fragmented partitions, and
+    each is rewritten ONCE — bin-packed via ``compact_partitions`` when
+    ``zorder`` is None, or z-order-clustered on ``zorder=(col_a, col_b)``
+    (``operators.layout.write_zordered``) when given, so the single
+    rewrite pays for both file-count AND scan-pruning health.
+
+    The z-order rewrite stages each partition through an
+    underscore-prefixed temp dir (invisible to parquet listing) and
+    swaps it in with a FileSystem rename, so concurrent readers of
+    OTHER partitions are never disturbed.  A second pass on a healthy
+    table rewrites nothing — that is the idempotence contract pinned by
+    tests/test_layout.py::test_maintain_table_end_to_end.
+
+    Returns {"report": [Row…], "rewritten": [rel…]}.
+    """
+    from .layout import write_zordered
+
+    report = fragmentation_report(spark, path, target_bytes).collect()
+    if zorder is None:
+        rewritten = compact_partitions(
+            spark, path, partition_by, target_bytes, min_files
+        )
+        return {"report": report, "rewritten": rewritten}
+
+    col_a, col_b = zorder
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    rewritten = []
+    for r in report:
+        if not (r["n_files"] >= min_files and r["n_files"] > r["target_files"]):
+            continue
+        rel = r["partition"]
+        leaf = f"{path}/{rel}" if rel else path
+        # rel == '': temp must live OUTSIDE path or the swap-delete
+        # would remove it; rel != '': an underscore-prefixed sibling
+        # inside the table is invisible to readers mid-maintenance.
+        tmp = (
+            path.rstrip("/") + ".__maintaining__"
+            if rel == ""
+            else f"{path}/_maint_{rel.replace('/', '_').replace('=', '_')}"
+        )
+        write_zordered(
+            spark.read.parquet(leaf),
+            col_a,
+            col_b,
+            tmp,
+            n_files=int(r["target_files"]),
+        )
+        p_leaf = jvm.org.apache.hadoop.fs.Path(leaf)
+        fs.delete(p_leaf, True)
+        fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), p_leaf)
+        rewritten.append(rel)
+    return {"report": report, "rewritten": rewritten}
+
+
+def fragmentation_report(
+    spark: SparkSession, path: str, target_bytes: int = DEFAULT_TARGET_BYTES
+) -> DataFrame:
     """The monitoring face: one row per partition with file count,
     bytes, and the bin-packed target — what an operator dashboards to
     decide when to run compaction."""
     rows = [
-        (rel, n, b, max(1, math.ceil(b / DEFAULT_TARGET_BYTES)))
+        (rel, n, b, max(1, math.ceil(b / target_bytes)))
         for rel, n, b in partition_file_stats(spark, path)
     ]
     return spark.createDataFrame(

@@ -98,8 +98,12 @@ def cms_estimate(
     candidate frame's own lineage."""
     pr = _probed(candidates, item, w)
     keys = [c for c in candidates.columns]
+    # Left join + coalesce: a candidate whose D cells are all absent from
+    # the sketch must still surface with est_cnt = 0, not vanish (CMS is a
+    # point-query structure — every query has a defined answer).
     return (
-        pr.join(F.broadcast(cells), ["seed", "bucket"])
+        pr.join(F.broadcast(cells), ["seed", "bucket"], "left")
+        .withColumn("cell_cnt", F.coalesce(F.col("cell_cnt"), F.lit(0).cast("long")))
         .groupBy(*keys)
         .agg(F.min("cell_cnt").alias("est_cnt"))
     )

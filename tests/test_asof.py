@@ -61,6 +61,33 @@ def test_asof_join_semantics(spark):
     }
 
 
+def test_asof_join_null_right_keys_never_match(spark):
+    # SQL ASOF equality never matches NULL keys; the window formulation
+    # would otherwise group NULL-key right state into NULL-key left
+    # rows.  NULL-key right rows are dropped; NULL-key left rows are
+    # kept with NULL payload (asof.py: NULL-key contract).
+    left = spark.createDataFrame(
+        [
+            Row(k=None, ts=_ts("2024-01-05 00:00:00"), lval=1),
+            Row(k="a", ts=_ts("2024-01-05 00:00:00"), lval=2),
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k=None, rts=_ts("2024-01-01 00:00:00"), payload=99),
+            Row(k="a", rts=_ts("2024-01-01 00:00:00"), payload=10),
+        ]
+    )
+    got = {
+        r.lval: r.payload
+        for r in asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="rts",
+            right_payload=["payload"],
+        ).collect()
+    }
+    assert got == {1: None, 2: 10}
+
+
 def test_asof_join_matches_naive(spark):
     left, right = _fixture(spark)
     args = dict(on=["k"], left_ts="ts", right_ts="rts", right_payload=["payload"])

@@ -176,3 +176,107 @@ def test_compact_partitions_binpacks_fragmented_partitions(spark, tmp_path):
     assert post == pre                        # data identical
     # idempotent: a compact table has nothing to rewrite
     assert compact_partitions(spark, path, ["month"], target_bytes=1 << 30) == []
+
+
+def test_compact_unpartitioned_table_via_staged_swap(spark, tmp_path):
+    """An unpartitioned table (rel '') can't be dynamic-overwritten while
+    being read; compaction stages through a temp dir and swaps it in."""
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.operators.compact import (
+        compact_partitions,
+        partition_file_stats,
+    )
+
+    path = str(tmp_path / "flat")
+    spark.range(10_000).repartition(8).write.parquet(path)
+    before = partition_file_stats(spark, path)
+    assert before == [("", 8, before[0][2])]
+    pre = sorted(r["id"] for r in spark.read.parquet(path).collect())
+    rewritten = compact_partitions(spark, path, [], target_bytes=1 << 30)
+    assert rewritten == [""]
+    after = partition_file_stats(spark, path)
+    assert after[0][1] == 1
+    post = sorted(r["id"] for r in spark.read.parquet(path).collect())
+    assert post == pre
+    # the staging dir must not linger
+    assert not os.path.exists(path + ".__compacting__")
+
+
+def test_maintain_table_end_to_end_over_streaming_gold(spark, tmp_path):
+    """The full lakehouse maintenance loop over the st04 streaming gold
+    output: report → one z-ordered rewrite per fragmented partition →
+    data query-identical, file counts at target, second pass a no-op."""
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.operators.compact import (
+        maintain_table,
+        partition_file_stats,
+    )
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.sources import demo
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.streaming.pipeline import (
+        run_incremental_gold,
+    )
+
+    bronze = tmp_path / "bronze"
+    bronze.mkdir()
+    for m in (1, 2):
+        demo.write_month_json(str(bronze / f"2024-{m:02d}-games.json"), month=m)
+    run_incremental_gold(
+        spark,
+        str(bronze),
+        str(tmp_path / "gold"),
+        str(tmp_path / "ckpt"),
+        demo.USERNAME,
+        "2024-03-01 00:00:00",
+    )
+    fact = str(tmp_path / "gold" / "fact_games")
+    # Simulate micro-batch churn: rewrite each month partition as many
+    # small files (data identical — only the layout degrades).
+    frag = str(tmp_path / "frag_fact")
+    spark.read.parquet(fact).repartition(6).write.partitionBy(
+        "year", "month"
+    ).parquet(frag)
+    pre = sorted(map(tuple, spark.read.parquet(frag).collect()))
+    fragmented = {
+        rel for rel, n, _ in partition_file_stats(spark, frag) if n > 1
+    }
+    assert fragmented  # the churn must actually fragment something
+
+    res = maintain_table(
+        spark,
+        frag,
+        ["year", "month"],
+        zorder=("my_rating", "opponent_rating"),
+        target_bytes=1 << 30,
+    )
+    assert set(res["rewritten"]) == fragmented
+    assert all(
+        n == 1 for _, n, _ in partition_file_stats(spark, frag)
+    )  # bin-packed to target
+    post = sorted(map(tuple, spark.read.parquet(frag).collect()))
+    assert post == pre  # query-identical after maintenance
+    # idempotent: a healthy table rewrites nothing
+    res2 = maintain_table(
+        spark,
+        frag,
+        ["year", "month"],
+        zorder=("my_rating", "opponent_rating"),
+        target_bytes=1 << 30,
+    )
+    assert res2["rewritten"] == []
+
+
+def test_partition_file_stats_mixed_level_files_counted(spark, tmp_path):
+    """Data files sitting NEXT TO partition subdirectories are still
+    fragmentation — walk() must emit them, not drop them."""
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.operators.compact import (
+        partition_file_stats,
+    )
+
+    path = str(tmp_path / "mixed")
+    spark.range(100).select(
+        F.lit(1).alias("month"), F.col("id").alias("v")
+    ).coalesce(1).write.partitionBy("month").parquet(path)
+    # simulate a raced unpartitioned writer: a data file at the root
+    spark.range(10).coalesce(1).write.parquet(str(tmp_path / "stray"))
+    stray = glob.glob(str(tmp_path / "stray" / "part-*.parquet"))[0]
+    os.replace(stray, os.path.join(path, "part-stray.parquet"))
+    stats = {rel: n for rel, n, _ in partition_file_stats(spark, path)}
+    assert stats == {"month=1": 1, "": 1}

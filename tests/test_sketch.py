@@ -72,6 +72,21 @@ def test_estimate_never_underestimates_under_forced_collisions(spark):
         assert r["est_cnt"] == want
 
 
+def test_estimate_returns_zero_for_unseen_candidates(spark):
+    # A candidate whose D cells are all absent from the sketch must
+    # survive with est_cnt = 0 — CMS is a point-query structure, every
+    # query has a defined answer (library contract; sketch.py:101).
+    data = spark.createDataFrame([("a",), ("a",), ("b",)], "item string")
+    cells = cms_cells(data)
+    cand = spark.createDataFrame(
+        [("a",), ("never_sketched_xyz",)], "item string"
+    )
+    got = {r["item"]: r["est_cnt"] for r in cms_estimate(cand, cells).collect()}
+    assert set(got) == {"a", "never_sketched_xyz"}
+    assert got["a"] >= 2
+    assert got["never_sketched_xyz"] == 0
+
+
 def test_sketch_is_linear_in_the_input(spark):
     # sketch(A ∪ B) == cellwise-sum(sketch(A), sketch(B)) — the property
     # st09's append-merge relies on
