@@ -130,6 +130,105 @@ def assign_cells(
     )
 
 
+def _collect_codebook(
+    centroids: DataFrame, centroid_id: str, centroid_vec: str
+):
+    """Collect the (driver-sized) IVF codebook as (ids, matrix, norms),
+    id-ascending — so a first-maximum argmax reproduces the expression
+    path's ``max_by((score, -id))`` lower-id tie-break."""
+    import numpy as np
+
+    cents = sorted(
+        centroids.select(centroid_id, centroid_vec).collect(),
+        key=lambda r: r[centroid_id],
+    )
+    ids = np.array([r[centroid_id] for r in cents], dtype=np.int64)
+    M = np.array(
+        [np.asarray(r[centroid_vec], dtype=np.float64) for r in cents]
+    )
+    c_norms = np.sqrt((M * M).sum(axis=1)) if len(cents) else M
+    return ids, M, c_norms
+
+
+def _round6_np(x):
+    """numpy twin of functions.rounding.round_fixed(·, 6): scale by 1e6,
+    HALF_UP away from zero on the scaled double, descale — bit-for-bit
+    the arithmetic Spark's ``round(x*1e6, 0)/1e6`` performs."""
+    import numpy as np
+
+    scaled = x * 1e6
+    fl = np.floor(scaled)
+    ce = np.ceil(scaled)
+    up = np.where(
+        scaled >= 0,
+        fl + ((scaled - fl) >= 0.5),
+        ce - ((ce - scaled) >= 0.5),
+    )
+    return up / 1e6
+
+
+def assign_cells_vectorized(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "centroid",
+) -> DataFrame:
+    """:func:`assign_cells` at matrix-multiply speed — identical
+    semantics (cosine rounded to 6 decimals, ties to the lower centroid
+    id), verified row-identical by tests/test_scale_techniques.py.
+
+    The expression formulation pays C interpreted array-aggregates per
+    row plus a groupBy shuffle of the vector payload; at a 100× corpus
+    that term dominates the whole query (measured: assignment is ~600×
+    the probe's dot-product count).  Here the codebook — IVF codebooks
+    are driver/broadcast-sized by construction (~100 cells for x12,
+    √n for SemDeDup) — ships in the task closure, and each Arrow batch
+    computes one ``(batch×D) @ (D×C)`` BLAS matmul: no join, no
+    shuffle, no C-fold row blow-up, one narrow pass over the corpus.
+
+    Rounding matches functions.rounding.round_fixed exactly
+    (scale-by-1e6, HALF_UP away from zero, descale); argmax over the
+    id-ascending centroid matrix takes the FIRST maximum — the same
+    row ``max_by((score, -id))`` picks.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    ids, M, c_norms = _collect_codebook(centroids, centroid_id, centroid_vec)
+    src = corpus.select(id_col, vec_col)
+    out_schema = StructType(
+        [
+            src.schema[id_col],
+            src.schema[vec_col],
+            StructField("cell", LongType(), True),
+        ]
+    )
+
+    def _assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {id_col: pdf[id_col], vec_col: pdf[vec_col], "cell": []}
+                )
+                continue
+            V = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            v_norms = np.sqrt((V * V).sum(axis=1))
+            scores = _round6_np(
+                (V @ M.T) / (v_norms[:, None] * c_norms[None, :])
+            )
+            out = pdf[[id_col, vec_col]].copy()
+            out["cell"] = ids[np.argmax(scores, axis=1)]
+            yield out
+
+    return src.mapInPandas(_assign, out_schema)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -145,12 +244,119 @@ def ivf_topk(
     query.  Recall < 1.0 by design; the bench pairs it with
     brute_force_topk to report recall@k.
 
+    FUSED scale path (row-identical to :func:`ivf_topk_joined`, pinned
+    by tests/test_clustering.py): the query set and codebook are
+    driver-sized by contract (queries are the small side of any ANN
+    batch; the codebook is ~100–√n cells), so both ship in the task
+    closure and ONE ``mapInPandas`` pass over the corpus does cell
+    assignment AND probed-cell scoring per Arrow batch — two BLAS
+    matmuls — emitting only skinny ``(query_id, cand_id, cos)`` rows
+    for candidates that landed in a probed cell.  The corpus vectors
+    never leave the scan: no assignment shuffle, no scoring join, no
+    wide Arrow round-trip.  The only exchange left is the final
+    per-query top-k window over |probed cells|·|cell| candidate rows.
+
     Only usable vectors participate (finite, nonzero — usable_vec); the
     centroid table is assumed clean (it is derived from a filtered
     corpus)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
     corpus = corpus.where(usable_vec(F.col(vec_col)))
     queries = queries.where(usable_vec(F.col(vec_col)))
-    cells = assign_cells(corpus, centroids, vec_col, id_col, centroid_id, centroid_vec)
+    q_cells = _probe_cells(
+        queries, centroids, nprobe, vec_col, id_col, centroid_id, centroid_vec
+    )
+    ids, M, c_norms = _collect_codebook(centroids, centroid_id, centroid_vec)
+    # cell -> (query ids, query matrix, query norms), from the tiny
+    # expression-scored probe frame (driver-sized: |queries|·nprobe rows)
+    by_cell: dict = {}
+    for r in q_cells.collect():
+        by_cell.setdefault(r["cell"], []).append(
+            (r["query_id"], np.asarray(r["qv"], dtype=np.float64))
+        )
+    probe = {
+        cell: (
+            np.array([q for q, _ in rows], dtype=np.int64),
+            np.stack([v for _, v in rows]),
+        )
+        for cell, rows in by_cell.items()
+    }
+
+    src = corpus.select(id_col, vec_col)
+    out_schema = StructType(
+        [
+            StructField("query_id", src.schema[id_col].dataType, True),
+            StructField("cand_id", src.schema[id_col].dataType, True),
+            StructField("cos", DoubleType(), True),
+        ]
+    )
+
+    def _search(batches):
+        empty = pd.DataFrame({"query_id": [], "cand_id": [], "cos": []})
+        for pdf in batches:
+            if len(pdf) == 0 or not probe:
+                yield empty
+                continue
+            V = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            v_norms = np.sqrt((V * V).sum(axis=1))
+            a_scores = _round6_np(
+                (V @ M.T) / (v_norms[:, None] * c_norms[None, :])
+            )
+            cells = ids[np.argmax(a_scores, axis=1)]
+            cand_ids = pdf[id_col].to_numpy()
+            qid_out, cid_out, cos_out = [], [], []
+            for cell, (q_ids, Q) in probe.items():
+                mask = cells == cell
+                if not mask.any():
+                    continue
+                Vc, nc, cc = V[mask], v_norms[mask], cand_ids[mask]
+                q_norms = np.sqrt((Q * Q).sum(axis=1))
+                cos = _round6_np(
+                    (Vc @ Q.T) / (nc[:, None] * q_norms[None, :])
+                )
+                keep = cc[:, None] != q_ids[None, :]
+                ci, qi = np.nonzero(keep)
+                qid_out.append(q_ids[qi])
+                cid_out.append(cc[ci])
+                cos_out.append(cos[ci, qi])
+            if not qid_out:
+                yield empty
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(qid_out),
+                    "cand_id": np.concatenate(cid_out),
+                    "cos": np.concatenate(cos_out),
+                }
+            )
+
+    scored = src.mapInPandas(_search, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos", "rank")
+    )
+
+
+def _probe_cells(
+    queries: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    vec_col: str,
+    id_col: str,
+    centroid_id: str,
+    centroid_vec: str,
+) -> DataFrame:
+    """The ``nprobe`` nearest cells per query — the tiny expression-
+    scored side shared by the fused and joined formulations."""
     cent = centroids.select(
         F.col(centroid_id),
         F.col(centroid_vec).alias("__cv"),
@@ -171,7 +377,7 @@ def ivf_topk(
     wq = Window.partitionBy(id_col).orderBy(
         F.col("__score").desc(), F.col(centroid_id).asc()
     )
-    q_cells = (
+    return (
         q_scored.withColumn("__r", F.row_number().over(wq))
         .where(F.col("__r") <= nprobe)
         .select(
@@ -180,6 +386,103 @@ def ivf_topk(
             F.col("__qn"),
             F.col(centroid_id).alias("cell"),
         )
+    )
+
+
+def semantic_dedup_in_cells(
+    cells: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cell_col: str = "cell",
+    block: int = 4096,
+) -> DataFrame:
+    """Keep-first semantic dedup within each IVF cell (the SemDeDup
+    rule): a row is a duplicate iff some LOWER-id row of the same cell
+    has rounded cosine ≥ ``threshold`` with it.  Returns
+    (id, cell, keep_semantic) for every input row.
+
+    The join formulation materializes all O(|cell|²) pairs as rows and
+    pays an interpreted array-cosine per pair — the O(n^1.5) term that
+    dominates SemDeDup at scale.  Here ``applyInPandas`` per cell does
+    the same arithmetic as blocked BLAS matmuls (4096² tiles, so a
+    pathologically hot cell streams in bounded memory instead of
+    allocating |cell|² at once); one shuffle on the cell key — the
+    same exchange the join needed — and zero pair rows.  Rounding is
+    round_fixed-exact (_round6_np); scores are dot/(na·nb) with only
+    BLAS summation order differing from the expression path (pinned
+    row-identical by tests/test_clustering.py).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    src = cells.select(id_col, cell_col, vec_col)
+    out_schema = StructType(
+        [
+            src.schema[id_col],
+            src.schema[cell_col],
+            StructField("keep_semantic", BooleanType(), False),
+        ]
+    )
+    BLOCK = block
+
+    def _dedup(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
+        pdf = pdf.iloc[order]
+        ids = pdf[id_col].to_numpy()
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        norms = np.sqrt((V * V).sum(axis=1))
+        n = len(ids)
+        dup = np.zeros(n, dtype=bool)
+        for rs in range(0, n, BLOCK):
+            re_ = min(rs + BLOCK, n)
+            for cs in range(0, re_, BLOCK):  # col blocks with any j < i
+                ce = min(cs + BLOCK, n)
+                G = _round6_np(
+                    (V[rs:re_] @ V[cs:ce].T)
+                    / (norms[rs:re_, None] * norms[None, cs:ce])
+                )
+                lower = (
+                    np.arange(cs, ce)[None, :] < np.arange(rs, re_)[:, None]
+                )
+                dup[rs:re_] |= ((G >= threshold) & lower).any(axis=1)
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                cell_col: pdf[cell_col].to_numpy(),
+                "keep_semantic": ~dup,
+            }
+        )
+
+    return src.groupBy(cell_col).applyInPandas(_dedup, out_schema)
+
+
+def ivf_topk_joined(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "centroid",
+) -> DataFrame:
+    """Join-formulated twin of :func:`ivf_topk` (assign → broadcast-join
+    probe frame → expression cosine → rank).  Kept as the differential
+    reference the fused pass is tested against — the declarative shape
+    is oracle-auditable line by line, but it pays an assignment pass, a
+    scoring join, and a wide-row Arrow/exchange cost the fused pass
+    avoids; never the execution path."""
+    corpus = corpus.where(usable_vec(F.col(vec_col)))
+    queries = queries.where(usable_vec(F.col(vec_col)))
+    cells = assign_cells_vectorized(
+        corpus, centroids, vec_col, id_col, centroid_id, centroid_vec
+    )
+    q_cells = _probe_cells(
+        queries, centroids, nprobe, vec_col, id_col, centroid_id, centroid_vec
     )
     cand = cells.select(
         F.col(id_col).alias("cand_id"),

@@ -999,22 +999,26 @@ def x41_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     path (x20), no iteration, single-pass SQL-expressible.
 
     Shape at scale: the pairwise step is CELL-bucketed (each vector
-    compares against its cell only, never the corpus); the same-cell
-    join shuffles on the cell key, norms staged once per vector, and
-    the keep flag is a mark join on vec_id.  The codebook is √n-sized
-    (see _X41_STRIDE_SQL): assignment costs O(n·√n) and within-cell
-    pairwise O(n²/√n) = O(n^1.5) — the balanced optimum for EXACT
-    cell-bucketed dedup in pure DataFrame algebra.  True-linear
-    semantic dedup needs either ANN-assisted assignment with k ∝ n
-    (SemDeDup's FAISS path — outside vanilla Spark) or the SRP-LSH
-    bucketing x14 uses, which is linear but only recalls high-cosine
-    pairs; x41 is the exact complement.  Only usable vectors
-    participate (the cosine contract, functions.vectors.usable_vec)."""
+    compares against its cell only, never the corpus), executed as
+    blocked BLAS tiles per cell (operators.similarity.
+    semantic_dedup_in_cells) after a zero-shuffle vectorized
+    assignment.  The codebook is √n-sized (see _X41_STRIDE_SQL):
+    assignment costs O(n·√n) and within-cell pairwise O(n²/√n) =
+    O(n^1.5) FLOPs — the balanced optimum for EXACT cell-bucketed
+    dedup.  True-linear semantic dedup needs either ANN-assisted
+    assignment with k ∝ n (SemDeDup's FAISS path — outside vanilla
+    Spark) or the SRP-LSH bucketing x14 uses, which is linear but only
+    recalls high-cosine pairs; x41 is the exact complement.  Only
+    usable vectors participate (the cosine contract,
+    functions.vectors.usable_vec)."""
     import math
     import os
 
-    from ..functions.vectors import cosine_staged, norm, usable_vec
-    from ..operators.similarity import assign_cells
+    from ..functions.vectors import usable_vec
+    from ..operators.similarity import (
+        assign_cells_vectorized,
+        semantic_dedup_in_cells,
+    )
 
     emb = load_table(spark, "embeddings", sf_dir).where(
         usable_vec(F.col("embedding"))
@@ -1025,46 +1029,17 @@ def x41_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("centroid_id"),
         F.col("embedding").alias("centroid"),
     )
-    cells = assign_cells(emb, centroids)
-    staged = cells.select(
-        "vec_id", "cell", "embedding", norm(F.col("embedding")).alias("__n")
-    ).localCheckpoint(eager=False)
-    a = staged.select(
-        F.col("vec_id").alias("a_id"),
-        "cell",
-        F.col("embedding").alias("__va"),
-        F.col("__n").alias("__na"),
-    )
-    b = staged.select(
-        F.col("vec_id").alias("b_id"),
-        "cell",
-        F.col("embedding").alias("__vb"),
-        F.col("__n").alias("__nb"),
-    )
-    dup_ids = (
-        a.join(b, "cell")
-        .where(F.col("b_id") < F.col("a_id"))
-        .where(
-            round_fixed(
-                cosine_staged(
-                    F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb")
-                ),
-                6,
-            )
-            >= SEM_DEDUP_THRESHOLD
-        )
-        .select(F.col("a_id").alias("vec_id"))
-        .distinct()
-        .withColumn("__dup", F.lit(1))
-    )
-    return (
-        staged.select("vec_id", "cell")
-        .join(dup_ids, "vec_id", "left")
-        .select(
-            "vec_id",
-            F.col("cell").cast("int").alias("cell"),
-            F.col("__dup").isNull().alias("keep_semantic"),
-        )
+    # Both stages BLAS-vectorized, row-identical to the declarative
+    # formulations the oracle mirrors: assignment is one matmul per
+    # Arrow batch with no shuffle; the within-cell keep-first rule runs
+    # as blocked matmul tiles per cell group — the O(n^1.5) FLOPs
+    # remain (exact SemDeDup), but no O(pairs) rows are ever
+    # materialized and no interpreted per-pair cosine is paid.
+    cells = assign_cells_vectorized(emb, centroids)
+    return semantic_dedup_in_cells(cells, SEM_DEDUP_THRESHOLD).select(
+        "vec_id",
+        F.col("cell").cast("int").alias("cell"),
+        "keep_semantic",
     )
 
 

@@ -112,6 +112,157 @@ def test_new_query_plan_shapes(spark):
     assert "Exchange" not in plan, plan
 
 
+def test_assign_cells_vectorized_matches_expression(spark):
+    """The BLAS assignment (mapInPandas matmul) must be row-identical
+    to the expression formulation — same rounded-cosine scores, same
+    lower-id tie-break — on both the fixture corpus and a random one
+    (different dim, denser codebook)."""
+    import random
+
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.functions.vectors import (
+        usable_vec,
+    )
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.operators.similarity import (
+        assign_cells,
+        assign_cells_vectorized,
+    )
+
+    def check(emb, centroids):
+        expr = {
+            r["vec_id"]: r["cell"]
+            for r in assign_cells(emb, centroids).collect()
+        }
+        blas = {
+            r["vec_id"]: r["cell"]
+            for r in assign_cells_vectorized(emb, centroids).collect()
+        }
+        assert blas == expr and len(blas) > 0
+
+    emb = load_table(spark, "embeddings", SF_DIR).where(
+        usable_vec(F.col("embedding"))
+    )
+    check(
+        emb,
+        emb.where(F.col("vec_id") % 50 == 3).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("centroid"),
+        ),
+    )
+    rng = random.Random(4312)
+    rand = spark.createDataFrame(
+        [
+            (i, [rng.uniform(-1.0, 1.0) for _ in range(8)])
+            for i in range(2000)
+        ],
+        "vec_id long, embedding array<float>",
+    ).repartition(7)
+    check(
+        rand,
+        rand.where(F.col("vec_id") % 13 == 3).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("centroid"),
+        ),
+    )
+
+
+def test_ivf_fused_matches_joined(spark):
+    """The fused single-pass ivf_topk must be row-identical to the
+    declarative join formulation on the fixture corpus."""
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_joined,
+    )
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    queries = emb.where(F.col("vec_id") < 40)
+    centroids = emb.where(F.col("vec_id") % 50 == 3).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    for nprobe in (1, 2, 3):
+        fused = sorted(
+            map(tuple, ivf_topk(emb, queries, centroids, k=5, nprobe=nprobe).collect())
+        )
+        joined = sorted(
+            map(
+                tuple,
+                ivf_topk_joined(
+                    emb, queries, centroids, k=5, nprobe=nprobe
+                ).collect(),
+            )
+        )
+        assert fused == joined and len(fused) > 0
+
+
+def test_semantic_dedup_in_cells_matches_join_formulation(spark):
+    """The blocked-BLAS keep-first kernel must be row-identical to the
+    declarative pair-join formulation (the shape the DuckDB oracle
+    mirrors), including at a block size smaller than the cell so the
+    tiling seams are exercised."""
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.functions.rounding import (
+        round_fixed,
+    )
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.functions.vectors import (
+        cosine_staged,
+        norm,
+        usable_vec,
+    )
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.operators import (
+        similarity as S,
+    )
+
+    emb = load_table(spark, "embeddings", SF_DIR).where(
+        usable_vec(F.col("embedding"))
+    )
+    centroids = emb.where(F.col("vec_id") % 23 == 3).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    cells = S.assign_cells_vectorized(emb, centroids)
+    threshold = 0.4  # low enough that real dups exist on the fixture
+
+    staged = cells.select(
+        "vec_id", "cell", "embedding", norm(F.col("embedding")).alias("__n")
+    ).localCheckpoint(eager=False)
+    a = staged.select(
+        F.col("vec_id").alias("a_id"), "cell",
+        F.col("embedding").alias("__va"), F.col("__n").alias("__na"),
+    )
+    b = staged.select(
+        F.col("vec_id").alias("b_id"), "cell",
+        F.col("embedding").alias("__vb"), F.col("__n").alias("__nb"),
+    )
+    dup_ids = {
+        r["a_id"]
+        for r in a.join(b, "cell")
+        .where(F.col("b_id") < F.col("a_id"))
+        .where(
+            round_fixed(
+                cosine_staged(
+                    F.col("__va"), F.col("__vb"),
+                    F.col("__na"), F.col("__nb"),
+                ),
+                6,
+            )
+            >= threshold
+        )
+        .select("a_id")
+        .distinct()
+        .collect()
+    }
+    assert dup_ids  # the threshold must actually mark duplicates
+
+    for block in (7, 4096):
+        got = {
+            r["vec_id"]: r["keep_semantic"]
+            for r in S.semantic_dedup_in_cells(
+                cells, threshold, block=block
+            ).collect()
+        }
+        assert len(got) == staged.count()
+        assert {v for v, keep in got.items() if not keep} == dup_ids
+
+
 def test_ivf_recall_at_5_vs_brute_force(spark):
     """Recall@5 of IVF vs exact brute force on the embeddings fixture
     (40 queries, 500 64-dim isotropic random vectors — a worst case for
