@@ -113,6 +113,13 @@ def c01_chess_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical ``k:w,b|…`` string serialization so the oracle can
     recompute it — and D9 time-class bucketing
     (load_fact_and_dim_fiiles.ipynb cell 3)."""
+    return chess_silver_plan(spark, _stage_bronze())
+
+
+def chess_silver_plan(spark: SparkSession, json_path: str) -> DataFrame:
+    """The c01 bronze→silver projection against any month JSON path —
+    shared by the driver query (staged 45-game demo month) and the
+    chess scale probe (tools/chess_scale_probe.py, 10×/100× months)."""
     from ..functions.pgn import (
         move_pairs_map,
         opening_name_from_url,
@@ -120,7 +127,7 @@ def c01_chess_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
         time_class_of,
     )
 
-    raw = read_json(spark, _stage_bronze(), RAW_GAME_SCHEMA)
+    raw = read_json(spark, json_path, RAW_GAME_SCHEMA)
     silver = bronze_to_silver(raw)
     slug_name = opening_name_from_url(F.col("pgn_eco_url"))
     pairs = F.map_entries(move_pairs_map(F.col("pgn_trans")))

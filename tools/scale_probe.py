@@ -44,7 +44,18 @@ sys.path.insert(0, REPO)
 SRC = "/root/testdata/sf0.1"
 
 
-def build_scaled(spark, n: int, out_dir: str) -> None:
+def build_scaled(spark, n: int, out_dir: str, fixed_dup: bool = False) -> None:
+    """``fixed_dup=True`` builds the constant-duplication-rate variant:
+    replicas are made mutually DISSIMILAR (per-replica token suffix on
+    every word — within-replica word-shingle Jaccard is preserved
+    exactly, cross-replica overlap drops to zero; per-replica circular
+    component shift on embeddings — a permutation, so within-replica
+    inner products are preserved exactly while cross-replica cosines
+    decorrelate).  The default replica corpus grows duplication with N
+    (realistic for a crawl that re-fetches); the fixed-dup corpus is
+    what a crawl growing by NEW content looks like — the pair-shaped
+    operators' cost should then track the data ratio, not the pair
+    blow-up."""
     from pyspark.sql import functions as F
 
     os.makedirs(out_dir, exist_ok=True)
@@ -68,26 +79,44 @@ def build_scaled(spark, n: int, out_dir: str) -> None:
 
     docs = spark.read.parquet(os.path.join(SRC, "documents.parquet"))
     n_docs = docs.count()
+    if fixed_dup:
+        # suffix every token with the replica index: replica k of a doc
+        # shares NO word shingles with replica j≠k, while two docs that
+        # were near-dups in the base stay near-dups within every replica
+        docs_text = lambda c, k: (  # noqa: E731
+            F.regexp_replace(c, r"(\S+)", f"$1~{k}") if k else c
+        )
+    else:
+        docs_text = lambda c, k: (  # noqa: E731
+            F.concat(c, F.lit(f" repl{k}")) if k else c
+        )
     replicas(
         docs,
         {"doc_id": n_docs},
-        extra={
-            "text": lambda c, k: F.concat(c, F.lit(f" repl{k}"))
-            if k
-            else c
-        },
+        extra={"text": docs_text},
     ).write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
 
     emb = spark.read.parquet(os.path.join(SRC, "embeddings.parquet"))
     n_emb = emb.count()
+    if fixed_dup:
+        dim = len(emb.select("embedding").first()[0])
+
+        def emb_perturb(c, k):
+            s = k % dim
+            if not s:
+                return c
+            # circular shift = coordinate permutation: norms and
+            # within-replica inner products are bit-identical, while a
+            # shifted copy of a vector decorrelates from the original
+            return F.concat(F.slice(c, s + 1, dim - s), F.slice(c, 1, s))
+    else:
+        emb_perturb = lambda c, k: F.transform(  # noqa: E731
+            c, lambda x: x + F.lit(0.001 * k)
+        )
     replicas(
         emb,
         {"vec_id": n_emb},
-        extra={
-            "embedding": lambda c, k: F.transform(
-                c, lambda x: x + F.lit(0.001 * k)
-            )
-        },
+        extra={"embedding": emb_perturb},
     ).write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
 
     # flavor-aware events read (the fixture has shipped both
@@ -170,9 +199,17 @@ OUTPUT_BOUND = {"x03_minhash_lsh_pairs", "x14_embedding_lsh_near_dup"}
 
 
 def main() -> int:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    argv = [a for a in sys.argv[1:] if a != "--fixed-dup"]
+    fixed_dup = "--fixed-dup" in sys.argv
+    n = int(argv[0]) if argv else 10
     out_dir = (
-        sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_graft_scale_sf1"
+        argv[1]
+        if len(argv) > 1
+        else (
+            f"/tmp/spark_graft_scale_fixdup{n}"
+            if fixed_dup
+            else "/tmp/spark_graft_scale_sf1"
+        )
     )
     from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans import suites
     from end_to_end_chess_com_etl_and_analytics_pipeline_spark.session import (
@@ -180,14 +217,14 @@ def main() -> int:
     )
 
     spark = get_spark(app_name="scale-probe")
-    build_scaled(spark, n, out_dir)
+    build_scaled(spark, n, out_dir, fixed_dup=fixed_dup)
 
     # warm engine paths once (same rationale as bench.py)
     spark.range(1_000_000).selectExpr("sum(id) s").write.format("noop").mode(
         "overwrite"
     ).save()
 
-    wanted = sys.argv[3:] or PROBES
+    wanted = argv[2:] or PROBES
     results = {}
     for name in wanted:
         fn = suites.FULL_QUERIES[name]
