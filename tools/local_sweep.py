@@ -38,14 +38,22 @@ def main() -> int:
     from end_to_end_chess_com_etl_and_analytics_pipeline_spark.session import get_spark
     from oracle_compare import _canon, dtype_mismatches
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    argv = [a for a in sys.argv[1:] if a != "--ansi-off"]
+    ansi_off = "--ansi-off" in sys.argv
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     # FULL registry: the ≤50 scored entries plus every fine-grained query
     # the suites subsume — the committed sweep covers all of them.
     queries = suites.FULL_QUERIES
     oracles = suites.FULL_ORACLE
-    wanted = sys.argv[2:] or list(queries)
+    wanted = argv[1:] or list(queries)
 
-    spark = get_spark()
+    # --ansi-off: differential legacy-mode run.  The contracts were built
+    # under Spark 4 ANSI mode (try_cast/try_to_date paths everywhere a
+    # cast can fail); this proves a legacy-mode user gets the same hashes.
+    extra = {"spark.sql.ansi.enabled": "false"} if ansi_off else None
+    spark = get_spark(extra_conf=extra)
+    if ansi_off:
+        print(f"# ansi.enabled={spark.conf.get('spark.sql.ansi.enabled')}")
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")

@@ -22,8 +22,11 @@ from scratch — TESTDATA.md is the source of truth for shape):
 
 Usage::
 
-    python tools/scale_probe.py [N] [out_dir] [probe ...]
+    python tools/scale_probe.py [N] [out_dir] [--fixed-dup] [probe ...]
     # default N=10, out_dir=/tmp/spark_graft_scale_sf1, all PROBES
+    # out_dir must contain a "/" (else it is read as the first probe)
+    # --fixed-dup: constant-duplication-rate corpus variant (see
+    #   build_scaled) — the curve a crawl growing by NEW content sees
 
 Interpretation notes printed with the table: operators whose OUTPUT is
 pair-shaped (x03/x14 LSH near-dup) are expected to grow faster than
@@ -99,16 +102,22 @@ def build_scaled(spark, n: int, out_dir: str, fixed_dup: bool = False) -> None:
     emb = spark.read.parquet(os.path.join(SRC, "embeddings.parquet"))
     n_emb = emb.count()
     if fixed_dup:
-        dim = len(emb.select("embedding").first()[0])
-
+        # per-replica SIGN FLIP pattern: a diagonal orthogonal transform,
+        # so norms and within-replica inner products are bit-identical,
+        # while across replicas ~half the component products flip sign
+        # and cosines collapse toward 0.  (A circular shift was tried
+        # first and failed: the fixture embeddings carry shift-invariant
+        # structure, so shifted replicas stayed near-dups.)
         def emb_perturb(c, k):
-            s = k % dim
-            if not s:
+            if not k:
                 return c
-            # circular shift = coordinate permutation: norms and
-            # within-replica inner products are bit-identical, while a
-            # shifted copy of a vector decorrelates from the original
-            return F.concat(F.slice(c, s + 1, dim - s), F.slice(c, 1, s))
+            return F.zip_with(
+                c,
+                F.sequence(F.lit(1), F.size(c)),
+                lambda x, i: F.when(
+                    F.pmod(F.hash(F.lit(k), i), 2) == 0, x
+                ).otherwise(-x),
+            )
     else:
         emb_perturb = lambda c, k: F.transform(  # noqa: E731
             c, lambda x: x + F.lit(0.001 * k)
@@ -202,15 +211,16 @@ def main() -> int:
     argv = [a for a in sys.argv[1:] if a != "--fixed-dup"]
     fixed_dup = "--fixed-dup" in sys.argv
     n = int(argv[0]) if argv else 10
-    out_dir = (
-        argv[1]
-        if len(argv) > 1
-        else (
+    # out_dir must look like a path — otherwise it's the first probe name
+    if len(argv) > 1 and ("/" in argv[1] or argv[1].startswith(".")):
+        out_dir, probe_args = argv[1], argv[2:]
+    else:
+        out_dir = (
             f"/tmp/spark_graft_scale_fixdup{n}"
             if fixed_dup
             else "/tmp/spark_graft_scale_sf1"
         )
-    )
+        probe_args = argv[1:]
     from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans import suites
     from end_to_end_chess_com_etl_and_analytics_pipeline_spark.session import (
         get_spark,
@@ -224,7 +234,7 @@ def main() -> int:
         "overwrite"
     ).save()
 
-    wanted = argv[2:] or PROBES
+    wanted = probe_args or PROBES
     results = {}
     for name in wanted:
         fn = suites.FULL_QUERIES[name]
