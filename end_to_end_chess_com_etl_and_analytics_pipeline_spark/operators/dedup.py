@@ -445,12 +445,27 @@ def srp_planes(n_planes: int, dim: int) -> list[list[float]]:
     ]
 
 
+def lsh_auto_geometry(n_vectors: int, bands: int = 4) -> tuple[int, int]:
+    """Size SRP-LSH bits-per-band to the corpus: ``ceil(log2 n)``,
+    floored at 8, so the expected band-bucket occupancy stays O(1) and
+    candidate generation stays bucket-local as n grows.  With a FIXED
+    width b, candidates grow as n²/2^b — measured in SCALE.md's
+    fixed-dup probe: 8-bit bands at 60k vectors cost 18 s producing
+    ZERO output at threshold 0.9 (pure candidate burn), while the
+    log2(n)-sized 16-bit bands ran 3.4× base for 30× data.  Returns
+    (n_planes, bands)."""
+    import math
+
+    bits = max(8, math.ceil(math.log2(max(n_vectors, 2))))
+    return bits * bands, bands
+
+
 def embedding_lsh_near_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dim: int = 64,
-    n_planes: int = 32,
+    n_planes: int | str = 32,
     bands: int = 4,
     threshold: float = 0.9,
 ) -> DataFrame:
@@ -474,12 +489,17 @@ def embedding_lsh_near_dup_pairs(
     ALL pairs) at modest recall cost for high-cosine pairs.  For still
     larger corpora, grow bits-per-band with log2(n) (and add bands to
     hold recall): collision probability per band must shrink faster
-    than the O(n²) pair space grows."""
+    than the O(n²) pair space grows.  Pass ``n_planes="auto"`` to size
+    the width from a corpus count via :func:`lsh_auto_geometry` — one
+    cheap count() per call; the explicit ints stay the oracle-pinned
+    registry geometry (x14)."""
     from ..functions.vectors import usable_vec
 
     df = df.where(usable_vec(F.col(vec_col)))
     from ..functions.vectors import cosine_staged, norm
 
+    if n_planes == "auto":
+        n_planes, bands = lsh_auto_geometry(df.count(), bands)
     rows_per_band = n_planes // bands
     planes = srp_planes(n_planes, dim)
     # One transform over a single array<array<double>> literal instead of

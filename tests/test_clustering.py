@@ -415,3 +415,43 @@ def test_random_projection_known_answer(spark):
                 exp += s * float(x)
             exp *= 0.5
             assert abs(row[f"r{k}"] - exp) < 1e-4, (vid, k)
+
+
+def test_lsh_auto_geometry_formula():
+    """bits-per-band = max(8, ceil(log2 n)) — the SCALE.md-measured
+    sizing that keeps band-bucket occupancy O(1) as the corpus grows."""
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.operators.dedup import (
+        lsh_auto_geometry,
+    )
+
+    assert lsh_auto_geometry(100) == (32, 4)      # floored at 8 bits
+    assert lsh_auto_geometry(2000) == (44, 4)     # ceil(log2 2000) = 11
+    assert lsh_auto_geometry(60000) == (64, 4)    # 16-bit bands
+    assert lsh_auto_geometry(1_000_000) == (80, 4)
+    assert lsh_auto_geometry(2, bands=8) == (64, 8)
+
+
+def test_lsh_auto_matches_explicit_geometry(spark):
+    """n_planes='auto' must be exactly the explicit call at the
+    auto-chosen geometry — same pairs, same cosines."""
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.functions.vectors import (
+        usable_vec,
+    )
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.operators.dedup import (
+        embedding_lsh_near_dup_pairs,
+        lsh_auto_geometry,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    emb = load_table(spark, "embeddings", SF)
+    n_usable = emb.where(usable_vec(F.col("embedding"))).count()
+    n_planes, bands = lsh_auto_geometry(n_usable)
+    auto = embedding_lsh_near_dup_pairs(
+        emb, n_planes="auto", threshold=0.2
+    ).collect()
+    explicit = embedding_lsh_near_dup_pairs(
+        emb, n_planes=n_planes, bands=bands, threshold=0.2
+    ).collect()
+    key = lambda r: (r["id_a"], r["id_b"])  # noqa: E731
+    assert sorted(map(tuple, auto)) == sorted(map(tuple, explicit))
+    assert len({key(r) for r in auto}) == len(auto)

@@ -120,3 +120,32 @@ def test_approx_sketches_error_bounds(spark):
         assert r.q50_within_2pct, r
         assert r.q95_within_2pct, r
         assert r.n_orders >= r.exact_customers > 0
+
+
+def test_deterministic_ops_are_layout_invariant(spark):
+    """In-suite pin of the layout-invariance contract (CONTRACTS.md;
+    full 9-operator sweep in tools/partition_probe.py): identical
+    output whether the input arrives as 1, 5, or 16 partitions — the
+    divergence class task retries and speculation expose at scale."""
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.operators.ids import (
+        stable_row_ids,
+    )
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    docs = load_table(spark, "documents", SF_DIR).select("doc_id", "text")
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    for op in (
+        lambda d: hash_split(d, "doc_id", {"train": 80, "val": 10, "test": 10}),
+        lambda d: deterministic_sample(d, "doc_id", 25),
+        lambda d: stable_row_ids(d, "doc_id"),
+        lambda d: pack_sequences(d),
+    ):
+        base = canon(op(docs.repartition(1)))
+        assert base == canon(op(docs.repartition(5)))
+        assert base == canon(op(docs.repartition(16)))
+        assert base  # non-empty — the comparison must be over real rows
