@@ -336,6 +336,15 @@ def ivf_topk(
             )
 
     scored = src.mapInPandas(_search, out_schema)
+    # Arrow's from_pandas maps float NaN to NULL on the way out of the
+    # kernel; a NULL cos would sort LAST under desc while the expression
+    # path's NaN (inf-norm corner) sorts FIRST (engine total order, NaN
+    # greatest).  Restore NaN — the kernel never emits a genuine null —
+    # so ranking matches ivf_topk_joined and the oracle bit-for-bit
+    # (pinned by the nonfinite probe).
+    scored = scored.withColumn(
+        "cos", F.coalesce(F.col("cos"), F.lit(float("nan")))
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("cand_id").asc()
     )
@@ -447,7 +456,12 @@ def semantic_dedup_in_cells(
                 lower = (
                     np.arange(cs, ce)[None, :] < np.arange(rs, re_)[:, None]
                 )
-                dup[rs:re_] |= ((G >= threshold) & lower).any(axis=1)
+                # engine comparison semantics, not IEEE: Spark and DuckDB
+                # order doubles totally with NaN greatest, so cos=NaN
+                # (inf-norm corner) satisfies `>= threshold` there while
+                # numpy would say False — pinned by the nonfinite probe
+                hit = (G >= threshold) | np.isnan(G)
+                dup[rs:re_] |= (hit & lower).any(axis=1)
         return pd.DataFrame(
             {
                 id_col: ids,

@@ -455,3 +455,53 @@ def test_lsh_auto_matches_explicit_geometry(spark):
     key = lambda r: (r["id_a"], r["id_b"])  # noqa: E731
     assert sorted(map(tuple, auto)) == sorted(map(tuple, explicit))
     assert len({key(r) for r in auto}) == len(auto)
+
+
+def test_fused_kernels_match_engine_nan_semantics(spark):
+    """Engine total order says NaN >= t and NaN sorts first under DESC;
+    numpy says neither.  The inf-norm (huge-but-finite component) corner
+    must come out identical in the fused kernels and the declarative
+    twin — found by the round-6 nonfinite probe."""
+    import math
+
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.operators.similarity import (
+        assign_cells_vectorized,
+        ivf_topk,
+        ivf_topk_joined,
+        semantic_dedup_in_cells,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [1e300, 1e300, 0.0, 0.0]),   # norm overflows to inf
+        (3, [-1e300, 1e300, 1e300, 0.0]),
+        (4, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(10, [1.0, 0.0, 0.0, 0.0]), (11, [0.0, 1.0, 0.0, 0.0])],
+        "centroid_id long, centroid array<double>",
+    )
+
+    def canon(df):
+        out = []
+        for r in sorted(tuple(x) for x in df.collect()):
+            out.append(
+                tuple("NaN" if isinstance(v, float) and math.isnan(v) else v for v in r)
+            )
+        return out
+
+    fused = canon(ivf_topk(emb, emb, cents, k=3, nprobe=2))
+    joined = canon(ivf_topk_joined(emb, emb, cents, k=3, nprobe=2))
+    assert fused == joined
+    # vec 2 x vec 3: dot overflows to NaN via inf-inf; both carry inf
+    # norms.  Engine semantics: NaN >= threshold is TRUE, so the
+    # higher id of the NaN pair must be marked duplicate.
+    cells = assign_cells_vectorized(emb, cents)
+    one_cell = cells.withColumn("cell", cells.cell * 0)  # force same cell
+    keep = {
+        r.vec_id: r.keep_semantic
+        for r in semantic_dedup_in_cells(one_cell, threshold=0.99).collect()
+    }
+    assert keep[2] is True and keep[3] is False
