@@ -38,8 +38,18 @@ def main() -> int:
     from end_to_end_chess_com_etl_and_analytics_pipeline_spark.session import get_spark
     from oracle_compare import _canon, dtype_mismatches
 
-    argv = [a for a in sys.argv[1:] if a != "--ansi-off"]
-    ansi_off = "--ansi-off" in sys.argv
+    raw = sys.argv[1:]
+    argv, confs, i = [], {}, 0
+    while i < len(raw):
+        if raw[i] == "--ansi-off":
+            confs["spark.sql.ansi.enabled"] = "false"
+        elif raw[i] == "--conf" and i + 1 < len(raw):
+            k, _, v = raw[i + 1].partition("=")
+            confs[k] = v
+            i += 1
+        else:
+            argv.append(raw[i])
+        i += 1
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     # FULL registry: the ≤50 scored entries plus every fine-grained query
     # the suites subsume — the committed sweep covers all of them.
@@ -47,13 +57,13 @@ def main() -> int:
     oracles = suites.FULL_ORACLE
     wanted = argv[1:] or list(queries)
 
-    # --ansi-off: differential legacy-mode run.  The contracts were built
-    # under Spark 4 ANSI mode (try_cast/try_to_date paths everywhere a
-    # cast can fail); this proves a legacy-mode user gets the same hashes.
-    extra = {"spark.sql.ansi.enabled": "false"} if ansi_off else None
-    spark = get_spark(extra_conf=extra)
-    if ansi_off:
-        print(f"# ansi.enabled={spark.conf.get('spark.sql.ansi.enabled')}")
+    # Differential-mode confs: --ansi-off proves a legacy-mode user gets
+    # the same hashes (the contracts were built under Spark 4 ANSI mode,
+    # try_cast/try_to_date everywhere a cast can fail); --conf k=v runs
+    # the sweep under any engine knob (e.g. AQE off).
+    spark = get_spark(extra_conf=confs or None)
+    for k in confs:
+        print(f"# {k}={spark.conf.get(k)}")
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
