@@ -54,6 +54,7 @@ HEADLINE = [
     "x14_embedding_lsh_near_dup",
     "x16_asof_join",
     "x19_tfidf_topk",
+    "x58_bm25_topk",
     "x20_dedup_clusters",
     "x29_repetition_filters",
     "x31_contamination",

@@ -883,6 +883,68 @@ WHERE rnk <= 3
 """
 
 
+_X58_TOPQ, _X58_K = 8, 5
+
+
+def x58_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (operators/retrieval.py): top-5 documents
+    for each of the corpus's 8 globally most frequent tokens, derived
+    in-plan (total-occurrence count desc, token asc — a deterministic
+    stand-in for a user query set, so the whole query is
+    self-contained and oracle-checkable).  Inverted-index shape: the
+    corpus shuffles ONCE into the (doc, term, tf) table; dl/df are
+    windows over the collapsed table; corpus stats broadcast back as a
+    1-row aggregate; the query side is broadcast.  North-star
+    extension — the reference has no retrieval surface."""
+    from ..operators.retrieval import bm25_topk
+
+    docs = load_table(spark, "documents", sf_dir)
+    return bm25_topk(docs, k=_X58_K, top_terms=_X58_TOPQ)
+
+
+_X58_SCORE = round_fixed_sql(
+    "SUM(LN(CAST(1.0 AS DOUBLE) "
+    "      + (n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))"
+    "  * (tf * CAST(2.2 AS DOUBLE))"
+    "    / (tf + CAST(1.2 AS DOUBLE)"
+    "         * (CAST(0.25 AS DOUBLE)"
+    "            + CAST(0.75 AS DOUBLE)"
+    "              * (dl / (CAST(sum_dl AS DOUBLE) / n_docs)))))",
+    6,
+)
+
+_X58_SQL = f"""
+WITH exploded AS (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS token
+    FROM (SELECT doc_id,
+                 {_TOKS_SQL.format(c="coalesce(text, '')")} AS toks
+          FROM documents)),
+tf AS (
+    SELECT doc_id, token, COUNT(*) AS tf, MIN(dl) AS dl
+    FROM exploded GROUP BY doc_id, token),
+enriched AS (
+    SELECT doc_id, token, tf, dl,
+           COUNT(*) OVER (PARTITION BY token) AS df
+    FROM tf),
+scalars AS (
+    SELECT SUM(tf) AS sum_dl, COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+queries AS (
+    SELECT token AS query FROM (
+        SELECT token, SUM(tf) AS cnt FROM tf GROUP BY token)
+    ORDER BY cnt DESC, token ASC LIMIT {_X58_TOPQ}),
+scored AS (
+    SELECT q.query, e.doc_id, {_X58_SCORE} AS score
+    FROM enriched e CROSS JOIN scalars JOIN queries q ON e.token = q.query
+    GROUP BY q.query, e.doc_id)
+SELECT query, doc_id, score, CAST(rnk AS INTEGER) AS rnk
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query ORDER BY score DESC, doc_id ASC) AS rnk
+    FROM scored)
+WHERE rnk <= {_X58_K}
+"""
+
+
 def x20_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate cluster resolution: MinHash-LSH candidate pairs
     (x03) → connected components (operators.graph — iterative min-label
@@ -1891,6 +1953,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x17_range_join": x17_range_join,
     "x18_hash_split": x18_hash_split,
     "x19_tfidf_topk": x19_tfidf_topk,
+    "x58_bm25_topk": x58_bm25_topk,
     "x20_dedup_clusters": x20_dedup_clusters,
     "x21_approx_sketches": x21_approx_sketches,
     "x22_kmeans_clusters": x22_kmeans_clusters,
@@ -1929,6 +1992,7 @@ EXT_ORACLE: dict[str, str] = {
     "x17_range_join": _X17_SQL,
     "x18_hash_split": _x18_sql(),
     "x19_tfidf_topk": _X19_SQL,
+    "x58_bm25_topk": _X58_SQL,
     "x20_dedup_clusters": _X20_SQL,
     "x23_profile": _X23_SQL,
     "x24_salted_join": _X24_SQL,

@@ -152,6 +152,13 @@ _SUITE_PARTS: dict[str, list[str]] = {
         "x15_skew_salted_count",
         "x24_salted_join",
     ],
+    # lexical retrieval: per-document salient terms (tf-idf) + per-query
+    # document ranking (BM25) — the two sides of the same inverted-index
+    # (doc, term, tf) table (one family)
+    "x19_retrieval_suite": [
+        "x19_tfidf_topk",
+        "x58_bm25_topk",
+    ],
     # as-of + range join: the two temporal-join kernels (one family)
     "x16_temporal_joins": [
         "x16_asof_join",
