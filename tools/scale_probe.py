@@ -179,6 +179,7 @@ PROBES = [
     "x14_embedding_lsh_near_dup",
     "x16_asof_join",
     "x19_tfidf_topk",
+    "x58_bm25_topk",
     "x26_pack_sequences",
     "x28_stable_row_ids",
     "x33_token_budget_select",
