@@ -14,18 +14,25 @@ Scoring is Okapi BM25 with the Lucene idf form:
     tfn(t, d) = tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
     score(q, d) = Σ_{t ∈ q} idf(t)·tfn(t, d)
 
-Scale shape (the inverted-index plan):
+The operator is split into index / score stages so batch top-k
+(``bm25_topk``) and streaming ingest against a FROZEN persisted index
+(streaming/pipeline.py::streaming_bm25_scores, st11) share one kernel:
 
-- the corpus is tokenized and aggregated to the (doc, term, tf) table
-  with ONE shuffle — the same exchange an inverted index build pays;
-  dl and df are windows over that collapsed table, so no second scan.
-- corpus statistics (N, Σdl) are a 1-row aggregate broadcast back via
-  crossJoin — never a driver collect.
-- the query side is broadcast (a query set is small by definition), so
-  scoring is a map-side hash join against the term table: the corpus
-  shuffles once no matter how many queries probe it.
-- the only per-query exchange is the final top-k window, over
-  |matched terms| rows, not the corpus.
+- ``bm25_tf``: corpus → (doc, term, tf, dl) with ONE shuffle (the tf
+  aggregation); dl is computed AT THE SCAN (token-array size) and
+  carried through the explode, so no per-doc window is ever paid.
+- ``bm25_index``: tf → the frozen artifacts — a vocab-sized term table
+  (token, df, cnt) and a 1-row scalar table (Σdl, N).  Both broadcast.
+- ``bm25_score``: tf ⋈ broadcast(terms) ⋈ broadcast(queries) ⋈
+  broadcast(scalars) → (query, doc, score).  Map-side hash joins: the
+  corpus-sized side never shuffles again, however many queries probe.
+- the only per-query exchange is the final top-k window, and Spark's
+  WindowGroupLimit pushdown pre-filters each task to its local top-k,
+  so the skinny final stage never sees the scored bulk.
+
+A document's scores depend only on its own tokens and the frozen
+index, so the union of per-batch scores equals the one-shot batch
+scoring — the property st11's stream≡batch oracle pins.
 
 Cross-engine determinism: every arithmetic step is written with the
 same IEEE-double expression shape the DuckDB oracle uses (explicit
@@ -40,6 +47,92 @@ from pyspark.sql import functions as F
 
 from ..functions.rounding import round_fixed
 from ..functions.text import tokens
+
+
+def bm25_tf(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, token, tf, dl) — the inverted-index fact table; one shuffle.
+    min(dl) in the agg is a constant per doc (every row of the group
+    carries the same scan-computed array size)."""
+    toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
+    exploded = docs.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("dl"),
+        F.explode(toks).alias("token"),
+    )
+    return exploded.groupBy(id_col, "token").agg(
+        F.count("*").alias("tf"), F.min("dl").alias("dl")
+    )
+
+
+def bm25_index(tf: DataFrame, id_col: str = "doc_id") -> tuple[DataFrame, DataFrame]:
+    """The frozen index artifacts from a tf table: ``terms`` (token,
+    df, cnt — vocab-sized) and ``scalars`` (sum_dl, n_docs — 1 row).
+    Documents with no tokens never reach tf, so they are excluded from
+    the statistics (they have no length to normalize by)."""
+    terms = tf.groupBy("token").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("cnt")
+    )
+    scalars = tf.groupBy().agg(
+        F.sum("tf").alias("sum_dl"),
+        F.countDistinct(id_col).alias("n_docs"),
+    )
+    return terms, scalars
+
+
+def bm25_score(
+    tf: DataFrame,
+    terms: DataFrame,
+    scalars: DataFrame,
+    qterms: DataFrame,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    query_col: str = "query",
+) -> DataFrame:
+    """(query, id, score) for every (query, matching doc) pair.
+    ``qterms`` is (query_col, token) — one row per query term.  All
+    three small sides broadcast; the tf side never shuffles here."""
+    joined = (
+        tf.join(F.broadcast(terms.select("token", "df")), "token")
+        .crossJoin(F.broadcast(scalars))
+        .join(F.broadcast(qterms), "token")
+    )
+    # expression shapes mirror the oracle SQL exactly (one division
+    # order, double literals) — see module docstring
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    rel_len = F.col("dl") / (
+        F.col("sum_dl").cast("double") / F.col("n_docs")
+    )
+    tfn = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * rel_len)
+    )
+    scored = joined.select(
+        query_col, id_col, (idf * tfn).alias("__term_score")
+    )
+    return scored.groupBy(query_col, id_col).agg(
+        round_fixed(F.sum("__term_score"), 6).alias("score")
+    )
+
+
+def bm25_rank_topk(
+    scores: DataFrame, k: int, id_col: str = "doc_id", query_col: str = "query"
+) -> DataFrame:
+    """Per-query top-k over a (query, id, score) table; ties break on
+    ascending document id."""
+    w = Window.partitionBy(query_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scores.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= k)
+        .select(query_col, id_col, "score", "rnk")
+    )
 
 
 def bm25_topk(
@@ -60,40 +153,14 @@ def bm25_topk(
     queries sum their per-term contributions.  ``queries=None`` derives
     single-term queries from the corpus itself — the ``top_terms``
     globally most frequent tokens (total occurrences desc, token asc) —
-    straight from the already-built tf table, so the corpus is
-    tokenized exactly once.  Returns ``(query_col, id_col, score,
-    rnk)`` with ``rnk`` 1-based and ties broken by ascending document
-    id.  Documents with no tokens can never match and are excluded from
-    the corpus statistics (they have no length to normalize by).
-    """
-    toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
-    # dl is computed AT THE SCAN (array size) and carried through the
-    # explode, so the only exchanges the index build pays are the tf
-    # aggregation and the df window — a dl window over the collapsed
-    # table would be a third full shuffle for a value the scan already
-    # knows.  min(dl) in the agg is a constant per doc (any row of the
-    # group carries the same size).
-    exploded = docs.select(
-        F.col(id_col),
-        F.size(toks).cast("long").alias("dl"),
-        F.explode(toks).alias("token"),
-    )
-    tf = exploded.groupBy(id_col, "token").agg(
-        F.count("*").alias("tf"), F.min("dl").alias("dl")
-    )
-    enriched = tf.withColumn(
-        "df", F.count("*").over(Window.partitionBy("token"))
-    )
-    scalars = tf.groupBy().agg(
-        F.sum("tf").alias("sum_dl"),
-        F.countDistinct(id_col).alias("n_docs"),
-    )
-    enriched = enriched.crossJoin(F.broadcast(scalars))
+    straight from the index's term table, so the corpus is tokenized
+    exactly once.  Returns ``(query_col, id_col, score, rnk)`` with
+    ``rnk`` 1-based."""
+    tf = bm25_tf(docs, text_col, id_col)
+    terms, scalars = bm25_index(tf, id_col)
     if queries is None:
         qterms = (
-            tf.groupBy("token")
-            .agg(F.sum("tf").alias("__cnt"))
-            .orderBy(F.col("__cnt").desc(), F.col("token").asc())
+            terms.orderBy(F.col("cnt").desc(), F.col("token").asc())
             .limit(top_terms)
             .select(F.col("token").alias(query_col), "token")
         )
@@ -101,31 +168,5 @@ def bm25_topk(
         qterms = queries.select(
             F.col(query_col), F.explode(F.col(terms_col)).alias("token")
         )
-    joined = enriched.join(F.broadcast(qterms), "token")
-    # expression shapes mirror the oracle SQL exactly (one division
-    # order, double literals) — see module docstring
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
-        / (F.col("df") + F.lit(0.5))
-    )
-    rel_len = F.col("dl") / (
-        F.col("sum_dl").cast("double") / F.col("n_docs")
-    )
-    tfn = (F.col("tf") * F.lit(k1 + 1.0)) / (
-        F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * rel_len)
-    )
-    scored = joined.select(
-        query_col, id_col, (idf * tfn).alias("__term_score")
-    )
-    agg = scored.groupBy(query_col, id_col).agg(
-        round_fixed(F.sum("__term_score"), 6).alias("score")
-    )
-    w = Window.partitionBy(query_col).orderBy(
-        F.col("score").desc(), F.col(id_col).asc()
-    )
-    return (
-        agg.withColumn("rnk", F.row_number().over(w).cast("int"))
-        .where(F.col("rnk") <= k)
-        .select(query_col, id_col, "score", "rnk")
-    )
+    scores = bm25_score(tf, terms, scalars, qterms, k1, b, id_col, query_col)
+    return bm25_rank_topk(scores, k, id_col, query_col)

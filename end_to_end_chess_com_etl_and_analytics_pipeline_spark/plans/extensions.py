@@ -902,6 +902,62 @@ def x58_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, k=_X58_K, top_terms=_X58_TOPQ)
 
 
+def st11_streaming_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of x58: the BM25 index (term df table, corpus
+    scalars, derived query set) is built batch-side and PERSISTED to
+    parquet — the frozen artifacts — the documents arrive as a
+    file-source stream (3 files → 3 micro-batches), each micro-batch's
+    scores append via streaming/pipeline.py::streaming_bm25_scores, and
+    the final per-query top-k ranks the appended scores.  Equal to the
+    one-shot x58 by construction (a doc's scores depend only on its own
+    tokens + the frozen index), so the oracle is x58's SQL."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from ..operators.retrieval import (
+        bm25_index,
+        bm25_rank_topk,
+        bm25_tf,
+    )
+    from ..streaming.pipeline import streaming_bm25_scores
+
+    docs = load_table(spark, "documents", sf_dir)
+    root = tempfile.mkdtemp(prefix="st11_")
+    try:
+        tf = bm25_tf(docs)
+        terms, scalars = bm25_index(tf)
+        qterms = (
+            terms.orderBy(F.col("cnt").desc(), F.col("token").asc())
+            .limit(_X58_TOPQ)
+            .select(F.col("token").alias("query"), "token")
+        )
+        paths = {
+            n: _os.path.join(root, n)
+            for n in ("terms", "scalars", "qterms", "batch", "scores", "ckpt")
+        }
+        terms.write.parquet(paths["terms"])
+        scalars.write.parquet(paths["scalars"])
+        qterms.write.parquet(paths["qterms"])
+        # several arriving files → several micro-batches
+        docs.repartition(3).write.parquet(paths["batch"])
+        streaming_bm25_scores(
+            spark,
+            paths["batch"],
+            paths["terms"],
+            paths["scalars"],
+            paths["qterms"],
+            paths["scores"],
+            paths["ckpt"],
+        )
+        out = bm25_rank_topk(
+            spark.read.parquet(paths["scores"]), _X58_K
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 _X58_SCORE = round_fixed_sql(
     "SUM(LN(CAST(1.0 AS DOUBLE) "
     "      + (n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))"
@@ -1954,6 +2010,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x18_hash_split": x18_hash_split,
     "x19_tfidf_topk": x19_tfidf_topk,
     "x58_bm25_topk": x58_bm25_topk,
+    "st11_streaming_bm25": st11_streaming_bm25,
     "x20_dedup_clusters": x20_dedup_clusters,
     "x21_approx_sketches": x21_approx_sketches,
     "x22_kmeans_clusters": x22_kmeans_clusters,
@@ -1993,6 +2050,7 @@ EXT_ORACLE: dict[str, str] = {
     "x18_hash_split": _x18_sql(),
     "x19_tfidf_topk": _X19_SQL,
     "x58_bm25_topk": _X58_SQL,
+    "st11_streaming_bm25": _X58_SQL,
     "x20_dedup_clusters": _X20_SQL,
     "x23_profile": _X23_SQL,
     "x24_salted_join": _X24_SQL,

@@ -509,6 +509,67 @@ def streaming_lm_gate(
             spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+def streaming_bm25_scores(
+    spark: SparkSession,
+    batch_docs_dir: str,
+    terms_path: str,
+    scalars_path: str,
+    qterms_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> None:
+    """Streaming retrieval scoring against a FROZEN persisted BM25
+    index: the term/scalar/query artifacts are built batch-side
+    (operators.retrieval.bm25_index) and written to parquet; document
+    batches arrive as a file-source stream and each micro-batch is
+    scored in ``foreachBatch`` by the same kernel batch top-k uses
+    (bm25_tf → bm25_score, all small sides broadcast); score rows
+    append to ``out_path``.
+
+    The production retrieval shape: the index refreshes on rebuild
+    cadence while ingest streams against the frozen copy.  A doc's
+    scores depend only on its own tokens and the frozen artifacts, so
+    the union of micro-batch scores equals one-shot batch scoring —
+    st11 ranks the appended scores and must hash-match x58's oracle.
+    ``availableNow`` drains the backlog then stops."""
+    from ..operators.retrieval import bm25_score, bm25_tf
+
+    schema = spark.read.parquet(batch_docs_dir).schema  # footer probe
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(batch_docs_dir)
+    )
+    terms = spark.read.parquet(terms_path)
+    scalars = spark.read.parquet(scalars_path)
+    qterms = spark.read.parquet(qterms_path)
+
+    def score(batch_df: DataFrame, batch_id: int) -> None:
+        tf = bm25_tf(batch_df)
+        bm25_score(tf, terms, scalars, qterms, k1, b).write.mode(
+            "append"
+        ).parquet(out_path)
+
+    # batch-scoped shuffle width (see run_incremental_gold)
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        (
+            stream.writeStream.foreachBatch(score)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def streaming_archive_ingest(
     spark: SparkSession,
     requests_dir: str,

@@ -96,3 +96,21 @@ def test_rank_ties_break_by_doc_id(spark):
         (r.rnk, r.doc_id) for r in bm25_topk(spark_docs, q, k=3).collect()
     )
     assert got == [(1, 2), (2, 5), (3, 9)]
+
+
+def test_streaming_bm25_equals_batch_topk(spark):
+    """st11's stream-scored, batch-ranked output must equal the
+    one-shot x58 exactly — the frozen-index decomposability contract
+    (a doc's scores depend only on its own tokens + the persisted
+    artifacts, so micro-batch unions reproduce the batch scoring)."""
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans import (
+        extensions as ext,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    batch = sorted(tuple(r) for r in ext.x58_bm25_topk(spark, SF).collect())
+    streamed = sorted(
+        tuple(r) for r in ext.st11_streaming_bm25(spark, SF).collect()
+    )
+    assert batch == streamed
+    assert len(batch) > 0
