@@ -55,6 +55,7 @@ HEADLINE = [
     "x16_asof_join",
     "x19_tfidf_topk",
     "x58_bm25_topk",
+    "x59_pq_encode",
     "x20_dedup_clusters",
     "x29_repetition_filters",
     "x31_contamination",

@@ -1,0 +1,210 @@
+"""Product quantization (PQ): compress an embedding corpus to a few
+bytes per vector and search it with asymmetric distance (ADC).
+
+The missing third of the ANN stack next to IVF cells
+(operators/similarity.py) and SRP-LSH buckets (operators/dedup.py):
+IVF prunes WHICH vectors a query scans, PQ shrinks WHAT each scan
+touches — 64 float32 components (256 B) become M=4 codes (4 B at
+k=16/256), so a 100 TB embedding corpus's searchable representation
+fits in a fraction of the footprint and ADC scoring reads codes, never
+raw vectors (Jégou, Douze, Schmid 2011, "Product Quantization for
+Nearest Neighbor Search").
+
+Mechanics: the vector splits into M contiguous subspaces; each
+subspace has its own k-entry codebook; a vector's code in subspace j
+is the argmin-squared-L2 codebook entry for its j-th slice (ties to
+the lower code).  Scale design:
+
+- codebooks are (M·k·sub_dim) — driver/literal-sized by construction
+  (same contract as IVF's coarse codebook); encoding is a PURE
+  PROJECTION over the scan: per-row argmin against a foldable literal,
+  no join, no shuffle (operators.clustering.assign_nearest's shape).
+- training is per-subspace Lloyd's on the existing distributed kmeans
+  kernel: the corpus is never shuffled for assignment, one k×sub_dim
+  partial-mean exchange per round per subspace.
+- ADC reconstructs each candidate from broadcast code→centroid maps
+  (M hash joins against 16-row tables) and folds one ordered
+  64-element squared distance per (query, candidate) — queries
+  broadcast, the corpus side never shuffles until the final top-k
+  window (WindowGroupLimit keeps that skinny).
+
+Cross-engine determinism (x59's oracle): distances are ordered
+left-to-right folds (the cosine_sql contract), ties break on the lower
+code / candidate id, and the per-vector reconstruction error is the
+fixed-order sum err_0 + err_1 + ... rounded to 6 decimals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.rounding import round_fixed
+from ..functions.vectors import usable_vec
+from .clustering import _sq_dist, kmeans
+
+Codebooks = list[list[tuple[int, list[float]]]]  # [subspace][(code, sub)]
+
+
+def _slice(vec: Column, j: int, sub_dim: int) -> Column:
+    return F.slice(vec, j * sub_dim + 1, sub_dim)
+
+
+def pq_codebooks_init(
+    vectors: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> Codebooks:
+    """Deterministic UNTRAINED codebooks: the ``k`` lowest-id usable
+    vectors, sliced per subspace — the Lloyd's init, and the exactly
+    SQL-reproducible flavor the x59 oracle checks (the same house
+    pattern as x12's stride-derived IVF centroids)."""
+    rows = (
+        vectors.where(usable_vec(F.col(vec_col), require_nonzero=False))
+        .select(id_col, vec_col)
+        .orderBy(F.col(id_col).asc())
+        .limit(k)
+        .collect()
+    )
+    dim = len(rows[0][vec_col])
+    sub = dim // m
+    return [
+        [
+            (code, [float(v) for v in r[vec_col]][j * sub : (j + 1) * sub])
+            for code, r in enumerate(rows)
+        ]
+        for j in range(m)
+    ]
+
+
+def pq_codebooks_train(
+    vectors: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    rounds: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> Codebooks:
+    """Trained codebooks: per-subspace Lloyd's via the distributed
+    kmeans kernel (deterministic init/ties, fixed rounds)."""
+    first = vectors.select(vec_col).first()
+    sub = len(first[vec_col]) // m
+    books: Codebooks = []
+    for j in range(m):
+        sliced = vectors.select(
+            F.col(id_col), _slice(F.col(vec_col), j, sub).alias(vec_col)
+        )
+        _, cents = kmeans(sliced, k=k, rounds=rounds, vec_col=vec_col, id_col=id_col)
+        books.append([(cid, list(v)) for cid, v in cents])
+    return books
+
+
+def _book_literal(book: list[tuple[int, list[float]]]) -> Column:
+    """One parsed literal per codebook (the assign_nearest / SRP-plane
+    literal discipline: no per-value F.lit round trips)."""
+    return F.expr(
+        "array("
+        + ", ".join(
+            f"named_struct('code', {int(code)}, 'cv', array("
+            + ", ".join(repr(float(v)) + "D" for v in sub)
+            + "))"
+            for code, sub in book
+        )
+        + ")"
+    )
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: Codebooks,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, code_0..code_{M-1}, recon_sq): per-subspace argmin codes
+    (ties → lower code) plus the total squared reconstruction error,
+    summed in fixed subspace order and rounded to 6 decimals.  Pure
+    projection — zero shuffle, zero joins."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0][1])
+    out = vectors.where(
+        usable_vec(F.col(vec_col), require_nonzero=False)
+    ).select(id_col, vec_col)
+    err_cols = []
+    for j, book in enumerate(codebooks):
+        # bind the subspace slice OUTSIDE the lambda: a second lambda
+        # parameter would receive transform's ELEMENT INDEX, not j
+        sl = _slice(F.col(vec_col), j, sub)
+        scored = F.transform(
+            _book_literal(book),
+            # single-param lambda, invoked eagerly within this iteration
+            lambda c: F.struct(  # noqa: B023 — eager HOF expansion
+                _sq_dist(sl, c["cv"]).alias("d"),
+                c["code"].alias("code"),
+            ),
+        )
+        best = F.array_min(scored)
+        out = out.withColumn(f"code_{j}", best["code"]).withColumn(
+            f"__err_{j}", best["d"]
+        )
+        err_cols.append(f"__err_{j}")
+    total = F.col(err_cols[0])
+    for c in err_cols[1:]:
+        total = total + F.col(c)
+    return out.select(
+        id_col,
+        *[f"code_{j}" for j in range(m)],
+        round_fixed(total, 6).alias("recon_sq"),
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebooks: Codebooks,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance top-k: each candidate is reconstructed from
+    its codes (M broadcast joins against 16-row code→centroid maps, a
+    fixed-order concat), each (query, candidate) pair scores ONE
+    ordered 64-element squared-L2 fold, rank ascends on (distance,
+    candidate id).  Returns (query_id, cand_id, approx_d2, rnk)."""
+    spark = codes.sparkSession
+    m = len(codebooks)
+    recon = codes
+    parts = []
+    for j, book in enumerate(codebooks):
+        map_df = spark.createDataFrame(
+            [(code, sub) for code, sub in book],
+            f"code_{j} int, __sub_{j} array<double>",
+        )
+        recon = recon.join(F.broadcast(map_df), f"code_{j}")
+        parts.append(f"__sub_{j}")
+    recon = recon.select(
+        F.col(id_col).alias("cand_id"),
+        F.concat(*[F.col(p) for p in parts]).alias("__recon"),
+    )
+    qs = queries.where(
+        usable_vec(F.col(vec_col), require_nonzero=False)
+    ).select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    scored = recon.crossJoin(F.broadcast(qs)).where(
+        F.col("cand_id") != F.col("query_id")
+    )
+    scored = scored.select(
+        "query_id",
+        "cand_id",
+        round_fixed(_sq_dist(F.col("__qv"), F.col("__recon")), 6).alias(
+            "approx_d2"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_d2").asc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "cand_id", "approx_d2", "rnk")
+    )

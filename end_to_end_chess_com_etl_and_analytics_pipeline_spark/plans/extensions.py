@@ -1091,6 +1091,67 @@ FROM {_EMB_FINITE} e
 
 
 
+_X59_M, _X59_KC = 4, 16
+
+
+def x59_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode (operators/pq.py): 64-dim embeddings
+    → 4 subspace codes + the exact squared reconstruction error — the
+    compression that lets a 100 TB embedding corpus's searchable
+    representation live in a fraction of its footprint (Jégou et al.
+    2011).  This scoring flavor uses the deterministic UNTRAINED
+    codebooks (the 16 lowest-id finite vectors, sliced — the Lloyd's
+    init, the same house pattern as x12's stride centroids) so the
+    oracle reproduces every code and error bit-for-bit; the trained
+    path (per-subspace distributed Lloyd's) and ADC top-k recall are
+    pinned by tests/test_pq.py.  Encoding is a pure projection: per-row
+    argmin against foldable codebook literals — zero joins, zero
+    shuffles."""
+    from ..operators.pq import pq_codebooks_init, pq_encode
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    books = pq_codebooks_init(emb, m=_X59_M, k=_X59_KC)
+    return pq_encode(emb, books)
+
+
+def _x59_sql() -> str:
+    sub = 64 // _X59_M
+
+    def d2(j: int) -> str:
+        off = j * sub
+        ea = f"CAST(e.embedding[i + {off}] AS DOUBLE)"
+        ca = f"CAST(c.cv[i + {off}] AS DOUBLE)"
+        return (
+            f"list_sum(list_transform(range(1, {sub + 1}), "
+            f"i -> ({ea} - {ca}) * ({ea} - {ca})))"
+        )
+
+    encs = ",\n".join(
+        f"""enc{j} AS (
+    SELECT vec_id, CAST(code AS INTEGER) AS code_{j}, d AS err_{j} FROM (
+        SELECT e.vec_id, c.code, {d2(j)} AS d,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY {d2(j)} ASC, c.code ASC) AS rn
+        FROM {{emb}} e, cb c) WHERE rn = 1)"""
+        for j in range(_X59_M)
+    )
+    joins = " ".join(f"JOIN enc{j} USING (vec_id)" for j in range(1, _X59_M))
+    err_sum = " + ".join(f"err_{j}" for j in range(_X59_M))
+    return f"""
+WITH cb AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS code, embedding AS cv
+    FROM (SELECT vec_id, embedding FROM {{emb}}
+          ORDER BY vec_id ASC LIMIT {_X59_KC})),
+{encs}
+SELECT vec_id, {", ".join(f"code_{j}" for j in range(_X59_M))},
+       {round_fixed_sql(err_sum, 6)} AS recon_sq
+FROM enc0 {joins}
+""".replace("{emb}", _EMB_FINITE)
+
+
+_X59_SQL = _x59_sql()
+
+
 # SemDeDup-style semantic dedup: keep-first within IVF cells.  The
 # threshold is fixture-calibrated (within-cell cosine p99 ≈ 0.33, max
 # 0.51 — both keep outcomes occur); production corpora tune per-model.
@@ -2010,6 +2071,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x18_hash_split": x18_hash_split,
     "x19_tfidf_topk": x19_tfidf_topk,
     "x58_bm25_topk": x58_bm25_topk,
+    "x59_pq_encode": x59_pq_encode,
     "st11_streaming_bm25": st11_streaming_bm25,
     "x20_dedup_clusters": x20_dedup_clusters,
     "x21_approx_sketches": x21_approx_sketches,
@@ -2050,6 +2112,7 @@ EXT_ORACLE: dict[str, str] = {
     "x18_hash_split": _x18_sql(),
     "x19_tfidf_topk": _X19_SQL,
     "x58_bm25_topk": _X58_SQL,
+    "x59_pq_encode": _X59_SQL,
     "st11_streaming_bm25": _X58_SQL,
     "x20_dedup_clusters": _X20_SQL,
     "x23_profile": _X23_SQL,

@@ -1,0 +1,108 @@
+"""Product quantization (operators/pq.py): encode parity against a
+numpy reference, training actually reduces reconstruction error, and
+ADC top-k holds a recall floor against exact brute force."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from end_to_end_chess_com_etl_and_analytics_pipeline_spark.operators.pq import (
+    pq_adc_topk,
+    pq_codebooks_init,
+    pq_codebooks_train,
+    pq_encode,
+)
+from end_to_end_chess_com_etl_and_analytics_pipeline_spark.sources.tables import (
+    load_table,
+)
+
+SF = "/root/testdata/sf0.001"
+M, KC = 4, 16
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, "embeddings", SF).select("vec_id", "embedding")
+
+
+def _np_encode(X, books):
+    m = len(books)
+    sub = X.shape[1] // m
+    codes = np.zeros((len(X), m), dtype=int)
+    err = np.zeros(len(X))
+    for j, book in enumerate(books):
+        C = np.array([v for _, v in book])
+        d = ((X[:, j * sub : (j + 1) * sub][:, None, :] - C[None]) ** 2).sum(
+            axis=2
+        )
+        codes[:, j] = d.argmin(axis=1)  # first min = lower code on ties
+        err += d.min(axis=1)
+    return codes, err
+
+
+def test_encode_matches_numpy_reference(spark, emb):
+    books = pq_codebooks_init(emb, m=M, k=KC)
+    got = {r.vec_id: r for r in pq_encode(emb, books).collect()}
+    rows = emb.collect()
+    X = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    codes, err = _np_encode(X, books)
+    for i, r in enumerate(rows):
+        g = got[r.vec_id]
+        assert [g.code_0, g.code_1, g.code_2, g.code_3] == list(codes[i])
+        assert g.recon_sq == pytest.approx(err[i], abs=2e-6)
+
+
+def test_training_reduces_reconstruction_error(spark, emb):
+    init_books = pq_codebooks_init(emb, m=M, k=KC)
+    trained = pq_codebooks_train(emb, m=M, k=KC, rounds=3)
+    e_init = pq_encode(emb, init_books).agg(F.sum("recon_sq")).first()[0]
+    e_trained = pq_encode(emb, trained).agg(F.sum("recon_sq")).first()[0]
+    assert e_trained < e_init * 0.9  # Lloyd's must buy a real reduction
+
+
+def test_adc_recall_against_brute_force(spark, emb):
+    """recall@5 of ADC top-5 vs exact squared-L2 top-5 with TRAINED
+    codebooks (8 subspaces × 16 codes = 32 bits/vector).  Isotropic
+    64-dim vectors are the worst case for quantization (the same
+    caveat as the IVF recall pin in README.md) — measured 0.20 here vs
+    a random baseline of 5/500 = 0.01; the floor pins 'much better
+    than random', not near-exact, with slack for fixture
+    regeneration."""
+    trained = pq_codebooks_train(emb, m=8, k=KC, rounds=3)
+    codes = pq_encode(emb, trained)
+    queries = emb.where(F.col("vec_id") < 8)
+    got = pq_adc_topk(codes, trained, queries, k=5).collect()
+    adc = {}
+    for r in got:
+        adc.setdefault(r.query_id, set()).add(r.cand_id)
+
+    rows = emb.collect()
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    recalls = []
+    for q in sorted(adc):
+        qv = X[ids == q][0]
+        d = ((X - qv) ** 2).sum(axis=1)
+        d[ids == q] = np.inf  # exclude self, as the operator does
+        exact = set(ids[np.argsort(d, kind="stable")[:5]])
+        recalls.append(len(adc[q] & exact) / 5)
+    assert len(recalls) == 8
+    assert float(np.mean(recalls)) >= 0.15
+
+
+def test_adc_excludes_self_and_ranks_ascending(spark, emb):
+    books = pq_codebooks_init(emb, m=M, k=KC)
+    codes = pq_encode(emb, books)
+    queries = emb.where(F.col("vec_id") < 3)
+    out = pq_adc_topk(codes, books, queries, k=5).collect()
+    for r in out:
+        assert r.query_id != r.cand_id
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append((r.rnk, r.approx_d2, r.cand_id))
+    for q, rs in by_q.items():
+        rs.sort()
+        ds = [d for _, d, _ in rs]
+        assert ds == sorted(ds), q
