@@ -68,6 +68,12 @@ def pq_codebooks_init(
         .limit(k)
         .collect()
     )
+    if not rows:
+        # empty corpus: m empty books — pq_encode yields the typed
+        # empty/NULL-coded frame (the empty-inputs contract,
+        # tests/test_empty_inputs.py), same convention as
+        # clustering.assign_nearest's empty-centroid branch
+        return [[] for _ in range(m)]
     dim = len(rows[0][vec_col])
     sub = dim // m
     return [
@@ -127,10 +133,21 @@ def pq_encode(
     summed in fixed subspace order and rounded to 6 decimals.  Pure
     projection — zero shuffle, zero joins."""
     m = len(codebooks)
-    sub = len(codebooks[0][0][1])
     out = vectors.where(
         usable_vec(F.col(vec_col), require_nonzero=False)
     ).select(id_col, vec_col)
+    if not codebooks[0]:
+        # empty codebooks (empty corpus): typed NULL codes — an empty
+        # array literal would type as ARRAY<VOID> and crash analysis
+        return out.select(
+            id_col,
+            *[
+                F.lit(None).cast("int").alias(f"code_{j}")
+                for j in range(m)
+            ],
+            F.lit(None).cast("double").alias("recon_sq"),
+        )
+    sub = len(codebooks[0][0][1])
     err_cols = []
     for j, book in enumerate(codebooks):
         # bind the subspace slice OUTSIDE the lambda: a second lambda

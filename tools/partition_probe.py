@@ -54,6 +54,8 @@ DETERMINISTIC_QUERIES = [
     "x36_mixture_sample",
     "x37_leakage_safe_split",
     "x47_weighted_sample",
+    "x58_bm25_topk",
+    "x59_pq_encode",
 ]
 
 LAYOUTS = (1, 7, 64)

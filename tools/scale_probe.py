@@ -180,6 +180,7 @@ PROBES = [
     "x16_asof_join",
     "x19_tfidf_topk",
     "x58_bm25_topk",
+    "x59_pq_encode",
     "x26_pack_sequences",
     "x28_stable_row_ids",
     "x33_token_budget_select",
