@@ -176,20 +176,25 @@ def decode_png_stdlib(payload: bytes) -> dict:
     scanline unfiltering (None/Sub/Up/Average/Paeth), for 8-bit
     non-interlaced images.  Returns width/height/mode plus the
     reconstructed raw pixel bytes so tests can assert actual pixel
-    values, not just header fields.  This is the no-dependency fallback
-    decoder — PIL (when importable) is preferred: it covers every
-    format and runs its filters in C."""
+    values, not just header fields; palette images (color_type 3, mode
+    "P" — the PIL mode string) have their indices expanded through the
+    PLTE chunk, so 'pixels' is always raw channel bytes, never palette
+    indices.  Truncated or malformed chunk layouts raise ValueError.
+    This is the no-dependency fallback decoder — PIL (when importable)
+    is preferred: it covers every format and runs its filters in C."""
     import struct
     import zlib
 
     data = bytes(payload)
     if not data.startswith(_PNG_MAGIC):
         raise ValueError("not a PNG payload")
-    pos, idat = 8, b""
+    pos, idat, plte = 8, b"", None
     width = height = bit_depth = color_type = interlace = None
     while pos + 12 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         tag = data[pos + 4 : pos + 8]
+        if pos + 12 + length > len(data):
+            raise ValueError(f"truncated PNG chunk {tag!r}")
         body = data[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack(
             ">I", data[pos + 8 + length : pos + 12 + length]
@@ -197,9 +202,13 @@ def decode_png_stdlib(payload: bytes) -> dict:
         if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
             raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
         if tag == b"IHDR":
+            if length != 13:
+                raise ValueError("malformed PNG IHDR chunk")
             width, height, bit_depth, color_type, _c, _f, interlace = (
                 struct.unpack(">IIBBBBB", body)
             )
+        elif tag == b"PLTE":
+            plte = body
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
@@ -246,6 +255,17 @@ def decode_png_stdlib(payload: bytes) -> dict:
             raise ValueError(f"bad PNG filter type {filt}")
         out += line
         prev = line
+    if color_type == 3:
+        # palette image: expand indices through PLTE so 'pixels' is raw
+        # RGB bytes (the docstring contract), never bare indices
+        if plte is None or len(plte) % 3 != 0 or not plte:
+            raise ValueError("palette PNG missing or malformed PLTE chunk")
+        n_entries = len(plte) // 3
+        if any(i >= n_entries for i in out):
+            raise ValueError("PNG palette index out of range")
+        out = bytearray(
+            b"".join(plte[3 * i : 3 * i + 3] for i in out)
+        )
     return {
         "width": width,
         "height": height,

@@ -75,6 +75,8 @@ def pq_codebooks_init(
         # clustering.assign_nearest's empty-centroid branch
         return [[] for _ in range(m)]
     dim = len(rows[0][vec_col])
+    if dim % m != 0:
+        raise ValueError(f"embedding dim {dim} not divisible by m={m}")
     sub = dim // m
     return [
         [
@@ -95,8 +97,17 @@ def pq_codebooks_train(
 ) -> Codebooks:
     """Trained codebooks: per-subspace Lloyd's via the distributed
     kmeans kernel (deterministic init/ties, fixed rounds)."""
-    first = vectors.select(vec_col).first()
-    sub = len(first[vec_col]) // m
+    usable = vectors.where(usable_vec(F.col(vec_col), require_nonzero=False))
+    first = usable.select(vec_col).first()
+    if first is None:
+        # empty corpus: same contract as pq_codebooks_init — m empty
+        # books, pq_encode yields the typed empty/NULL-coded frame
+        return [[] for _ in range(m)]
+    dim = len(first[vec_col])
+    if dim % m != 0:
+        raise ValueError(f"embedding dim {dim} not divisible by m={m}")
+    sub = dim // m
+    vectors = usable
     books: Codebooks = []
     for j in range(m):
         sliced = vectors.select(
@@ -136,7 +147,7 @@ def pq_encode(
     out = vectors.where(
         usable_vec(F.col(vec_col), require_nonzero=False)
     ).select(id_col, vec_col)
-    if not codebooks[0]:
+    if not codebooks or not codebooks[0]:
         # empty codebooks (empty corpus): typed NULL codes — an empty
         # array literal would type as ARRAY<VOID> and crash analysis
         return out.select(

@@ -892,9 +892,11 @@ def x58_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-plan (total-occurrence count desc, token asc — a deterministic
     stand-in for a user query set, so the whole query is
     self-contained and oracle-checkable).  Inverted-index shape: the
-    corpus shuffles ONCE into the (doc, term, tf) table; dl/df are
-    windows over the collapsed table; corpus stats broadcast back as a
-    1-row aggregate; the query side is broadcast.  North-star
+    corpus shuffles ONCE into the (doc, term, tf) table (dl computed at
+    scan); df comes from a groupBy over that table, joined back as a
+    broadcast term table (only the DuckDB oracle phrases df as a
+    window); corpus stats broadcast back as a 1-row aggregate; the
+    query side is broadcast.  North-star
     extension — the reference has no retrieval surface."""
     from ..operators.retrieval import bm25_topk
 

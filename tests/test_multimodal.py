@@ -157,3 +157,59 @@ def test_decode_images_plumbing_fails_loudly_for_non_png(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|requires PIL"):
         decode_images(media).collect()
+
+
+def make_palette_png(width: int, height: int, n_colors: int = 4) -> bytes:
+    """Valid color_type-3 (palette) PNG: index i at (x, y) cycles over
+    the PLTE; pixel bytes after a correct decode are the RGB triples."""
+    plte = b"".join(
+        bytes((c * 10 % 256, c * 20 % 256, c * 30 % 256))
+        for c in range(n_colors)
+    )
+    rows = b"".join(
+        b"\x00" + bytes((x + y) % n_colors for x in range(width))
+        for y in range(height)
+    )
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 3, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"PLTE", plte)
+        + _chunk(b"IDAT", zlib.compress(rows))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def test_stdlib_decode_expands_palette_to_rgb():
+    """color_type 3 'pixels' are PLTE-expanded RGB bytes, never bare
+    palette indices (the docstring contract)."""
+    d = decode_png_stdlib(make_palette_png(4, 3))
+    assert (d["width"], d["height"], d["mode"]) == (4, 3, "P")
+    px = d["pixels"]
+    assert len(px) == 4 * 3 * 3
+    for y in range(3):
+        for x in range(4):
+            c = (x + y) % 4
+            o = (y * 4 + x) * 3
+            assert px[o : o + 3] == bytes(
+                (c * 10 % 256, c * 20 % 256, c * 30 % 256)
+            ), (x, y)
+
+
+def test_stdlib_decode_palette_missing_plte_is_valueerror():
+    png = make_palette_png(4, 3)
+    # excise the PLTE chunk (12-byte framing + 12-byte body)
+    i = png.index(b"PLTE") - 4
+    ln = struct.unpack(">I", png[i : i + 4])[0]
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png_stdlib(png[:i] + png[i + 12 + ln :])
+
+
+def test_stdlib_decode_truncated_chunk_is_valueerror():
+    """A chunk whose declared length runs past the payload must raise
+    ValueError, not struct.error."""
+    png = bytearray(make_png(4, 3))
+    i = bytes(png).index(b"IDAT") - 4
+    png[i : i + 4] = struct.pack(">I", 1 << 20)  # absurd declared length
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png_stdlib(bytes(png))

@@ -106,3 +106,26 @@ def test_adc_excludes_self_and_ranks_ascending(spark, emb):
         rs.sort()
         ds = [d for _, d, _ in rs]
         assert ds == sorted(ds), q
+
+
+def test_trained_codebooks_empty_corpus_contract(spark, emb):
+    """pq_codebooks_train on an empty / all-NULL corpus returns m empty
+    books (the pq_codebooks_init contract), and pq_encode of those is
+    the typed NULL-coded frame — not a TypeError on first()."""
+    empty = emb.where(F.lit(False))
+    books = pq_codebooks_train(empty, m=M, k=KC)
+    assert books == [[] for _ in range(M)]
+    nulled = emb.select("vec_id", F.lit(None).cast("array<double>").alias("embedding"))
+    books2 = pq_codebooks_train(nulled, m=M, k=KC)
+    assert books2 == [[] for _ in range(M)]
+    out = pq_encode(emb.limit(3), books)
+    assert out.count() == 3
+    for r in out.collect():
+        assert r.code_0 is None and r.recon_sq is None
+
+
+def test_indivisible_dim_raises(spark, emb):
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_codebooks_init(emb, m=5, k=KC)
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_codebooks_train(emb, m=5, k=KC)
