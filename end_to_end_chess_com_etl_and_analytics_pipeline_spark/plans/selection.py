@@ -1171,10 +1171,19 @@ def x52_source_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     divisions, bit-identical by construction.
 
     Scale: one window shuffle keyed by source (hot sources are a
-    ranking, not a running aggregate — no x33-style sharding needed
-    because percent_rank needs only (rank, count), both computable
-    per-partition-group), plus one corpus-wide window whose input is
-    the already-collapsed (doc_id, quality) projection."""
+    ranking, not a running aggregate — percent_rank needs only (rank,
+    count), both computable per-partition-group).  The corpus-wide
+    percentile is NOT a global ``Window.orderBy`` (that is a
+    single-partition sort of every document — the scale cliff the r6
+    verdict flagged): it runs on the same monotone-shard two-phase
+    kernel as x33/x34/x39 — shard by ``floor(quality·32)`` (monotone
+    NON-DECREASING in quality, so shard order extends the global ASC
+    order and quality ties never cross shards), row_number within each
+    shard, then add per-shard row offsets from a driver-sized collect
+    of the ≤ n_shards-row count aggregate (joined back broadcast).
+    (quality, doc_id) is a total order (doc_id unique), so RANK ==
+    ROW_NUMBER and percent_rank = (global_rank − 1) / (n − 1) exactly;
+    n rides the same offsets table."""
     docs = load_table(spark, "documents", sf_dir)
     scored = docs.select(
         "doc_id",
@@ -1184,13 +1193,47 @@ def x52_source_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_src = Window.partitionBy("source").orderBy(
         F.asc("quality"), F.asc("doc_id")
     )
-    w_all = Window.orderBy(F.asc("quality"), F.asc("doc_id"))
-    return scored.select(
-        "doc_id",
-        "source",
-        "quality",
-        round_fixed(F.percent_rank().over(w_src), 6).alias("pct_in_source"),
-        round_fixed(F.percent_rank().over(w_all), 6).alias("pct_global"),
+    # two-phase global rank: quality ∈ [0,1] by construction, shard is
+    # monotone in the window's leading key
+    qshard = F.least(
+        F.floor(F.col("quality") * N_QSHARDS), F.lit(N_QSHARDS - 1)
+    ).cast("long")
+    base = scored.withColumn("__shard", qshard)
+    w_local = Window.partitionBy("__shard").orderBy(
+        F.asc("quality"), F.asc("doc_id")
+    )
+    # ≤ n_shards rows — the whole sequential fraction of this plan runs
+    # as one driver-sized collect (the accepted shard-offset pattern),
+    # so x52 emits NO unpartitioned WindowExec at any scale
+    count_rows = sorted(
+        base.groupBy("__shard").agg(F.count("*").alias("__n")).collect()
+    )
+    total = sum(r["__n"] for r in count_rows)
+    acc, off_rows = 0, []
+    for r in count_rows:
+        off_rows.append((r["__shard"], acc, total))
+        acc += r["__n"]
+    offsets = spark.createDataFrame(
+        off_rows, "__shard long, __off long, __total long"
+    )
+    ranked = base.withColumn("__rank", F.row_number().over(w_local))
+    return (
+        ranked.join(F.broadcast(offsets), "__shard")
+        .select(
+            "doc_id",
+            "source",
+            "quality",
+            round_fixed(F.percent_rank().over(w_src), 6).alias(
+                "pct_in_source"
+            ),
+            round_fixed(
+                F.when(F.col("__total") > 1,
+                       (F.col("__off") + F.col("__rank") - F.lit(1))
+                       / (F.col("__total") - F.lit(1)))
+                .otherwise(F.lit(0.0)),
+                6,
+            ).alias("pct_global"),
+        )
     )
 
 

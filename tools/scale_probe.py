@@ -196,6 +196,7 @@ PROBES = [
     "x48_script_mix",
     "x49_zipf_fit",
     "x50_source_similarity",
+    "x52_source_calibration",
     "x53_cms_heavy_hitters",
     "x54_zorder_layout",
     "x55_kmv_source_overlap",
