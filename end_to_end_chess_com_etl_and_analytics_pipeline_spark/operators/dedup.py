@@ -445,18 +445,26 @@ def srp_planes(n_planes: int, dim: int) -> list[list[float]]:
     ]
 
 
-def lsh_auto_geometry(n_vectors: int, bands: int = 4) -> tuple[int, int]:
+def lsh_auto_geometry(
+    n_vectors: int, bands: int = 4, max_bits: int | None = None
+) -> tuple[int, int]:
     """Size SRP-LSH bits-per-band to the corpus: ``ceil(log2 n)``,
     floored at 8, so the expected band-bucket occupancy stays O(1) and
     candidate generation stays bucket-local as n grows.  With a FIXED
     width b, candidates grow as n²/2^b — measured in SCALE.md's
     fixed-dup probe: 8-bit bands at 60k vectors cost 18 s producing
     ZERO output at threshold 0.9 (pure candidate burn), while the
-    log2(n)-sized 16-bit bands ran 3.4× base for 30× data.  Returns
+    log2(n)-sized 16-bit bands ran 3.4× base for 30× data.  Computed
+    integer-exact as ``(n-1).bit_length()`` — identical to
+    ``ceil(log2 n)`` for every n ≥ 2 but float-free, so a SQL oracle
+    can reproduce it with ``length(bin(n-1))`` and never disagree at a
+    power-of-two boundary.  ``max_bits`` caps the width (x14's oracle
+    embeds plane literals for bands·max_bits planes — the cap bounds
+    that SQL; the engine path leaves it None/unbounded).  Returns
     (n_planes, bands)."""
-    import math
-
-    bits = max(8, math.ceil(math.log2(max(n_vectors, 2))))
+    bits = max(8, (max(n_vectors, 2) - 1).bit_length())
+    if max_bits is not None:
+        bits = min(bits, max_bits)
     return bits * bands, bands
 
 

@@ -516,54 +516,89 @@ FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents) documents
 
 # ONE source of truth for the SRP-LSH geometry: the Spark call and the
 # DuckDB oracle both derive from these constants (a hardcoded-oracle /
-# drifted-default mismatch cost x14 its round-3 parity).
-_X14_N_PLANES, _X14_BANDS, _X14_DIM = 32, 4, 64
-_X14_THRESHOLD = 0.2
+# drifted-default mismatch cost x14 its round-3 parity).  r7 rebind
+# (r6 verdict "What's wrong" #2): the old contract pinned 8-bit bands
+# and threshold 0.2 — INSIDE the fixture's random-cosine band (p99.9 ≈
+# 0.38), so output was Θ(n²) by construction and fixed-width bands made
+# candidates n²/256.  Now the threshold sits above the random band and
+# bits-per-band grows with log2(n) via lsh_auto_geometry — both engines
+# derive bits from the SAME integer-exact usable-vector count, and the
+# oracle embeds plane literals up to the _X14_MAX_BITS cap (1M vectors;
+# the engine path is uncapped — the cap only bounds the oracle's SQL).
+_X14_BANDS, _X14_DIM = 4, 64
+_X14_MAX_BITS = 20
+_X14_THRESHOLD = 0.5
 
 
 def x14_embedding_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup via signed-random-projection LSH: 32-bit
-    hyperplane-sign signatures, 8-bit band bucketing (4 bands), exact
-    cosine verify on candidates only — the bucket-local scale path next
-    to the brute-force kernel (x06)."""
-    from ..operators.dedup import embedding_lsh_near_dup_pairs
+    """Embedding near-dup via signed-random-projection LSH:
+    hyperplane-sign signatures with corpus-sized bands-per-bit
+    (lsh_auto_geometry — ceil(log2 n) bits, floored at 8, 4 bands),
+    exact cosine verify on candidates only — the bucket-local scale
+    path next to the brute-force kernel (x06).  Threshold 0.5 is above
+    the fixture's random-cosine band (p99.9 ≈ 0.38), so output is the
+    genuine near-dup set, never a quadratic slice of random pairs."""
+    from ..functions.vectors import usable_vec
+    from ..operators.dedup import (
+        embedding_lsh_near_dup_pairs,
+        lsh_auto_geometry,
+    )
 
+    emb = load_table(spark, "embeddings", sf_dir)
+    n = emb.where(usable_vec(F.col("embedding"))).count()
+    n_planes, bands = lsh_auto_geometry(
+        n, bands=_X14_BANDS, max_bits=_X14_MAX_BITS
+    )
     return embedding_lsh_near_dup_pairs(
-        load_table(spark, "embeddings", sf_dir),
+        emb,
         dim=_X14_DIM,
-        n_planes=_X14_N_PLANES,
-        bands=_X14_BANDS,
+        n_planes=n_planes,
+        bands=bands,
         threshold=_X14_THRESHOLD,
     )
 
 
 def _x14_sql() -> str:
+    """Oracle twin of the auto-geometry binding: bits-per-band comes
+    from the same integer-exact formula — ``GREATEST(8, length(bin(
+    GREATEST(n,2) - 1)))`` ≡ ``max(8, (max(n,2)-1).bit_length())`` —
+    computed over the usable-vector count in-SQL, capped at
+    _X14_MAX_BITS.  Signature bits are evaluated for every plane up to
+    the cap (bands·max_bits literals, prefix-stable: srp_planes(k)[i]
+    == srp_planes(k')[i] for i < min(k,k')); each band then folds only
+    its first ``rpb`` bits into the band key, exactly the contiguous
+    [band·rpb, band·rpb+rpb) layout embedding_lsh_near_dup_pairs
+    uses."""
     from ..operators.dedup import srp_planes
 
-    n_planes, bands, dim = _X14_N_PLANES, _X14_BANDS, _X14_DIM
-    rpb = n_planes // bands
-    planes = srp_planes(n_planes, dim)
-    # bit j of the signature, as an integer expression over embedding e
-    bit_exprs = [
-        "CASE WHEN list_sum(list_transform(range(1, %d), i -> "
-        "CAST(embedding[i] AS DOUBLE) * ([%s])[i])) >= 0 THEN 1 ELSE 0 END"
-        % (dim + 1, ",".join(repr(v) for v in plane))
-        for plane in planes
-    ]
-    band_keys = [
-        " + ".join(
-            f"({bit_exprs[b * rpb + j]}) * {2 ** (rpb - 1 - j)}"
-            for j in range(rpb)
+    bands, dim = _X14_BANDS, _X14_DIM
+    planes = srp_planes(_X14_MAX_BITS * bands, dim)
+    planes_lit = (
+        "["
+        + ", ".join(
+            "[" + ", ".join(repr(v) for v in plane) + "]" for plane in planes
         )
-        for b in range(bands)
-    ]
-    band_rows = " UNION ALL ".join(
-        f"SELECT vec_id, {b} AS band, ({band_keys[b]}) AS band_key"
-        f" FROM {_EMB_USABLE} e"
-        for b in range(bands)
+        + "]"
     )
     return f"""
-WITH band_sig AS ({band_rows}),
+WITH params AS (
+    SELECT LEAST({_X14_MAX_BITS},
+                 GREATEST(8, length(bin(GREATEST(COUNT(*), 2) - 1)))) AS rpb
+    FROM {_EMB_USABLE} e),
+sig AS (
+    SELECT vec_id,
+           list_transform({planes_lit},
+               p -> CASE WHEN list_sum(list_transform(range(1, {dim + 1}),
+                        i -> CAST(e.embedding[i] AS DOUBLE) * p[i])) >= 0
+                    THEN 1 ELSE 0 END) AS bits
+    FROM {_EMB_USABLE} e),
+band_sig AS (
+    SELECT s.vec_id, b.band,
+           list_sum(list_transform(range(1, p.rpb + 1),
+               j -> s.bits[b.band * p.rpb + j]
+                    * (CAST(1 AS BIGINT) << (p.rpb - j)))) AS band_key
+    FROM sig s, params p,
+         (SELECT unnest(range({bands})) AS band) b),
 cand AS (
     SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
     FROM band_sig a JOIN band_sig b

@@ -505,3 +505,51 @@ def test_fused_kernels_match_engine_nan_semantics(spark):
         for r in semantic_dedup_in_cells(one_cell, threshold=0.99).collect()
     }
     assert keep[2] is True and keep[3] is False
+
+
+def test_x14_contract_recovers_planted_near_dups(spark):
+    """The scored x14 contract (auto bits-per-band, threshold 0.5) on a
+    corpus with PLANTED near-duplicates: a cos≈0.999 pair collides per
+    band with p ≈ (1-θ/π)^bits ≈ 0.99^8 — near-certain over 4 bands —
+    so every planted pair must surface with its exact cosine, while the
+    random bulk (pairwise cos p99.9 ≈ 0.38 in the fixtures) stays below
+    the threshold.  Pins that the r7 geometry rebind (threshold out of
+    the random band, log2(n) band width) still RECALLS what it is for."""
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.functions.vectors import (
+        usable_vec,
+    )
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.operators.dedup import (
+        embedding_lsh_near_dup_pairs,
+        lsh_auto_geometry,
+    )
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001").where(
+        usable_vec(F.col("embedding"))
+    )
+    base = emb.orderBy("vec_id").limit(10)
+    planted = base.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x + F.lit(0.001) * F.abs(x) + F.lit(1e-9)
+        ).alias("embedding"),
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    n_planes, bands = lsh_auto_geometry(corpus.count())
+    got = embedding_lsh_near_dup_pairs(
+        corpus, n_planes=n_planes, bands=bands, threshold=0.5
+    ).collect()
+    pairs = {(r.id_a, r.id_b) for r in got}
+    base_ids = [r.vec_id for r in base.select("vec_id").collect()]
+    for vid in base_ids:
+        assert (vid, vid + 1_000_000) in pairs, vid
+    for r in got:
+        assert r.cos >= 0.5
+
+
+def test_lsh_auto_geometry_max_bits_cap():
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.operators.dedup import (
+        lsh_auto_geometry,
+    )
+
+    assert lsh_auto_geometry(1 << 30, max_bits=20) == (80, 4)
+    assert lsh_auto_geometry(100, max_bits=20) == (32, 4)  # cap inactive
