@@ -56,6 +56,7 @@ HEADLINE = [
     "x19_tfidf_topk",
     "x58_bm25_topk",
     "x59_pq_encode",
+    "x60_pq_adc_topk",
     "x20_dedup_clusters",
     "x29_repetition_filters",
     "x31_contamination",

@@ -1189,6 +1189,109 @@ FROM enc0 {joins}
 _X59_SQL = _x59_sql()
 
 
+# ADC query set/size — ONE constant pair for the query and its oracle
+_X60_NQ, _X60_K = 5, 5
+
+
+def x60_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k (operators/pq.py::pq_adc_topk) —
+    the SEARCH half of product quantization, oracle-scored (r6 verdict
+    "What's missing" #2: x59 covered only compression): encode the
+    corpus with the deterministic untrained codebooks (x59's exact
+    geometry), reconstruct every candidate from broadcast code→centroid
+    maps, and rank the 5 lowest-id finite vectors' queries by one
+    ordered 64-element squared-L2 fold per (query, candidate) —
+    distances rounded to 6 before ranking, ties to the lower candidate
+    id, self-matches excluded.  Scale shape: the corpus side never
+    shuffles until the final per-query top-k window (WindowGroupLimit
+    keeps it skinny); codebook maps and queries broadcast.  The trained
+    path's recall floor stays pinned by tests/test_pq.py."""
+    from ..functions.vectors import usable_vec
+    from ..operators.pq import pq_adc_topk, pq_codebooks_init, pq_encode
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    books = pq_codebooks_init(emb, m=_X59_M, k=_X59_KC)
+    codes = pq_encode(emb, books)
+    queries = (
+        emb.where(usable_vec(F.col("embedding"), require_nonzero=False))
+        .orderBy(F.col("vec_id").asc())
+        .limit(_X60_NQ)
+    )
+    return pq_adc_topk(codes, books, queries, k=_X60_K)
+
+
+def _x60_sql() -> str:
+    """Oracle twin: x59's encode CTEs, reconstruction as the concat of
+    per-subspace codebook slices, and the SAME ordered 64-element fold
+    (list_sum over range — the cosine_sql contract) rounded to 6
+    BEFORE ranking, ties to the lower candidate id."""
+    sub = 64 // _X59_M
+
+    def d2(j: int) -> str:
+        off = j * sub
+        ea = f"CAST(e.embedding[i + {off}] AS DOUBLE)"
+        ca = f"CAST(c.cv[i + {off}] AS DOUBLE)"
+        return (
+            f"list_sum(list_transform(range(1, {sub + 1}), "
+            f"i -> ({ea} - {ca}) * ({ea} - {ca})))"
+        )
+
+    encs = ",\n".join(
+        f"""enc{j} AS (
+    SELECT vec_id, CAST(code AS INTEGER) AS code_{j} FROM (
+        SELECT e.vec_id, c.code,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY {d2(j)} ASC, c.code ASC) AS rn
+        FROM {{emb}} e, cb c) WHERE rn = 1)"""
+        for j in range(_X59_M)
+    )
+    code_joins = " ".join(
+        f"JOIN enc{j} USING (vec_id)" for j in range(1, _X59_M)
+    )
+    recon_parts = " || ".join(
+        f"list_transform(b{j}.cv[{j * sub + 1}:{(j + 1) * sub}], "
+        f"x -> CAST(x AS DOUBLE))"
+        for j in range(_X59_M)
+    )
+    book_joins = " ".join(
+        f"JOIN cb b{j} ON b{j}.code = k.code_{j}" for j in range(_X59_M)
+    )
+    fold = (
+        "list_sum(list_transform(range(1, 65), "
+        "i -> (CAST(q.qv[i] AS DOUBLE) - r.rv[i])"
+        " * (CAST(q.qv[i] AS DOUBLE) - r.rv[i])))"
+    )
+    return f"""
+WITH cb AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS code, embedding AS cv
+    FROM (SELECT vec_id, embedding FROM {{emb}}
+          ORDER BY vec_id ASC LIMIT {_X59_KC})),
+{encs},
+codes AS (
+    SELECT vec_id, {", ".join(f"code_{j}" for j in range(_X59_M))}
+    FROM enc0 {code_joins}),
+recon AS (
+    SELECT k.vec_id AS cand_id, {recon_parts} AS rv
+    FROM codes k {book_joins}),
+q AS (
+    SELECT vec_id AS query_id, embedding AS qv FROM {{emb}} e
+    ORDER BY vec_id ASC LIMIT {_X60_NQ}),
+scored AS (
+    SELECT q.query_id, r.cand_id,
+           {round_fixed_sql(fold, 6)} AS approx_d2
+    FROM recon r, q WHERE r.cand_id <> q.query_id)
+SELECT query_id, cand_id, approx_d2, CAST(rnk AS INTEGER) AS rnk
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY approx_d2 ASC, cand_id ASC) AS rnk
+    FROM scored)
+WHERE rnk <= {_X60_K}
+""".replace("{emb}", _EMB_FINITE)
+
+
+_X60_SQL = _x60_sql()
+
+
 # SemDeDup-style semantic dedup: keep-first within IVF cells.  The
 # threshold is fixture-calibrated (within-cell cosine p99 ≈ 0.33, max
 # 0.51 — both keep outcomes occur); production corpora tune per-model.
@@ -2109,6 +2212,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x19_tfidf_topk": x19_tfidf_topk,
     "x58_bm25_topk": x58_bm25_topk,
     "x59_pq_encode": x59_pq_encode,
+    "x60_pq_adc_topk": x60_pq_adc_topk,
     "st11_streaming_bm25": st11_streaming_bm25,
     "x20_dedup_clusters": x20_dedup_clusters,
     "x21_approx_sketches": x21_approx_sketches,
@@ -2150,6 +2254,7 @@ EXT_ORACLE: dict[str, str] = {
     "x19_tfidf_topk": _X19_SQL,
     "x58_bm25_topk": _X58_SQL,
     "x59_pq_encode": _X59_SQL,
+    "x60_pq_adc_topk": _X60_SQL,
     "st11_streaming_bm25": _X58_SQL,
     "x20_dedup_clusters": _X20_SQL,
     "x23_profile": _X23_SQL,

@@ -190,6 +190,7 @@ _SUITE_PARTS: dict[str, list[str]] = {
         "x27_quantize_embeddings",
         "x51_random_projection",
         "x59_pq_encode",
+        "x60_pq_adc_topk",
     ],
     # mergeable-summary family: HLL/quantile bounded-error contracts,
     # count-min heavy hitters (exact-reproducible cells), the streaming

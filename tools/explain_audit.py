@@ -33,6 +33,7 @@ HEADLINE = [
     ("x18_hash_split", "pure projection — zero exchanges"),
     ("x19_tfidf_topk", "corpus shuffled once; df via window on collapsed tf — no join"),
     ("x59_pq_encode", "pure projection: argmin against codebook literals — zero joins, zero shuffles"),
+    ("x60_pq_adc_topk", "ADC search: broadcast code→centroid maps + broadcast queries; corpus never shuffles until the per-query top-k window (WindowGroupLimit)"),
     ("x58_bm25_topk", "index build = tf agg + broadcast df term table (dl computed at scan); stats 1-row + queries broadcast; score agg keeps (query,doc) parallelism"),
     ("x12_ivf_topk", "cell assignment shuffles on vec_id only; centroids/queries broadcast; staged norms"),
     ("x14_embedding_lsh_near_dup", "band-bucket shuffle + pair distinct; verify joins keyed on int ids"),
