@@ -55,6 +55,7 @@ HEADLINE = [
     "x16_asof_join",
     "x19_tfidf_topk",
     "x58_bm25_topk",
+    "x61_bm25_persisted_index",
     "x59_pq_encode",
     "x60_pq_adc_topk",
     "x20_dedup_clusters",

@@ -170,3 +170,176 @@ def bm25_topk(
         )
     scores = bm25_score(tf, terms, scalars, qterms, k1, b, id_col, query_col)
     return bm25_rank_topk(scores, k, id_col, query_col)
+
+
+def write_bm25_index(
+    tf: DataFrame,
+    terms: DataFrame,
+    scalars: DataFrame,
+    path: str,
+) -> None:
+    """Persist the FULL index — including the corpus-sized tf table —
+    as parquet artifacts under ``path`` (tf/, terms/, scalars/), so
+    repeated query batches amortize the corpus tokenize+shuffle (r6
+    verdict: the batch path rebuilt the index per invocation; st11
+    already froze terms/scalars for streaming, but scoring also needs
+    tf).  The tf table is range-laid-out by token and sorted within
+    partitions, so a query batch's ``token IN (...)`` scan prunes
+    parquet row groups by min/max stats — at 100 TB a batch touches
+    only its terms' slices, never the whole index."""
+    import os
+
+    (
+        tf.repartitionByRange("token")
+        .sortWithinPartitions("token")
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "tf"))
+    )
+    terms.write.mode("overwrite").parquet(os.path.join(path, "terms"))
+    scalars.write.mode("overwrite").parquet(os.path.join(path, "scalars"))
+
+
+def read_bm25_index(
+    spark: "SparkSession",  # noqa: F821
+    path: str,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(tf, terms, scalars) from a persisted index."""
+    import os
+
+    return (
+        spark.read.parquet(os.path.join(path, "tf")),
+        spark.read.parquet(os.path.join(path, "terms")),
+        spark.read.parquet(os.path.join(path, "scalars")),
+    )
+
+
+def bm25_build_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Tokenize + aggregate the corpus once and persist the artifacts."""
+    tf = bm25_tf(docs, text_col, id_col)
+    terms, scalars = bm25_index(tf, id_col)
+    write_bm25_index(tf, terms, scalars, path)
+
+
+def bm25_refresh_index(
+    spark: "SparkSession",  # noqa: F821
+    delta_docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Maintain the persisted index for APPEND-ONLY growth (new doc
+    ids; re-ingesting an existing doc double-counts — the watermark /
+    anti-join layers upstream own that guarantee, the same contract as
+    the incremental LSH index, x35):
+
+    - the delta's tf rows append to tf/ (disjoint doc ids — no
+      old-partition rewrite; same token-range layout within the new
+      files),
+    - terms/ merges via a vocab-sized full-outer sum (df and cnt are
+      additive over disjoint doc sets),
+    - scalars/ adds element-wise (1 row).
+
+    Only the delta is tokenized; the existing corpus is never rescanned
+    — refresh cost is O(delta + vocab), not O(corpus).  Equal to a
+    from-scratch rebuild over the union by construction (pinned by
+    tests/test_retrieval.py)."""
+    import os
+
+    delta_tf = bm25_tf(delta_docs, text_col, id_col)
+    d_terms, d_scalars = bm25_index(delta_tf, id_col)
+    old_terms = spark.read.parquet(os.path.join(path, "terms"))
+    old_scalars = spark.read.parquet(os.path.join(path, "scalars"))
+    merged_terms = (
+        old_terms.select("token", "df", "cnt")
+        .withColumnsRenamed({"df": "df_a", "cnt": "cnt_a"})
+        .join(
+            d_terms.withColumnsRenamed({"df": "df_b", "cnt": "cnt_b"}),
+            "token",
+            "full_outer",
+        )
+        .select(
+            "token",
+            (
+                F.coalesce("df_a", F.lit(0)) + F.coalesce("df_b", F.lit(0))
+            ).alias("df"),
+            (
+                F.coalesce("cnt_a", F.lit(0)) + F.coalesce("cnt_b", F.lit(0))
+            ).alias("cnt"),
+        )
+    )
+    merged_scalars = (
+        old_scalars.withColumnsRenamed(
+            {"sum_dl": "sum_dl_a", "n_docs": "n_docs_a"}
+        )
+        .crossJoin(
+            d_scalars.withColumnsRenamed(
+                {"sum_dl": "sum_dl_b", "n_docs": "n_docs_b"}
+            )
+        )
+        .select(
+            (
+                F.coalesce("sum_dl_a", F.lit(0))
+                + F.coalesce("sum_dl_b", F.lit(0))
+            ).alias("sum_dl"),
+            (F.col("n_docs_a") + F.col("n_docs_b")).alias("n_docs"),
+        )
+    )
+    # materialize the merges before overwriting their own inputs
+    merged_terms = merged_terms.localCheckpoint()
+    merged_scalars = merged_scalars.localCheckpoint()
+    (
+        delta_tf.repartitionByRange("token")
+        .sortWithinPartitions("token")
+        .write.mode("append")
+        .parquet(os.path.join(path, "tf"))
+    )
+    merged_terms.write.mode("overwrite").parquet(os.path.join(path, "terms"))
+    merged_scalars.write.mode("overwrite").parquet(
+        os.path.join(path, "scalars")
+    )
+
+
+def bm25_topk_from_index(
+    spark: "SparkSession",  # noqa: F821
+    path: str,
+    queries: DataFrame | None = None,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    query_col: str = "query",
+    terms_col: str = "terms",
+    top_terms: int = 8,
+) -> DataFrame:
+    """``bm25_topk`` against a PERSISTED index: no tokenization, no
+    corpus shuffle — the tf scan carries a pushed ``token IN (query
+    tokens)`` predicate (a query batch is driver-sized by definition),
+    which the token-range parquet layout turns into row-group pruning.
+    Scoring cost is O(postings of the query terms), independent of
+    corpus size."""
+    tf, terms, scalars = read_bm25_index(spark, path)
+    if queries is None:
+        qterms = (
+            terms.orderBy(F.col("cnt").desc(), F.col("token").asc())
+            .limit(top_terms)
+            .select(F.col("token").alias(query_col), "token")
+        )
+    else:
+        qterms = queries.select(
+            F.col(query_col), F.explode(F.col(terms_col)).alias("token")
+        )
+    toks = [r["token"] for r in qterms.select("token").distinct().collect()]
+    # prune BOTH corpus-scaled artifacts to the batch's tokens: the tf
+    # scan's IN-filter prunes row groups (token-range layout), and the
+    # terms broadcast shrinks from vocab-sized to |batch| rows
+    tf_pruned = tf.where(F.col("token").isin(toks))
+    terms_pruned = terms.where(F.col("token").isin(toks))
+    scores = bm25_score(
+        tf_pruned, terms_pruned, scalars, qterms, k1, b, id_col, query_col
+    )
+    return bm25_rank_topk(scores, k, id_col, query_col)

@@ -158,6 +158,7 @@ _SUITE_PARTS: dict[str, list[str]] = {
     "x19_retrieval_suite": [
         "x19_tfidf_topk",
         "x58_bm25_topk",
+        "x61_bm25_persisted_index",
         "st11_streaming_bm25",
     ],
     # as-of + range join: the two temporal-join kernels (one family)

@@ -114,3 +114,77 @@ def test_streaming_bm25_equals_batch_topk(spark):
     )
     assert batch == streamed
     assert len(batch) > 0
+
+
+def test_persisted_index_topk_equals_rebuild(spark, tmp_path):
+    """bm25_topk_from_index over a persisted index must equal the
+    one-shot rebuild bit-for-bit — including the derived-query path and
+    an explicit multi-term query batch (the token-IN pruning must never
+    change scores)."""
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.operators.retrieval import (
+        bm25_build_index,
+        bm25_topk_from_index,
+    )
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    path = str(tmp_path / "bm25_index")
+    bm25_build_index(docs, path)
+
+    rebuild = sorted(map(tuple, bm25_topk(docs, k=3, top_terms=4).collect()))
+    persisted = sorted(
+        map(tuple, bm25_topk_from_index(spark, path, k=3, top_terms=4).collect())
+    )
+    assert persisted == rebuild and rebuild
+
+    queries = spark.createDataFrame(
+        [("q_spark_cluster", ["spark", "cluster"]), ("q_duckdb", ["duckdb"])],
+        "query string, terms array<string>",
+    )
+    rebuild_q = sorted(map(tuple, bm25_topk(docs, queries, k=3).collect()))
+    persisted_q = sorted(
+        map(tuple, bm25_topk_from_index(spark, path, queries, k=3).collect())
+    )
+    assert persisted_q == rebuild_q and rebuild_q
+
+
+def test_refresh_index_equals_rebuild_over_union(spark, tmp_path):
+    """Append-only refresh (delta tf appended, vocab-sized term merge,
+    scalar add) must equal a from-scratch index over old ∪ delta."""
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.operators.retrieval import (
+        bm25_build_index,
+        bm25_refresh_index,
+        bm25_topk_from_index,
+        read_bm25_index,
+    )
+
+    old = spark.createDataFrame(DOCS, "doc_id long, text string")
+    delta = spark.createDataFrame(
+        [
+            (7, "fresh spark content about shuffle layout"),
+            (8, "an unrelated document concerning ducks"),
+            (9, None),
+        ],
+        "doc_id long, text string",
+    )
+    inc_path, full_path = str(tmp_path / "inc"), str(tmp_path / "full")
+    bm25_build_index(old, inc_path)
+    bm25_refresh_index(spark, delta, inc_path)
+    bm25_build_index(old.unionByName(delta), full_path)
+
+    for part in ("terms", "scalars"):
+        import os
+
+        a = sorted(map(tuple, spark.read.parquet(os.path.join(inc_path, part)).collect()))
+        b = sorted(map(tuple, spark.read.parquet(os.path.join(full_path, part)).collect()))
+        assert a == b, part
+    tf_a, _, _ = read_bm25_index(spark, inc_path)
+    tf_b, _, _ = read_bm25_index(spark, full_path)
+    assert sorted(map(tuple, tf_a.collect())) == sorted(map(tuple, tf_b.collect()))
+
+    got_inc = sorted(
+        map(tuple, bm25_topk_from_index(spark, inc_path, k=4, top_terms=4).collect())
+    )
+    got_full = sorted(
+        map(tuple, bm25_topk_from_index(spark, full_path, k=4, top_terms=4).collect())
+    )
+    assert got_inc == got_full and got_inc

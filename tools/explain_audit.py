@@ -35,6 +35,7 @@ HEADLINE = [
     ("x59_pq_encode", "pure projection: argmin against codebook literals — zero joins, zero shuffles"),
     ("x60_pq_adc_topk", "ADC search: broadcast code→centroid maps + broadcast queries; corpus never shuffles until the per-query top-k window (WindowGroupLimit)"),
     ("x58_bm25_topk", "index build = tf agg + broadcast df term table (dl computed at scan); stats 1-row + queries broadcast; score agg keeps (query,doc) parallelism"),
+    ("x61_bm25_persisted_index", "persisted-index scoring: tf scan with pushed token-IN filter (range layout → row-group pruning); no tokenization, no corpus shuffle"),
     ("x12_ivf_topk", "cell assignment shuffles on vec_id only; centroids/queries broadcast; staged norms"),
     ("x14_embedding_lsh_near_dup", "band-bucket shuffle + pair distinct; verify joins keyed on int ids"),
     ("x24_salted_join", "hot keys spread over (key, salt) buckets; dim replicated per salt"),
