@@ -270,6 +270,19 @@ def read_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.option("mergeSchema", "true").parquet(path)
 
 
+def fs_exists(spark: SparkSession, path: str) -> bool:
+    """Path-existence through the Hadoop FileSystem API — NEVER
+    ``os.path.exists``, which silently returns False for any
+    scheme-prefixed path (s3a://, hdfs://, viewfs://) and turns an
+    incremental merge into a blind full rewrite (found by
+    tests/test_nonlocal_fs.py: the streaming gold merge left stale
+    cross-month copies alive when the fact lived on viewfs)."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(hconf).exists(p)
+
+
 def write_parquet(
     df: DataFrame,
     path: str,

@@ -90,6 +90,7 @@ def run_incremental_gold(
     fact_path = os.path.join(gold_dir, "fact_games")
 
     from ..operators.merge import insert_if_absent
+    from ..sources.tables import fs_exists
 
     DIM_KEYS = {
         "dim_openings": ["pgn_eco_url"],
@@ -112,7 +113,7 @@ def run_incremental_gold(
             dim_path = os.path.join(gold_dir, dim)
             existing_dim = (
                 spark.read.parquet(dim_path)
-                if os.path.exists(dim_path)
+                if fs_exists(spark, dim_path)
                 else None
             )
             merged_dim = insert_if_absent(
@@ -132,7 +133,7 @@ def run_incremental_gold(
             .collect()
         }
         existing = None
-        if os.path.exists(fact_path) and months:
+        if fs_exists(spark, fact_path) and months:
             # A re-pull can CORRECT a game's game_date into a different
             # month; the stale row then lives in a partition the batch's
             # own months never touch, and a months-of-the-batch-only
