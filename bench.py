@@ -58,6 +58,7 @@ HEADLINE = [
     "x61_bm25_persisted_index",
     "x59_pq_encode",
     "x60_pq_adc_topk",
+    "x62_ivf_pq_topk",
     "x20_dedup_clusters",
     "x29_repetition_filters",
     "x31_contamination",

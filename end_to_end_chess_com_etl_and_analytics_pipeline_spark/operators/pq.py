@@ -138,20 +138,25 @@ def pq_encode(
     codebooks: Codebooks,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, code_0..code_{M-1}, recon_sq): per-subspace argmin codes
-    (ties → lower code) plus the total squared reconstruction error,
-    summed in fixed subspace order and rounded to 6 decimals.  Pure
-    projection — zero shuffle, zero joins."""
+    """(id, [carry...], code_0..code_{M-1}, recon_sq): per-subspace
+    argmin codes (ties → lower code) plus the total squared
+    reconstruction error, summed in fixed subspace order and rounded to
+    6 decimals.  Pure projection — zero shuffle, zero joins.  ``carry``
+    names extra input columns to keep on the output (e.g. an IVF cell
+    id — ivf_pq_topk rides encode+assignment through ONE scan instead
+    of a self-join)."""
     m = len(codebooks)
     out = vectors.where(
         usable_vec(F.col(vec_col), require_nonzero=False)
-    ).select(id_col, vec_col)
+    ).select(id_col, *carry, vec_col)
     if not codebooks or not codebooks[0]:
         # empty codebooks (empty corpus): typed NULL codes — an empty
         # array literal would type as ARRAY<VOID> and crash analysis
         return out.select(
             id_col,
+            *carry,
             *[
                 F.lit(None).cast("int").alias(f"code_{j}")
                 for j in range(m)
@@ -182,8 +187,36 @@ def pq_encode(
         total = total + F.col(c)
     return out.select(
         id_col,
+        *carry,
         *[f"code_{j}" for j in range(m)],
         round_fixed(total, 6).alias("recon_sq"),
+    )
+
+
+def _reconstruct(
+    codes: DataFrame,
+    codebooks: Codebooks,
+    id_col: str,
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """(cand_id, [keep...], __recon): candidate vectors rebuilt from
+    their codes — M broadcast joins against 16-row code→centroid maps,
+    a fixed-order concat.  Shared by flat ADC (pq_adc_topk) and
+    IVF-pruned ADC (ivf_pq_topk)."""
+    spark = codes.sparkSession
+    recon = codes
+    parts = []
+    for j, book in enumerate(codebooks):
+        map_df = spark.createDataFrame(
+            [(code, sub) for code, sub in book],
+            f"code_{j} int, __sub_{j} array<double>",
+        )
+        recon = recon.join(F.broadcast(map_df), f"code_{j}")
+        parts.append(f"__sub_{j}")
+    return recon.select(
+        F.col(id_col).alias("cand_id"),
+        *keep,
+        F.concat(*[F.col(p) for p in parts]).alias("__recon"),
     )
 
 
@@ -200,21 +233,7 @@ def pq_adc_topk(
     fixed-order concat), each (query, candidate) pair scores ONE
     ordered 64-element squared-L2 fold, rank ascends on (distance,
     candidate id).  Returns (query_id, cand_id, approx_d2, rnk)."""
-    spark = codes.sparkSession
-    m = len(codebooks)
-    recon = codes
-    parts = []
-    for j, book in enumerate(codebooks):
-        map_df = spark.createDataFrame(
-            [(code, sub) for code, sub in book],
-            f"code_{j} int, __sub_{j} array<double>",
-        )
-        recon = recon.join(F.broadcast(map_df), f"code_{j}")
-        parts.append(f"__sub_{j}")
-    recon = recon.select(
-        F.col(id_col).alias("cand_id"),
-        F.concat(*[F.col(p) for p in parts]).alias("__recon"),
-    )
+    recon = _reconstruct(codes, codebooks, id_col)
     qs = queries.where(
         usable_vec(F.col(vec_col), require_nonzero=False)
     ).select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
@@ -235,4 +254,107 @@ def pq_adc_topk(
         scored.withColumn("rnk", F.row_number().over(w).cast("int"))
         .where(F.col("rnk") <= k)
         .select("query_id", "cand_id", "approx_d2", "rnk")
+    )
+
+
+def _cent_literal(centroids: list[tuple[int, list[float]]]) -> Column:
+    """Coarse-centroid literal (the _book_literal discipline: one
+    parsed expression, 'D'-suffixed doubles)."""
+    return F.expr(
+        "array("
+        + ", ".join(
+            f"named_struct('cid', CAST({int(cid)} AS BIGINT), 'cv', array("
+            + ", ".join(repr(float(v)) + "D" for v in vec)
+            + "))"
+            for cid, vec in centroids
+        )
+        + ")"
+    )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: Codebooks,
+    k: int = 5,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF × PQ — the production ANN shape both building blocks exist
+    for (r6 verdict #7): IVF cell pruning decides WHICH vectors a query
+    scans, PQ ADC decides WHAT each scan touches (codes, never raw
+    vectors).  Everything is squared-L2 with ties to the lower id, so
+    the whole plan is SQL-expressible (x62's oracle).
+
+    Plan shape at 100 TB:
+
+    - corpus pass: ONE scan projecting (id, cell, codes) — cell is a
+      foldable-literal argmin (centroids are driver-sized by the IVF
+      contract) and the PQ codes ride the same projection via
+      ``pq_encode(carry=("__cell",))``; zero joins, zero shuffles.
+    - query side: nprobe nearest cells per query from the same centroid
+      literal; queries are driver-sized, the (query, cell) probe table
+      broadcasts.
+    - scoring: candidates = codes ⋈ broadcast(probes) on cell — each
+      query touches ~nprobe/n_cells of the corpus — reconstructed from
+      broadcast code maps and scored with one ordered 64-element fold;
+      the only corpus-wide exchange is the final per-query top-k
+      window, pre-filtered by WindowGroupLimit.
+
+    Returns (query_id, cand_id, adc_d2, rnk); recall@5 vs exact brute
+    force is pinned at sf0.1 by tests/test_pq.py."""
+    spark = corpus.sparkSession
+    if not centroids or not codebooks or not codebooks[0]:
+        # empty corpus (the empty-inputs contract): typed empty result
+        return spark.createDataFrame(
+            [], "query_id long, cand_id long, adc_d2 double, rnk int"
+        )
+    cent_lit = _cent_literal(centroids)
+
+    def cell_scored(col: Column) -> Column:
+        return F.transform(
+            cent_lit,
+            lambda c: F.struct(
+                _sq_dist(col, c["cv"]).alias("d"), c["cid"].alias("cid")
+            ),
+        )
+
+    corpus_f = corpus.where(
+        usable_vec(F.col(vec_col), require_nonzero=False)
+    ).withColumn("__cell", F.array_min(cell_scored(F.col(vec_col)))["cid"])
+    codes = pq_encode(corpus_f, codebooks, vec_col, id_col, carry=("__cell",))
+    qs = queries.where(
+        usable_vec(F.col(vec_col), require_nonzero=False)
+    ).select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    probes = qs.select(
+        "query_id",
+        "__qv",
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(cell_scored(F.col("__qv"))), 1, nprobe),
+                lambda s: s["cid"],
+            )
+        ).alias("__cell"),
+    )
+    recon = _reconstruct(codes, codebooks, id_col, keep=("__cell",))
+    scored = (
+        recon.join(F.broadcast(probes), "__cell")
+        .where(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            round_fixed(_sq_dist(F.col("__qv"), F.col("__recon")), 6).alias(
+                "adc_d2"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d2").asc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "cand_id", "adc_d2", "rnk")
     )

@@ -1338,6 +1338,138 @@ WHERE rnk <= {_X60_K}
 _X60_SQL = _x60_sql()
 
 
+# IVF × PQ: query set size / top-k / probed cells — shared with the oracle
+_X62_NQ, _X62_K, _X62_NPROBE = 5, 5, 2
+
+
+def x62_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF × PQ (operators/pq.py::ivf_pq_topk) — the production ANN
+    composition (r6 verdict next-round #7): IVF cell pruning (x12's
+    stride-derived coarse codebook, squared-L2 assignment) decides
+    WHICH vectors each query scans, PQ ADC over the codes (x59/x60's
+    untrained codebooks) decides WHAT each scan touches.  One corpus
+    scan projects (id, cell, codes); the (query, probed-cell) table and
+    the code→centroid maps broadcast; the only corpus-wide exchange is
+    the final per-query top-k window.  recall@5 vs exact brute force is
+    pinned at sf0.1 by tests/test_pq.py; the oracle reproduces every
+    cell assignment, code, and ADC distance exactly."""
+    import math
+    import os
+
+    from ..functions.vectors import usable_vec
+    from ..operators.pq import ivf_pq_topk, pq_codebooks_init
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    # raw sizing count — the same metadata-cheap heuristic x12 uses
+    n = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).count()
+    stride = max(50, math.ceil(n / 100))
+    fin = emb.where(usable_vec(F.col("embedding"), require_nonzero=False))
+    cents = [
+        (r["vec_id"], [float(v) for v in r["embedding"]])
+        for r in fin.where(F.col("vec_id") % stride == 3)
+        .select("vec_id", "embedding")
+        .collect()
+    ]  # driver-sized by the capped-cell-count contract (~100 rows)
+    books = pq_codebooks_init(emb, m=_X59_M, k=_X59_KC)
+    queries = fin.orderBy(F.col("vec_id").asc()).limit(_X62_NQ)
+    return ivf_pq_topk(
+        fin, queries, cents, books, k=_X62_K, nprobe=_X62_NPROBE
+    )
+
+
+def _x62_sql() -> str:
+    """Oracle twin: x12's stride centroid CTE (squared-L2 flavor),
+    x59/x60's encode + reconstruction CTEs, cell assignment and probe
+    ranking by the same ordered fold, ADC distance rounded to 6 before
+    ranking, every tie to the lower id."""
+    sub = 64 // _X59_M
+
+    def sqd(a: str, b: str) -> str:
+        return (
+            "list_sum(list_transform(range(1, 65), "
+            f"i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+            f" * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))))"
+        )
+
+    def d2(j: int) -> str:
+        off = j * sub
+        ea = f"CAST(e.embedding[i + {off}] AS DOUBLE)"
+        ca = f"CAST(c.cv[i + {off}] AS DOUBLE)"
+        return (
+            f"list_sum(list_transform(range(1, {sub + 1}), "
+            f"i -> ({ea} - {ca}) * ({ea} - {ca})))"
+        )
+
+    encs = ",\n".join(
+        f"""enc{j} AS (
+    SELECT vec_id, CAST(code AS INTEGER) AS code_{j} FROM (
+        SELECT e.vec_id, c.code,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY {d2(j)} ASC, c.code ASC) AS rn
+        FROM {{emb}} e, cb c) WHERE rn = 1)"""
+        for j in range(_X59_M)
+    )
+    code_joins = " ".join(
+        f"JOIN enc{j} USING (vec_id)" for j in range(1, _X59_M)
+    )
+    recon_parts = " || ".join(
+        f"list_transform(b{j}.cv[{j * sub + 1}:{(j + 1) * sub}], "
+        f"x -> CAST(x AS DOUBLE))"
+        for j in range(_X59_M)
+    )
+    book_joins = " ".join(
+        f"JOIN cb b{j} ON b{j}.code = k.code_{j}" for j in range(_X59_M)
+    )
+    return f"""
+WITH cent AS (
+    SELECT vec_id AS centroid_id, embedding AS centroid
+    FROM {{emb}} emb_c WHERE vec_id % {_IVF_STRIDE_SQL} = 3),
+cb AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS code, embedding AS cv
+    FROM (SELECT vec_id, embedding FROM {{emb}}
+          ORDER BY vec_id ASC LIMIT {_X59_KC})),
+{encs},
+codes AS (
+    SELECT vec_id, {", ".join(f"code_{j}" for j in range(_X59_M))}
+    FROM enc0 {code_joins}),
+recon AS (
+    SELECT k.vec_id AS cand_id, {recon_parts} AS rv
+    FROM codes k {book_joins}),
+cells AS (
+    SELECT vec_id, centroid_id AS cell FROM (
+        SELECT e.vec_id, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY {sqd('e.embedding', 'c.centroid')} ASC,
+                            c.centroid_id ASC) AS rn
+        FROM {{emb}} e, cent c) WHERE rn = 1),
+q AS (
+    SELECT vec_id AS query_id, embedding AS qv FROM {{emb}} e
+    ORDER BY vec_id ASC LIMIT {_X62_NQ}),
+qcells AS (
+    SELECT query_id, qv, centroid_id AS cell FROM (
+        SELECT q.query_id, q.qv, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                   ORDER BY {sqd('q.qv', 'c.centroid')} ASC,
+                            c.centroid_id ASC) AS rn
+        FROM q, cent c) WHERE rn <= {_X62_NPROBE}),
+scored AS (
+    SELECT qc.query_id, ce.vec_id AS cand_id,
+           {round_fixed_sql(sqd('qc.qv', 'r.rv'), 6)} AS adc_d2
+    FROM qcells qc
+    JOIN cells ce ON qc.cell = ce.cell AND ce.vec_id <> qc.query_id
+    JOIN recon r ON r.cand_id = ce.vec_id)
+SELECT query_id, cand_id, adc_d2, CAST(rnk AS INTEGER) AS rnk
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY adc_d2 ASC, cand_id ASC) AS rnk
+    FROM scored)
+WHERE rnk <= {_X62_K}
+""".replace("{emb}", _EMB_FINITE)
+
+
+_X62_SQL = _x62_sql()
+
+
 # SemDeDup-style semantic dedup: keep-first within IVF cells.  The
 # threshold is fixture-calibrated (within-cell cosine p99 ≈ 0.33, max
 # 0.51 — both keep outcomes occur); production corpora tune per-model.
@@ -2260,6 +2392,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x59_pq_encode": x59_pq_encode,
     "x60_pq_adc_topk": x60_pq_adc_topk,
     "x61_bm25_persisted_index": x61_bm25_persisted_index,
+    "x62_ivf_pq_topk": x62_ivf_pq_topk,
     "st11_streaming_bm25": st11_streaming_bm25,
     "x20_dedup_clusters": x20_dedup_clusters,
     "x21_approx_sketches": x21_approx_sketches,
@@ -2303,6 +2436,7 @@ EXT_ORACLE: dict[str, str] = {
     "x59_pq_encode": _X59_SQL,
     "x60_pq_adc_topk": _X60_SQL,
     "x61_bm25_persisted_index": _X61_SQL,
+    "x62_ivf_pq_topk": _X62_SQL,
     "st11_streaming_bm25": _X58_SQL,
     "x20_dedup_clusters": _X20_SQL,
     "x23_profile": _X23_SQL,

@@ -192,6 +192,7 @@ _SUITE_PARTS: dict[str, list[str]] = {
         "x51_random_projection",
         "x59_pq_encode",
         "x60_pq_adc_topk",
+        "x62_ivf_pq_topk",
     ],
     # mergeable-summary family: HLL/quantile bounded-error contracts,
     # count-min heavy hitters (exact-reproducible cells), the streaming

@@ -129,3 +129,74 @@ def test_indivisible_dim_raises(spark, emb):
         pq_codebooks_init(emb, m=5, k=KC)
     with pytest.raises(ValueError, match="not divisible"):
         pq_codebooks_train(emb, m=5, k=KC)
+
+
+def test_ivf_pq_recall_against_brute_force(spark, spark_sf01_emb=None):
+    """recall@5 of IVF-pruned ADC (nprobe=2 of ~40 L2 cells, trained
+    8×16 codebooks) vs exact squared-L2 top-5 at sf0.1.  Measured 0.225
+    vs a random baseline of 5/2000 = 0.0025; the floor pins 'much
+    better than random' with slack (isotropic vectors are PQ's worst
+    case — the same caveat as the flat-ADC and IVF recall pins)."""
+    import math
+
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.functions.vectors import (
+        usable_vec,
+    )
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.operators.pq import (
+        ivf_pq_topk,
+    )
+
+    emb01 = (
+        load_table(spark, "embeddings", "/root/testdata/sf0.1")
+        .where(usable_vec(F.col("embedding"), require_nonzero=False))
+        .select("vec_id", "embedding")
+    )
+    n = emb01.count()
+    stride = max(50, math.ceil(n / 100))
+    cents = [
+        (r.vec_id, [float(v) for v in r.embedding])
+        for r in emb01.where(F.col("vec_id") % stride == 3).collect()
+    ]
+    books = pq_codebooks_train(emb01, m=8, k=16, rounds=3)
+    queries = emb01.where(F.col("vec_id") < 8)
+    got = ivf_pq_topk(emb01, queries, cents, books, k=5, nprobe=2).collect()
+    adc = {}
+    for r in got:
+        adc.setdefault(r.query_id, set()).add(r.cand_id)
+
+    rows = emb01.collect()
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    recalls = []
+    for q in sorted(adc):
+        qv = X[ids == q][0]
+        d = ((X - qv) ** 2).sum(axis=1)
+        d[ids == q] = np.inf
+        exact = set(ids[np.argsort(d, kind="stable")[:5]])
+        recalls.append(len(adc[q] & exact) / 5)
+    assert len(recalls) == 8
+    assert float(np.mean(recalls)) >= 0.15
+
+
+def test_ivf_pq_empty_and_rank_contracts(spark, emb):
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.operators.pq import (
+        ivf_pq_topk,
+    )
+
+    out = ivf_pq_topk(emb, emb.limit(2), [], [[] for _ in range(M)], k=3)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "cand_id", "adc_d2", "rnk"]
+
+    cents = [
+        (r.vec_id, [float(v) for v in r.embedding])
+        for r in emb.orderBy("vec_id").limit(4).collect()
+    ]
+    books = pq_codebooks_init(emb, m=M, k=KC)
+    got = ivf_pq_topk(emb, emb.where(F.col("vec_id") < 3), cents, books, k=5)
+    by_q = {}
+    for r in got.collect():
+        assert r.query_id != r.cand_id
+        by_q.setdefault(r.query_id, []).append((r.rnk, r.adc_d2))
+    for q, rs in by_q.items():
+        rs.sort()
+        assert [d for _, d in rs] == sorted(d for _, d in rs), q

@@ -34,6 +34,7 @@ HEADLINE = [
     ("x19_tfidf_topk", "corpus shuffled once; df via window on collapsed tf — no join"),
     ("x59_pq_encode", "pure projection: argmin against codebook literals — zero joins, zero shuffles"),
     ("x60_pq_adc_topk", "ADC search: broadcast code→centroid maps + broadcast queries; corpus never shuffles until the per-query top-k window (WindowGroupLimit)"),
+    ("x62_ivf_pq_topk", "IVF×PQ: one scan projects (id, cell, codes); broadcast (query, probed-cell) join prunes candidates to ~nprobe/n_cells; ADC via broadcast maps; top-k window only"),
     ("x58_bm25_topk", "index build = tf agg + broadcast df term table (dl computed at scan); stats 1-row + queries broadcast; score agg keeps (query,doc) parallelism"),
     ("x61_bm25_persisted_index", "persisted-index scoring: tf scan with pushed token-IN filter (range layout → row-group pruning); no tokenization, no corpus shuffle"),
     ("x12_ivf_topk", "cell assignment shuffles on vec_id only; centroids/queries broadcast; staged norms"),
