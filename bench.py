@@ -6,6 +6,14 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is forced through the `noop` sink — full computation of every
 output column, no driver-side collect overhead, no files written.
+
+Measurement protocol (the SCALE.md solo-re-measure discipline, adopted
+for the committed per-round artifact after r6's bench was taken on a
+hot box and overstated a regression): run SOLO on an otherwise idle
+machine — never concurrently with sweeps/probes/tests — after the
+built-in warm-up pass below (one noop job to JIT/fill code caches).
+Treat any single anomalous per-query ratio as unconfirmed until a solo
+re-run reproduces it.
 """
 
 from __future__ import annotations
