@@ -70,7 +70,7 @@ HEADLINE = [
     ("x49_zipf_fit", "corpus collapses to the shared checkpointed token-counts table; top-R via TakeOrderedAndProject; the unpartitioned rank window holds exactly R (constant) rows; final OLS is a scalar agg"),
     ("x50_source_similarity", "distinct (source,shingle) hash-agg pinned once for three consumers; shingle-keyed self-join (co-occurrence-bounded, AQE-skew-split) + two broadcast size joins"),
     ("x51_random_projection", "constant ±1 sign matrix embedded as literals; zero-shuffle scan-local fixed-dim fold — no hashing, no exchange beyond the undersplit-scan spread"),
-    ("x52_source_calibration", "one source-keyed window exchange for pct_in_source; the corpus-wide percent_rank runs over the already-collapsed (doc_id, quality) projection"),
+    ("x52_source_calibration", "one source-keyed window exchange for pct_in_source; pct_global = two-phase monotone-shard rank (shard-keyed window + broadcast driver-collected offsets) — NO unpartitioned window"),
     ("x53_cms_heavy_hitters", "counts pinned once (checkpoint); sketch cells = one <=D*W-row hash-agg; probe joins the broadcast 24 KiB cell table; total = one-row broadcast nested loop"),
     ("x54_zorder_layout", "ONE corpus-grain shuffle to <=2^16 grid cells (checkpointed); both layouts' file stats are tiny hash-aggs over the cell table; z-value is zero-shuffle shift/mask codegen"),
     ("x55_kmv_source_overlap", "x50's distinct (source,shingle) kernel is the only corpus-grain exchange; per-source bottom-K window collapses to S*K sketch rows; pair stage = broadcast NLJ over two constant-size frames"),
