@@ -200,3 +200,61 @@ def test_ivf_pq_empty_and_rank_contracts(spark, emb):
     for q, rs in by_q.items():
         rs.sort()
         assert [d for _, d in rs] == sorted(d for _, d in rs), q
+
+
+def test_ivf_pq_residual_matches_numpy_reference(spark, emb):
+    """IVFADC residual path (encode v − centroid(v), score
+    ||q − (centroid + recon(residual))||²) against a plain-numpy
+    reference, exact to rounding.  Recall superiority is deliberately
+    NOT asserted: on the isotropic fixture residuals have ~2× the raw
+    variance (nearest of the random centroids is nearly orthogonal), so
+    residual recall measures 0.100 vs 0.225 raw at sf0.1 — documented
+    in the operator docstring; residual encoding pays off on clustered
+    production embeddings, and this test pins that the arithmetic is
+    right so that claim is testable there."""
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.operators.pq import (
+        ivf_pq_topk,
+        ivf_residuals,
+    )
+
+    cents = [
+        (r.vec_id, [float(v) for v in r.embedding])
+        for r in emb.orderBy("vec_id").limit(4).collect()
+    ]
+    res_books = pq_codebooks_init(ivf_residuals(emb, cents), m=M, k=KC)
+    queries = emb.where(F.col("vec_id") < 3)
+    got = {
+        (r.query_id, r.cand_id): r.adc_d2
+        for r in ivf_pq_topk(
+            emb, queries, cents, res_books, k=5, nprobe=2, residual=True
+        ).collect()
+    }
+    assert got
+
+    rows = emb.collect()
+    ids = [r.vec_id for r in rows]
+    X = {r.vec_id: np.array(list(r.embedding), dtype=np.float64) for r in rows}
+    C = {cid: np.array(v) for cid, v in cents}
+
+    def cell_of(v):
+        ds = [(float(((v - c) ** 2).sum()), cid) for cid, c in C.items()]
+        return min(ds)[1]
+
+    resid = {i: X[i] - C[cell_of(X[i])] for i in ids}
+    books = [
+        np.array([bv for _, bv in res_books[j]]) for j in range(M)
+    ]
+    sub = 64 // M
+
+    def recon(i):
+        out = []
+        for j in range(M):
+            sl = resid[i][j * sub : (j + 1) * sub]
+            d = ((books[j] - sl) ** 2).sum(axis=1)
+            out.append(books[j][int(d.argmin())])
+        return np.concatenate(out)
+
+    for (q, cand), adc in got.items():
+        approx = C[cell_of(X[cand])] + recon(cand)
+        expect = float(((X[q] - approx) ** 2).sum())
+        assert adc == pytest.approx(expect, abs=2e-6), (q, cand)
