@@ -151,6 +151,28 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
 
+    # Machine-speed calibration stamp: a FIXED pure-compute Spark job
+    # (no I/O, no fixture dependence), best-of-3 like the queries.  The
+    # r6→r7 bench saga showed per-round totals drift ~10-20% with the
+    # container's machine state even solo; dividing two rounds'
+    # per-query times by their calib ratio separates code regressions
+    # from machine drift.
+    calib_best = None
+    for _ in range(3):
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.perf_counter()
+        (
+            spark.range(30_000_000)
+            .selectExpr(
+                "sum(sin(CAST(id AS DOUBLE)) * cos(CAST(id % 97 AS DOUBLE))) AS s"
+            )
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        dt = time.perf_counter() - t0
+        calib_best = dt if calib_best is None else min(calib_best, dt)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -160,6 +182,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "calib_sec": round(calib_best, 3),
             }
         )
     )
