@@ -330,21 +330,44 @@ def ivf_pq_topk(
         return spark.createDataFrame(
             [], "query_id long, cand_id long, adc_d2 double, rnk int"
         )
+    codes = ivf_pq_encode_corpus(
+        corpus, centroids, codebooks, vec_col, id_col, residual
+    )
+    return ivf_pq_topk_from_codes(
+        codes, queries, centroids, codebooks, k, nprobe, vec_col, id_col,
+        residual,
+    )
+
+
+def _cell_scored(cent_lit: Column, col: Column) -> Column:
+    """(d, cid, cv) per centroid — array_min/array_sort give the
+    nearest-cell argmin ((d, cid) is already a total order; the
+    centroid vector rides along so residuals need no re-probe)."""
+    return F.transform(
+        cent_lit,
+        lambda c: F.struct(
+            _sq_dist(col, c["cv"]).alias("d"),
+            c["cid"].alias("cid"),
+            c["cv"].alias("cv"),
+        ),
+    )
+
+
+def ivf_pq_encode_corpus(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: Codebooks,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    residual: bool = False,
+) -> DataFrame:
+    """The IVF×PQ corpus pass: (id, __cell, code_0.., recon_sq) in ONE
+    scan — foldable-literal cell argmin + PQ codes riding the same
+    projection.  A pure per-row function of (vector, centroids,
+    codebooks), so micro-batch encodes appended over time equal the
+    one-shot batch encode (st12's stream≡batch contract)."""
     cent_lit = _cent_literal(centroids)
-
-    def cell_scored(col: Column) -> Column:
-        return F.transform(
-            cent_lit,
-            lambda c: F.struct(
-                _sq_dist(col, c["cv"]).alias("d"),
-                c["cid"].alias("cid"),
-                c["cv"].alias("cv"),
-            ),
-        )
-
-    # array_min on (d, cid, cv): (d, cid) is already a total order, the
-    # centroid vector just rides along so the residual needs no re-probe
-    best = F.array_min(cell_scored(F.col(vec_col)))
+    best = F.array_min(_cell_scored(cent_lit, F.col(vec_col)))
     corpus_f = corpus.where(
         usable_vec(F.col(vec_col), require_nonzero=False)
     ).withColumn("__cell", best["cid"])
@@ -353,13 +376,31 @@ def ivf_pq_topk(
             "__rvec",
             F.zip_with(F.col(vec_col), best["cv"], lambda x, y: x - y),
         )
-        codes = pq_encode(
+        return pq_encode(
             corpus_f, codebooks, "__rvec", id_col, carry=("__cell",)
         )
-    else:
-        codes = pq_encode(
-            corpus_f, codebooks, vec_col, id_col, carry=("__cell",)
-        )
+    return pq_encode(corpus_f, codebooks, vec_col, id_col, carry=("__cell",))
+
+
+def ivf_pq_topk_from_codes(
+    codes: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: Codebooks,
+    k: int = 5,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    residual: bool = False,
+) -> DataFrame:
+    """ADC scoring over an EXISTING (id, __cell, codes) table — the
+    read side of a persisted/streamed IVF-PQ index (st12)."""
+    spark = codes.sparkSession
+    cent_lit = _cent_literal(centroids)
+
+    def cell_scored(col: Column) -> Column:
+        return _cell_scored(cent_lit, col)
+
     qs = queries.where(
         usable_vec(F.col(vec_col), require_nonzero=False)
     ).select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))

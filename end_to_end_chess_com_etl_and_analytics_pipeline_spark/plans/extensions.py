@@ -1470,6 +1470,76 @@ WHERE rnk <= {_X62_K}
 _X62_SQL = _x62_sql()
 
 
+def st12_streaming_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of x62: coarse centroids + PQ codebooks are built
+    batch-side and FROZEN; the embedding corpus arrives as a
+    file-source stream (3 files → 3 micro-batches), each micro-batch
+    encodes to (id, cell, codes) via
+    streaming/pipeline.py::streaming_ivf_pq_encode and appends to the
+    code table; the final ADC top-k ranks queries over the accumulated
+    codes (operators/pq.py::ivf_pq_topk_from_codes).  A row's (cell,
+    codes) is a pure per-row function of (vector, frozen codebooks), so
+    stream-encoded ∪ batch-ranked ≡ one-shot batch — the oracle is
+    x62's SQL.  The production ANN ingest shape: codebooks retrain on
+    rebuild cadence, arrivals encode against the frozen pair (the
+    IVF-PQ analog of st11's frozen BM25 index and st06's persisted LSH
+    index)."""
+    import math
+    import os as _os
+    import shutil
+    import tempfile
+
+    from ..functions.vectors import usable_vec
+    from ..operators.pq import ivf_pq_topk_from_codes, pq_codebooks_init
+    from ..streaming.pipeline import streaming_ivf_pq_encode
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    n = spark.read.parquet(
+        _os.path.join(sf_dir, "embeddings.parquet")
+    ).count()
+    stride = max(50, math.ceil(n / 100))
+    fin = emb.where(usable_vec(F.col("embedding"), require_nonzero=False))
+    cents = [
+        (r["vec_id"], [float(v) for v in r["embedding"]])
+        for r in fin.where(F.col("vec_id") % stride == 3)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    books = pq_codebooks_init(emb, m=_X59_M, k=_X59_KC)
+    if not cents or not books[0]:
+        # empty corpus (the empty-inputs contract): nothing to stream
+        return spark.createDataFrame(
+            [], "query_id long, cand_id long, adc_d2 double, rnk int"
+        )
+    root = tempfile.mkdtemp(prefix="st12_")
+    try:
+        batch_dir = _os.path.join(root, "batch")
+        fin.select("vec_id", "embedding").repartition(3).write.parquet(
+            batch_dir
+        )  # several arriving files → several micro-batches
+        codes_dir = _os.path.join(root, "codes")
+        streaming_ivf_pq_encode(
+            spark,
+            batch_dir,
+            cents,
+            books,
+            codes_dir,
+            _os.path.join(root, "ckpt"),
+        )
+        queries = fin.orderBy(F.col("vec_id").asc()).limit(_X62_NQ)
+        out = ivf_pq_topk_from_codes(
+            spark.read.parquet(codes_dir),
+            queries,
+            cents,
+            books,
+            k=_X62_K,
+            nprobe=_X62_NPROBE,
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 # SemDeDup-style semantic dedup: keep-first within IVF cells.  The
 # threshold is fixture-calibrated (within-cell cosine p99 ≈ 0.33, max
 # 0.51 — both keep outcomes occur); production corpora tune per-model.
@@ -2393,6 +2463,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x60_pq_adc_topk": x60_pq_adc_topk,
     "x61_bm25_persisted_index": x61_bm25_persisted_index,
     "x62_ivf_pq_topk": x62_ivf_pq_topk,
+    "st12_streaming_ivf_pq": st12_streaming_ivf_pq,
     "st11_streaming_bm25": st11_streaming_bm25,
     "x20_dedup_clusters": x20_dedup_clusters,
     "x21_approx_sketches": x21_approx_sketches,
@@ -2437,6 +2508,7 @@ EXT_ORACLE: dict[str, str] = {
     "x60_pq_adc_topk": _X60_SQL,
     "x61_bm25_persisted_index": _X61_SQL,
     "x62_ivf_pq_topk": _X62_SQL,
+    "st12_streaming_ivf_pq": _X62_SQL,
     "st11_streaming_bm25": _X58_SQL,
     "x20_dedup_clusters": _X20_SQL,
     "x23_profile": _X23_SQL,

@@ -193,6 +193,7 @@ _SUITE_PARTS: dict[str, list[str]] = {
         "x59_pq_encode",
         "x60_pq_adc_topk",
         "x62_ivf_pq_topk",
+        "st12_streaming_ivf_pq",
     ],
     # mergeable-summary family: HLL/quantile bounded-error contracts,
     # count-min heavy hitters (exact-reproducible cells), the streaming

@@ -702,3 +702,60 @@ def run_stream_to_memory(
             spark.conf.unset("spark.sql.shuffle.partitions")
         else:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def streaming_ivf_pq_encode(
+    spark: SparkSession,
+    batch_vecs_dir: str,
+    centroids: list,
+    codebooks: list,
+    out_path: str,
+    checkpoint_dir: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    residual: bool = False,
+) -> None:
+    """Streaming ANN index ingest against FROZEN coarse + fine
+    codebooks: vectors arrive as a file-source stream and every
+    micro-batch is encoded by the exact batch corpus pass
+    (operators.pq.ivf_pq_encode_corpus — cell argmin + PQ codes in one
+    projection, zero joins), appending (id, cell, codes) rows to the
+    code table.  The production ANN ingest shape: codebooks retrain on
+    rebuild cadence while arrivals encode against the frozen pair —
+    the IVF-PQ analog of the frozen BM25 index (streaming_bm25_scores)
+    and the persisted LSH index (st06).
+
+    A row's (cell, codes) is a pure per-row function of (vector,
+    centroids, codebooks), so the union of micro-batch encodes equals
+    the one-shot batch encode — st12 ranks queries over the appended
+    codes and must hash-match x62's batch oracle."""
+    from ..operators.pq import ivf_pq_encode_corpus
+
+    schema = spark.read.parquet(batch_vecs_dir).schema  # footer probe
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(batch_vecs_dir)
+    )
+
+    def enc(batch_df: DataFrame, batch_id: int) -> None:
+        ivf_pq_encode_corpus(
+            batch_df, centroids, codebooks, vec_col, id_col, residual
+        ).write.mode("append").parquet(out_path)
+
+    # batch-scoped shuffle width (see run_incremental_gold)
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        (
+            stream.writeStream.foreachBatch(enc)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)

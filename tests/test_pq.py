@@ -258,3 +258,51 @@ def test_ivf_pq_residual_matches_numpy_reference(spark, emb):
         approx = C[cell_of(X[cand])] + recon(cand)
         expect = float(((X[q] - approx) ** 2).sum())
         assert adc == pytest.approx(expect, abs=2e-6), (q, cand)
+
+
+def test_streaming_ivf_pq_equals_batch(spark, emb, tmp_path):
+    """Stream-encoded codes (3 micro-batches against frozen centroids +
+    codebooks) ranked once must equal the one-shot ivf_pq_topk
+    bit-for-bit — encoding is a pure per-row function of (vector,
+    frozen codebooks), the st12 contract."""
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.operators.pq import (
+        ivf_pq_topk,
+        ivf_pq_topk_from_codes,
+    )
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.streaming.pipeline import (
+        streaming_ivf_pq_encode,
+    )
+
+    cents = [
+        (r.vec_id, [float(v) for v in r.embedding])
+        for r in emb.orderBy("vec_id").limit(4).collect()
+    ]
+    books = pq_codebooks_init(emb, m=M, k=KC)
+    queries = emb.where(F.col("vec_id") < 3)
+
+    batch = sorted(
+        map(tuple, ivf_pq_topk(emb, queries, cents, books, k=5).collect())
+    )
+
+    emb.repartition(3).write.parquet(str(tmp_path / "batch"))
+    streaming_ivf_pq_encode(
+        spark,
+        str(tmp_path / "batch"),
+        cents,
+        books,
+        str(tmp_path / "codes"),
+        str(tmp_path / "ckpt"),
+    )
+    streamed = sorted(
+        map(
+            tuple,
+            ivf_pq_topk_from_codes(
+                spark.read.parquet(str(tmp_path / "codes")),
+                queries,
+                cents,
+                books,
+                k=5,
+            ).collect(),
+        )
+    )
+    assert streamed == batch and batch
