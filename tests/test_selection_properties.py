@@ -10,6 +10,7 @@ corpora.
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -194,3 +195,55 @@ def test_vocab_two_phase_rank_equals_sorted_counts(spark, texts):
         # agreement is to the half-ulp of that scale
         assert abs(r["frac"] - r["cnt"] / total) <= 5e-7
         assert abs(r["cum_frac"] - cum / total) <= 5e-7
+
+
+@given(
+    texts=st.lists(
+        st.sampled_from(
+            # tiny vocabulary + heavy repetition → many EXACT quality
+            # ties, the adversarial case for x52's two-phase global
+            # rank (ties must land in one shard and break by doc_id)
+            ["alpha beta", "alpha beta", "the the the", "", "gamma !!!"]
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    srcs=st.lists(st.sampled_from(["web", "forum", None]), min_size=10, max_size=10),
+)
+@settings(**_SETTINGS)
+def test_source_calibration_matches_global_percent_rank(spark, texts, srcs):
+    """pct_global from the monotone-shard two-phase kernel must equal
+    the textbook percent_rank of the ONE global (quality, doc_id) sort,
+    and pct_in_source its per-source twin — under heavy quality ties
+    and NULL sources."""
+    df = spark.createDataFrame(
+        [(i, t, srcs[i % len(srcs)]) for i, t in enumerate(texts)],
+        "doc_id: long, text: string, source: string",
+    )
+    orig = S.load_table
+    S.load_table = lambda spark, name, sf_dir, **kw: df
+    try:
+        rows = S.x52_source_calibration(spark, "ignored").collect()
+    finally:
+        S.load_table = orig
+    assert len(rows) == len(texts)
+
+    def pct_ranks(group):
+        order = sorted(group, key=lambda r: (r["quality"], r["doc_id"]))
+        n = len(order)
+        return {
+            r["doc_id"]: (0.0 if n == 1 else i / (n - 1))
+            for i, r in enumerate(order)
+        }
+
+    expect_global = pct_ranks(rows)
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for r in rows:
+        assert r["pct_global"] == pytest.approx(
+            expect_global[r["doc_id"]], abs=1e-6
+        ), r
+        assert r["pct_in_source"] == pytest.approx(
+            pct_ranks(by_src[r["source"]])[r["doc_id"]], abs=1e-6
+        ), r
