@@ -47,6 +47,47 @@ sys.path.insert(0, REPO)
 SRC = "/root/testdata/sf0.1"
 
 
+def build_docs_scaled(spark, n: int, out_dir: str) -> None:
+    """Documents-only N× corpus for the THOUSAND-x decade of the text
+    flagships: documents replicate via ONE crossJoin against
+    ``spark.range(n)`` (a 1000-way unionByName plan chokes the
+    analyzer; the crossJoin is a single 2-node plan), every other table
+    copies at 1× (the text operators never read them).  Replica
+    semantics match build_scaled's default: replica k appends a
+    `` repl{k}`` marker, so replicas of a doc are mutual near-dups."""
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+    done_marker = os.path.join(out_dir, f"_built_docs_x{n}")
+    if os.path.exists(done_marker):
+        return
+    docs = spark.read.parquet(os.path.join(SRC, "documents.parquet"))
+    n_docs = docs.count()
+    others = [c for c in docs.columns if c not in ("doc_id", "text")]
+    reps = spark.range(n).withColumnRenamed("id", "__k")
+    (
+        docs.crossJoin(reps)
+        .select(
+            (F.col("doc_id") + F.col("__k") * n_docs).alias("doc_id"),
+            F.when(F.col("__k") == 0, F.col("text"))
+            .otherwise(F.concat(F.col("text"), F.lit(" repl"), F.col("__k")))
+            .alias("text"),
+            *others,
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "documents.parquet"))
+    )
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "embeddings"
+    ).split():
+        spark.read.parquet(os.path.join(SRC, f"{t}.parquet")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, f"{t}.parquet"))
+    with open(done_marker, "w") as fh:
+        fh.write("ok")
+
+
 def build_scaled(spark, n: int, out_dir: str, fixed_dup: bool = False) -> None:
     """``fixed_dup=True`` builds the constant-duplication-rate variant:
     replicas are made mutually DISSIMILAR (per-replica token suffix on
@@ -213,8 +254,11 @@ OUTPUT_BOUND = {"x03_minhash_lsh_pairs", "x14_embedding_lsh_near_dup"}
 
 
 def main() -> int:
-    argv = [a for a in sys.argv[1:] if a != "--fixed-dup"]
+    argv = [
+        a for a in sys.argv[1:] if a not in ("--fixed-dup", "--docs-only")
+    ]
     fixed_dup = "--fixed-dup" in sys.argv
+    docs_only = "--docs-only" in sys.argv
     n = int(argv[0]) if argv else 10
     # out_dir must look like a path — otherwise it's the first probe name
     if len(argv) > 1 and ("/" in argv[1] or argv[1].startswith(".")):
@@ -232,7 +276,10 @@ def main() -> int:
     )
 
     spark = get_spark(app_name="scale-probe")
-    build_scaled(spark, n, out_dir, fixed_dup=fixed_dup)
+    if docs_only:
+        build_docs_scaled(spark, n, out_dir)
+    else:
+        build_scaled(spark, n, out_dir, fixed_dup=fixed_dup)
 
     # warm engine paths once (same rationale as bench.py)
     spark.range(1_000_000).selectExpr("sum(id) s").write.format("noop").mode(
