@@ -225,13 +225,81 @@ def bm25_build_index(
     write_bm25_index(tf, terms, scalars, path)
 
 
+def _index_fs(spark: "SparkSession", path: str):  # noqa: F821
+    """(hadoop Path class, FileSystem) for an index root — all commit
+    metadata goes through the Hadoop FS API so scheme-prefixed roots
+    (viewfs://, hdfs://) behave exactly like file:// (the fs_exists
+    lesson, sources/tables.py:273)."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    P = jvm.org.apache.hadoop.fs.Path
+    return P, P(path).getFileSystem(hconf)
+
+
+def _rename_or_die(fs, src, dst) -> None:
+    if not fs.rename(src, dst):
+        raise IOError(f"index commit rename failed: {src} -> {dst}")
+
+
+def _finish_refresh_commit(spark: "SparkSession", path: str, token: str) -> None:  # noqa: F821
+    """Phase 2 of a refresh: swap the fully-staged artifacts live, then
+    mark the delta applied and drop the intent.  Every step is a
+    skip-if-already-done, so re-running after a crash at ANY point
+    resumes cleanly — terms/scalars swap by whole-directory rename,
+    and each staged tf file moves under a token-deterministic name (a
+    re-run sees the destination and discards the source instead of
+    appending a second copy)."""
+    P, fs = _index_fs(spark, path)
+    root = path.rstrip("/")
+    for art in ("terms", "scalars"):
+        staged = P(f"{root}/{art}.__staged_{token}__")
+        if fs.exists(staged):
+            fs.delete(P(f"{root}/{art}"), True)
+            _rename_or_die(fs, staged, P(f"{root}/{art}"))
+    staged_tf = P(f"{root}/tf.__delta_{token}__")
+    if fs.exists(staged_tf):
+        for st in fs.listStatus(staged_tf):
+            name = st.getPath().getName()
+            if name.startswith("_") or name.startswith("."):
+                continue  # _SUCCESS / checksums never go live
+            dst = P(f"{root}/tf/delta_{token}_{name}")
+            if fs.exists(dst):
+                fs.delete(st.getPath(), False)
+            else:
+                _rename_or_die(fs, st.getPath(), dst)
+        fs.delete(staged_tf, True)
+    fs.mkdirs(P(f"{root}/_applied_deltas"))
+    fs.createNewFile(P(f"{root}/_applied_deltas/{token}"))
+    fs.delete(P(f"{root}/_refresh_intent_{token}"), False)
+
+
+def _recover_pending_refreshes(spark: "SparkSession", path: str) -> list[str]:  # noqa: F821
+    """Finish any refresh that crashed mid-commit (intent file present
+    means its staging completed against the PRE-delta state, so
+    replaying the swaps is exact).  Runs before every refresh and
+    before index reads are trusted; returns the recovered tokens."""
+    P, fs = _index_fs(spark, path)
+    root = P(path.rstrip("/"))
+    if not fs.exists(root):
+        return []
+    recovered = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith("_refresh_intent_"):
+            token = name[len("_refresh_intent_") :]
+            _finish_refresh_commit(spark, path, token)
+            recovered.append(token)
+    return recovered
+
+
 def bm25_refresh_index(
     spark: "SparkSession",  # noqa: F821
     delta_docs: DataFrame,
     path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
-) -> None:
+    delta_token: str | None = None,
+) -> bool:
     """Maintain the persisted index for APPEND-ONLY growth (new doc
     ids; re-ingesting an existing doc double-counts — the watermark /
     anti-join layers upstream own that guarantee, the same contract as
@@ -247,9 +315,32 @@ def bm25_refresh_index(
     Only the delta is tokenized; the existing corpus is never rescanned
     — refresh cost is O(delta + vocab), not O(corpus).  Equal to a
     from-scratch rebuild over the union by construction (pinned by
-    tests/test_retrieval.py)."""
+    tests/test_retrieval.py).
+
+    Crash safety (two-phase commit, single writer at a time): phase 1
+    stages the delta tf and the merged terms/scalars to sibling temp
+    dirs — nothing live is touched — then records an intent file.
+    Phase 2 swaps the staged artifacts in with FileSystem renames and
+    marks the delta applied.  A crash before the intent leaves the
+    live index untouched (stale staging is clobbered by the next run);
+    a crash after it is finished by the recovery sweep that runs at
+    the top of every refresh, so tf can never stay inconsistent with
+    terms/scalars.  Pass a stable ``delta_token`` (micro-batch id,
+    ingest date) and a RETRIED refresh of an already-applied delta is
+    a no-op instead of a double-append — the failure mode the
+    append-only contract alone does not cover.  Returns True if the
+    delta was applied, False if the token was already applied.
+    """
     import os
 
+    _recover_pending_refreshes(spark, path)
+    token = delta_token if delta_token is not None else "adhoc"
+    P, fs = _index_fs(spark, path)
+    root = path.rstrip("/")
+    if delta_token is not None and fs.exists(
+        P(f"{root}/_applied_deltas/{token}")
+    ):
+        return False
     delta_tf = bm25_tf(delta_docs, text_col, id_col)
     d_terms, d_scalars = bm25_index(delta_tf, id_col)
     old_terms = spark.read.parquet(os.path.join(path, "terms"))
@@ -289,19 +380,25 @@ def bm25_refresh_index(
             (F.col("n_docs_a") + F.col("n_docs_b")).alias("n_docs"),
         )
     )
-    # materialize the merges before overwriting their own inputs
-    merged_terms = merged_terms.localCheckpoint()
-    merged_scalars = merged_scalars.localCheckpoint()
+    # phase 1 — stage everything to sibling temp dirs (overwrite mode
+    # clobbers leftovers from a pre-intent crash); live inputs are only
+    # read here, never written, so no self-overwrite checkpoint needed
     (
         delta_tf.repartitionByRange("token")
         .sortWithinPartitions("token")
-        .write.mode("append")
-        .parquet(os.path.join(path, "tf"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(root, f"tf.__delta_{token}__"))
     )
-    merged_terms.write.mode("overwrite").parquet(os.path.join(path, "terms"))
+    merged_terms.write.mode("overwrite").parquet(
+        os.path.join(root, f"terms.__staged_{token}__")
+    )
     merged_scalars.write.mode("overwrite").parquet(
-        os.path.join(path, "scalars")
+        os.path.join(root, f"scalars.__staged_{token}__")
     )
+    # intent marks staging complete; phase 2 swaps are replay-safe
+    fs.createNewFile(P(f"{root}/_refresh_intent_{token}"))
+    _finish_refresh_commit(spark, path, token)
+    return True
 
 
 def bm25_topk_from_index(

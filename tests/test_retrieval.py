@@ -188,3 +188,83 @@ def test_refresh_index_equals_rebuild_over_union(spark, tmp_path):
         map(tuple, bm25_topk_from_index(spark, full_path, k=4, top_terms=4).collect())
     )
     assert got_inc == got_full and got_inc
+
+
+def test_refresh_index_token_makes_retry_a_noop(spark, tmp_path):
+    """A retried refresh with the SAME delta_token must not
+    double-append tf or double-count terms/scalars (the failure mode
+    the append-only doc-id contract upstream does not cover)."""
+    import os
+
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.operators.retrieval import (
+        bm25_build_index,
+        bm25_refresh_index,
+        read_bm25_index,
+    )
+
+    old = spark.createDataFrame(DOCS, "doc_id long, text string")
+    delta = spark.createDataFrame(
+        [(7, "fresh spark content about shuffle layout")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "inc")
+    bm25_build_index(old, path)
+    assert bm25_refresh_index(spark, delta, path, delta_token="b1") is True
+    snap_tf, snap_terms, snap_scalars = (
+        sorted(map(tuple, df.collect())) for df in read_bm25_index(spark, path)
+    )
+    # retry of an applied token: no-op, returns False, artifacts identical
+    assert bm25_refresh_index(spark, delta, path, delta_token="b1") is False
+    tf2, terms2, scalars2 = (
+        sorted(map(tuple, df.collect())) for df in read_bm25_index(spark, path)
+    )
+    assert (tf2, terms2, scalars2) == (snap_tf, snap_terms, snap_scalars)
+    assert os.path.exists(os.path.join(path, "_applied_deltas", "b1"))
+
+
+def test_refresh_index_recovers_from_mid_commit_crash(spark, tmp_path):
+    """Kill the refresh between phase 1 (staging + intent) and phase 2
+    (swaps): the live index is stale-but-consistent, and the next
+    refresh call first replays the pending commit, so the final state
+    equals a rebuild over the union — no lost delta, no double-append."""
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.operators import (
+        retrieval as R,
+    )
+
+    old = spark.createDataFrame(DOCS, "doc_id long, text string")
+    d1 = spark.createDataFrame(
+        [(7, "fresh spark content about shuffle layout")],
+        "doc_id long, text string",
+    )
+    d2 = spark.createDataFrame(
+        [(8, "an unrelated document concerning ducks")],
+        "doc_id long, text string",
+    )
+    inc_path = str(tmp_path / "inc")
+    full_path = str(tmp_path / "full")
+    R.bm25_build_index(old, inc_path)
+
+    # simulate the crash: run phase 1 for d1 but die before phase 2
+    real_finish = R._finish_refresh_commit
+    R._finish_refresh_commit = lambda *a, **k: (_ for _ in ()).throw(
+        RuntimeError("simulated crash before commit")
+    )
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            R.bm25_refresh_index(spark, d1, inc_path, delta_token="d1")
+    finally:
+        R._finish_refresh_commit = real_finish
+
+    # live index is still the OLD one (nothing swapped)
+    n_docs = R.read_bm25_index(spark, inc_path)[2].collect()[0]["n_docs"]
+    assert n_docs == 4  # DOCS has 4 non-empty docs
+
+    # next refresh (a different delta) first recovers the pending d1
+    assert R.bm25_refresh_index(spark, d2, inc_path, delta_token="d2") is True
+    R.bm25_build_index(old.unionByName(d1).unionByName(d2), full_path)
+    for part in (0, 1, 2):
+        got = sorted(map(tuple, R.read_bm25_index(spark, inc_path)[part].collect()))
+        want = sorted(map(tuple, R.read_bm25_index(spark, full_path)[part].collect()))
+        assert got == want, ("tf", "terms", "scalars")[part]
+    # and a retry of the recovered token is a no-op too
+    assert R.bm25_refresh_index(spark, d1, inc_path, delta_token="d1") is False
