@@ -1006,7 +1006,12 @@ _X58_SCORE = round_fixed_sql(
     6,
 )
 
-_X58_SQL = f"""
+def _x58_sql(query_offset: int = 0) -> str:
+    """The BM25 oracle, parameterized by the rank offset of the query
+    window (x58 scores the top-{_X58_TOPQ} tokens, x61 the next
+    {_X58_TOPQ}) — one builder instead of a fragile string .replace
+    that silently no-ops if the base SQL is ever reformatted."""
+    return f"""
 WITH exploded AS (
     SELECT doc_id, len(toks) AS dl, unnest(toks) AS token
     FROM (SELECT doc_id,
@@ -1024,7 +1029,7 @@ scalars AS (
 queries AS (
     SELECT token AS query FROM (
         SELECT token, SUM(tf) AS cnt FROM tf GROUP BY token)
-    ORDER BY cnt DESC, token ASC LIMIT {_X58_TOPQ}),
+    ORDER BY cnt DESC, token ASC LIMIT {_X58_TOPQ} OFFSET {query_offset}),
 scored AS (
     SELECT q.query, e.doc_id, {_X58_SCORE} AS score
     FROM enriched e CROSS JOIN scalars JOIN queries q ON e.token = q.query
@@ -1036,6 +1041,9 @@ FROM (
     FROM scored)
 WHERE rnk <= {_X58_K}
 """
+
+
+_X58_SQL = _x58_sql(0)
 
 
 def x61_bm25_persisted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1054,34 +1062,43 @@ def x61_bm25_persisted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from ..operators.retrieval import bm25_build_index, bm25_topk_from_index
-
-    docs = load_table(spark, "documents", sf_dir)
     root = tempfile.mkdtemp(prefix="x61_")
     try:
-        bm25_build_index(docs, root)
-        terms = spark.read.parquet(root + "/terms")
-        top2 = (
-            terms.orderBy(F.col("cnt").desc(), F.col("token").asc())
-            .limit(2 * _X58_TOPQ)
-            .collect()
-        )
-        queries = spark.createDataFrame(
-            [(r["token"], [r["token"]]) for r in top2[_X58_TOPQ:]],
-            "query string, terms array<string>",
-        )
-        out = bm25_topk_from_index(
-            spark, root, queries, k=_X58_K
-        ).localCheckpoint()
+        out = x61_scoring_frame(spark, sf_dir, root).localCheckpoint()
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
 
 
-_X61_SQL = _X58_SQL.replace(
-    f"LIMIT {_X58_TOPQ})",
-    f"LIMIT {_X58_TOPQ} OFFSET {_X58_TOPQ})",
-)
+def x61_scoring_frame(
+    spark: SparkSession, sf_dir: str, root: str
+) -> DataFrame:
+    """Build + persist the index at ``root`` and return the UNMATERIALIZED
+    scoring frame against it.  Split out of x61 so the plan audit
+    (tools/explain_audit.py) can explain the real scoring plan — the
+    pushed ``token IN (...)`` filter on the tf scan — instead of the
+    ``Scan ExistingRDD`` the registry entry's localCheckpoint leaves
+    behind (r7 verdict: the pushdown claim was backed by tests and the
+    probe but invisible in PLANS.md).  Caller owns ``root``'s lifetime:
+    the frame reads from it lazily."""
+    from ..operators.retrieval import bm25_build_index, bm25_topk_from_index
+
+    docs = load_table(spark, "documents", sf_dir)
+    bm25_build_index(docs, root)
+    terms = spark.read.parquet(root + "/terms")
+    top2 = (
+        terms.orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(2 * _X58_TOPQ)
+        .collect()
+    )
+    queries = spark.createDataFrame(
+        [(r["token"], [r["token"]]) for r in top2[_X58_TOPQ:]],
+        "query string, terms array<string>",
+    )
+    return bm25_topk_from_index(spark, root, queries, k=_X58_K)
+
+
+_X61_SQL = _x58_sql(query_offset=_X58_TOPQ)
 
 
 def x20_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
