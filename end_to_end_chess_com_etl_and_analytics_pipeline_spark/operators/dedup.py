@@ -460,11 +460,13 @@ def lsh_auto_geometry(
     can reproduce it with ``length(bin(n-1))`` and never disagree at a
     power-of-two boundary.  ``max_bits`` caps the width (x14's oracle
     embeds plane literals for bands·max_bits planes — the cap bounds
-    that SQL; the engine path leaves it None/unbounded).  Returns
-    (n_planes, bands)."""
+    that SQL; the engine path defaults to 32 — past 32 bits the bucket
+    space already exceeds any realistic executor count and wider keys
+    only thin buckets below the O(1)-occupancy target, while an
+    UNCAPPED width would outgrow even a long fold at absurd n).
+    Returns (n_planes, bands)."""
     bits = max(8, (max(n_vectors, 2) - 1).bit_length())
-    if max_bits is not None:
-        bits = min(bits, max_bits)
+    bits = min(bits, 32 if max_bits is None else max_bits)
     return bits * bands, bands
 
 
@@ -550,7 +552,10 @@ def embedding_lsh_near_dup_pairs(
             F.slice(
                 F.col("__bits"), F.col("band") * rows_per_band + 1, rows_per_band
             ),
-            F.lit(0),
+            # long accumulator: an int fold overflows past 31 bits per
+            # band (ANSI job kill / silent wraparound collisions); the
+            # key is join-internal so the widening is invisible outside
+            F.lit(0).cast("long"),
             lambda acc, b: acc * 2 + b,
         ).alias("band_key"),
     )

@@ -429,6 +429,12 @@ def test_lsh_auto_geometry_formula():
     assert lsh_auto_geometry(60000) == (64, 4)    # 16-bit bands
     assert lsh_auto_geometry(1_000_000) == (80, 4)
     assert lsh_auto_geometry(2, bands=8) == (64, 8)
+    # auto path caps at 32 bits/band: past 2^32 vectors the bucket
+    # space is already executor-count-scale, and an uncapped width
+    # would overflow even a long band-key fold at absurd n
+    assert lsh_auto_geometry(2**40) == (32 * 4, 4)
+    assert lsh_auto_geometry(2**40, max_bits=20) == (20 * 4, 4)
+    assert lsh_auto_geometry(2**40, max_bits=48) == (40 * 4, 4)
 
 
 def test_lsh_auto_matches_explicit_geometry(spark):
