@@ -23,6 +23,40 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def shard_offsets(
+    counts: DataFrame, shard_col: str, sum_cols: dict[str, str]
+) -> DataFrame:
+    """Exclusive running totals over a tiny per-shard aggregate
+    (≤ n_shards rows), computed IN-PLAN as a triangular broadcast
+    self-join: for each shard, sum every column in ``sum_cols``
+    (src → dst name) over the shards that sort strictly before it
+    (NULL shard first, mirroring SQL's NULLS FIRST window order).
+
+    Replaces the two rejected alternatives for the shard-offset
+    pattern: an unpartitioned ``Window.orderBy(shard)`` (correct and
+    bounded, but WindowExec logs the exact ``No Partition Defined``
+    warning that flags REAL scale bugs elsewhere — it cried wolf in
+    every bench tail) and a driver-side ``collect()`` of the counts
+    (silent about WindowExec, but freezes the offsets at plan-BUILD
+    time, so a re-executed plan over changed data computes from stale
+    offsets).  The join is a ≤ n_shards² nested-loop over a broadcast
+    side — O(32²) work at any data scale — and the offsets re-derive
+    from the live aggregate on every execution."""
+    a, b = counts.alias("__a"), counts.alias("__b")
+    sh_a, sh_b = F.col(f"__a.{shard_col}"), F.col(f"__b.{shard_col}")
+    before = (sh_b < sh_a) | (sh_b.isNull() & sh_a.isNotNull())
+    return (
+        a.join(F.broadcast(b), before, "left")
+        .groupBy(sh_a.alias(shard_col))
+        .agg(
+            *(
+                F.coalesce(F.sum(F.col(f"__b.{src}")), F.lit(0)).alias(dst)
+                for src, dst in sum_cols.items()
+            )
+        )
+    )
+
+
 def stable_row_ids(
     df: DataFrame,
     key_col: str,
@@ -41,16 +75,10 @@ def stable_row_ids(
     base = df.withColumn("shard", shard)
     w_local = Window.partitionBy("shard").orderBy(key_col)
     ranked = base.withColumn("local_rank", F.row_number().over(w_local))
-    # n_shards rows: the single-partition window below is the whole
-    # sequential fraction of this plan
+    # n_shards rows: the triangular offset join is the whole sequential
+    # fraction of this plan
     counts = base.groupBy("shard").agg(F.count("*").alias("n"))
-    # WindowExec warns about this unpartitioned window; that is the
-    # design — the frame holds exactly n_shards rows at any data scale.
-    w_off = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        "shard",
-        F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("shard_offset"),
-    )
+    offsets = shard_offsets(counts, "shard", {"n": "shard_offset"})
     return (
         ranked.join(F.broadcast(offsets), "shard")
         .withColumn(

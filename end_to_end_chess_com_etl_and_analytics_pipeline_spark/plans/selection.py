@@ -62,6 +62,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import md5_long, md5_long_sql
 from ..functions.rounding import round_fixed, round_fixed_sql
 from ..functions.text import bpe_ish_token_count, casefold, quality_score, tokens
+from ..operators.ids import shard_offsets
 from ..sources.tables import load_table
 
 # x33: quality-bucket shard count and the token budget.  The budget is
@@ -181,13 +182,8 @@ def x33_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = base.groupBy("__shard").agg(
         F.count("*").alias("__n"), F.sum("n_bpe_tokens").alias("__tok")
     )
-    w_off = Window.orderBy("__shard").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offsets = counts.select(
-        "__shard",
-        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__n_off"),
-        F.coalesce(F.sum("__tok").over(w_off), F.lit(0)).alias("__tok_off"),
+    offsets = shard_offsets(
+        counts, "__shard", {"__n": "__n_off", "__tok": "__tok_off"}
     )
     return (
         ranked.join(F.broadcast(offsets), "__shard")
@@ -654,13 +650,8 @@ def x39_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard_stats = sharded.groupBy("__shard").agg(
         F.count("*").alias("__n"), F.sum("cnt").alias("__tok")
     )
-    w_off = Window.orderBy("__shard").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offsets = shard_stats.select(
-        "__shard",
-        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__n_off"),
-        F.coalesce(F.sum("__tok").over(w_off), F.lit(0)).alias("__tok_off"),
+    offsets = shard_offsets(
+        shard_stats, "__shard", {"__n": "__n_off", "__tok": "__tok_off"}
     )
     total = counts.agg(
         F.sum("cnt").cast("double").alias("__total")
@@ -1202,19 +1193,15 @@ def x52_source_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_local = Window.partitionBy("__shard").orderBy(
         F.asc("quality"), F.asc("doc_id")
     )
-    # ≤ n_shards rows — the whole sequential fraction of this plan runs
-    # as one driver-sized collect (the accepted shard-offset pattern),
-    # so x52 emits NO unpartitioned WindowExec at any scale
-    count_rows = sorted(
-        base.groupBy("__shard").agg(F.count("*").alias("__n")).collect()
-    )
-    total = sum(r["__n"] for r in count_rows)
-    acc, off_rows = 0, []
-    for r in count_rows:
-        off_rows.append((r["__shard"], acc, total))
-        acc += r["__n"]
-    offsets = spark.createDataFrame(
-        off_rows, "__shard long, __off long, __total long"
+    # ≤ n_shards rows — the whole sequential fraction of this plan is
+    # the triangular offset join (operators.ids.shard_offsets): no
+    # unpartitioned WindowExec at any scale, and — unlike the r7
+    # collect() form — the offsets re-derive from the live table on
+    # every execution, so a re-evaluated plan can never rank against a
+    # stale plan-build-time snapshot
+    counts = base.groupBy("__shard").agg(F.count("*").alias("__n"))
+    offsets = shard_offsets(counts, "__shard", {"__n": "__off"}).crossJoin(
+        F.broadcast(counts.agg(F.sum("__n").alias("__total")))
     )
     ranked = base.withColumn("__rank", F.row_number().over(w_local))
     return (
