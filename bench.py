@@ -174,18 +174,82 @@ def main() -> None:
         calib_best = dt if calib_best is None else min(calib_best, dt)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "calib_sec": round(calib_best, 3),
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "calib_sec": round(calib_best, 3),
+    }
+    # Normalize by the calibration stamp so cross-round comparisons
+    # stop re-litigating machine drift by hand (r7 verdict #2: nothing
+    # consumed calib_sec; the judge and builder each spent a session
+    # adjudicating a 56s-vs-70s split that the stamps already
+    # explained).  value_normalized is the total rescaled to a fixed
+    # reference machine speed (CALIB_REF_SEC = the judge's idle-box
+    # stamp from r7), and vs_prior carries like-for-like normalized
+    # ratios against the newest committed BENCH_r*.json: ratio > ~1.2
+    # on a code-unchanged query is a real regression, not noise.
+    CALIB_REF_SEC = 0.138
+    out["value_normalized"] = round(total * CALIB_REF_SEC / calib_best, 3)
+    prior = _latest_prior_artifact()
+    if prior is not None:
+        pname, pdata = prior
+        pq, pcal = pdata.get("queries", {}), pdata.get("calib_sec")
+        if pcal:
+            shared = sorted(set(pq) & set(timings))
+            ratios = {
+                n: round((timings[n] / calib_best) / (pq[n] / pcal), 2)
+                for n in shared
+                if pq[n] > 0
             }
+            now_shared = sum(timings[n] for n in shared)
+            prior_shared = sum(pq[n] for n in shared)
+            out["vs_prior"] = {
+                "artifact": pname,
+                "prior_value": pdata.get("value"),
+                "prior_calib_sec": pcal,
+                "shared_queries": len(shared),
+                "like_for_like_ratio_normalized": round(
+                    (now_shared / calib_best) / (prior_shared / pcal), 3
+                ),
+                "per_query_ratio_normalized": ratios,
+            }
+    print(json.dumps(out))
+
+
+def _latest_prior_artifact() -> tuple[str, dict] | None:
+    """Newest committed BENCH_r{N}.json in the repo root (env override:
+    SPARK_GRAFT_BENCH_BASELINE=path), parsed; None if absent/corrupt."""
+    import glob
+    import re
+
+    override = os.environ.get("SPARK_GRAFT_BENCH_BASELINE")
+    if override:
+        candidates = [override]
+    else:
+        def rnum(p: str) -> int:
+            m = re.search(r"BENCH_r(\d+)\.json$", p)
+            return int(m.group(1)) if m else -1
+
+        candidates = sorted(
+            glob.glob(os.path.join(_REPO_ROOT, "BENCH_r*.json")),
+            key=rnum,
+            reverse=True,
         )
-    )
+    for path in candidates:
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        # the driver's artifact wraps bench's own JSON line in "parsed"
+        if "queries" not in data and isinstance(data.get("parsed"), dict):
+            data = data["parsed"]
+        if data.get("queries"):
+            return os.path.basename(path), data
+    return None
 
 
 if __name__ == "__main__":
