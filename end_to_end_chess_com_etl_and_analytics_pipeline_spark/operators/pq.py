@@ -301,11 +301,21 @@ def ivf_pq_topk(
     random centroids is nearly orthogonal to v, so the residual's
     variance is ~2× the raw vector's and the same code budget
     reconstructs WORSE.  Residual encoding pays off exactly when cells
-    capture real structure (clustered production embeddings); this
-    fixture is its worst case.  Numerical correctness of the residual
-    path (encode → reconstruct → ADC vs a numpy reference) is pinned by
-    tests/test_pq.py; recall superiority is deliberately NOT claimed
-    here.
+    capture real structure — and on CLUSTERED data that is now
+    measured, not asserted (planted elongated-cluster fixture,
+    sources/synthetic.clustered_embeddings, trained 32 cells, k=64
+    codes, nprobe=2): at m=16 residual recall@5 is 0.925 (raw 0.887),
+    clearing the production-grade ≥ 0.8 floor and rising with nprobe
+    exactly as cell coverage predicts; at the TIGHT m=8 budget the
+    residual advantage widens — 0.838 vs 0.675 raw (vs a 0.925/0.887
+    gap at m=16), because raw books must spend their codes memorizing
+    cluster centers while residual books spend everything on
+    within-cell position
+    (tests/test_pq.py::test_ivf_pq_recall_on_clustered_fixture pins
+    all three; tools/recall_probe.py prints the full recall-vs-nprobe
+    tables recorded in SCALE.md).  Numerical
+    correctness of the residual path (encode → reconstruct → ADC vs a
+    numpy reference) is pinned by tests/test_pq.py either way.
 
     Plan shape at 100 TB:
 

@@ -306,3 +306,76 @@ def test_streaming_ivf_pq_equals_batch(spark, emb, tmp_path):
         )
     )
     assert streamed == batch and batch
+
+
+def test_ivf_pq_recall_on_clustered_fixture(spark):
+    """The production-grade recall pin the isotropic fixtures can't
+    give (r7 verdict #1): on planted ELONGATED clusters
+    (sources/synthetic.clustered_embeddings — members straddle cell
+    boundaries, ids shuffled so tie-breaks can't fake recall):
+
+    - trained IVF (32 cells) × residual PQ (m=16, k=64) at nprobe=2
+      reaches recall@5 ≥ 0.8 vs exact brute force (measured 0.925);
+    - recall RISES from nprobe=1 (cell coverage is a real constraint
+      there: ceiling 0.825, measured 0.775 → 0.925 at nprobe=2);
+    - at the TIGHT code budget (m=8 — half the bits) residual (IVFADC)
+      encoding clearly beats raw-vector books (measured 0.838 vs
+      0.675; at m=16 the gap narrows to 0.925 vs 0.887 — the advantage
+      GROWS as the budget tightens, because raw books must spend codes
+      memorizing the 16 cluster centers while residual books spend
+      everything on within-cell position).  This is the
+      operators/pq.py clustered-data claim, previously untestable on
+      isotropic fixtures.  tools/recall_probe.py prints the full
+      recall-vs-nprobe table for both budgets (recorded in SCALE.md).
+    """
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.operators.clustering import (
+        kmeans,
+    )
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.operators.pq import (
+        ivf_pq_topk,
+        ivf_residuals,
+    )
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.sources.synthetic import (
+        cluster_center_queries,
+        clustered_embeddings,
+    )
+
+    centers, full = clustered_embeddings(spark, per_cluster=32)
+    corpus = full.select("vec_id", "embedding").cache()
+    queries = cluster_center_queries(spark, centers, n_queries=16)
+    rows = corpus.collect()
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([list(r.embedding) for r in rows])
+    exact = {}
+    for qr in queries.collect():
+        qv = np.array(list(qr.embedding))
+        d = ((X - qv) ** 2).sum(axis=1)
+        exact[qr.vec_id] = set(ids[np.argsort(d, kind="stable")[:5]])
+
+    _, cents = kmeans(corpus, k=32, rounds=3)
+    residuals = ivf_residuals(corpus, cents)
+
+    def recall(books, nprobe, residual):
+        got = ivf_pq_topk(
+            corpus, queries, cents, books, k=5, nprobe=nprobe,
+            residual=residual,
+        ).collect()
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r.query_id, set()).add(r.cand_id)
+        return float(
+            np.mean([len(by_q.get(q, set()) & exact[q]) / 5 for q in exact])
+        )
+
+    books_res16 = pq_codebooks_train(residuals, m=16, k=64, rounds=3)
+    res16_np1 = recall(books_res16, 1, True)
+    res16_np2 = recall(books_res16, 2, True)
+    assert res16_np2 >= 0.8, res16_np2      # production-grade floor
+    assert res16_np2 >= res16_np1, (res16_np1, res16_np2)  # curve rises
+
+    books_res8 = pq_codebooks_train(residuals, m=8, k=64, rounds=3)
+    books_raw8 = pq_codebooks_train(corpus, m=8, k=64, rounds=3)
+    res8 = recall(books_res8, 2, True)
+    raw8 = recall(books_raw8, 2, False)
+    corpus.unpersist()
+    assert res8 >= raw8 + 0.1, (raw8, res8)  # IVFADC claim, tight budget
