@@ -70,7 +70,7 @@ HEADLINE = [
     ("x49_zipf_fit", "corpus collapses to the shared checkpointed token-counts table; top-R via TakeOrderedAndProject; the unpartitioned rank window holds exactly R (constant) rows; final OLS is a scalar agg"),
     ("x50_source_similarity", "distinct (source,shingle) hash-agg pinned once for three consumers; shingle-keyed self-join (co-occurrence-bounded, AQE-skew-split) + two broadcast size joins"),
     ("x51_random_projection", "constant ±1 sign matrix embedded as literals; zero-shuffle scan-local fixed-dim fold — no hashing, no exchange beyond the undersplit-scan spread"),
-    ("x52_source_calibration", "one source-keyed window exchange for pct_in_source; pct_global = two-phase monotone-shard rank (shard-keyed window + broadcast driver-collected offsets) — NO unpartitioned window"),
+    ("x52_source_calibration", "one source-keyed window exchange for pct_in_source; pct_global = two-phase monotone-shard rank (shard-keyed window + in-plan triangular-join broadcast offsets) — NO unpartitioned window, NO plan-build-time collect"),
     ("x53_cms_heavy_hitters", "counts pinned once (checkpoint); sketch cells = one <=D*W-row hash-agg; probe joins the broadcast 24 KiB cell table; total = one-row broadcast nested loop"),
     ("x54_zorder_layout", "ONE corpus-grain shuffle to <=2^16 grid cells (checkpointed); both layouts' file stats are tiny hash-aggs over the cell table; z-value is zero-shuffle shift/mask codegen"),
     ("x55_kmv_source_overlap", "x50's distinct (source,shingle) kernel is the only corpus-grain exchange; per-source bottom-K window collapses to S*K sketch rows; pair stage = broadcast NLJ over two constant-size frames"),
@@ -105,8 +105,23 @@ def main() -> None:
         "expression work.",
         "",
     ]
+    import shutil
+    import tempfile
+
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans.extensions import (
+        x61_scoring_frame,
+    )
+
+    x61_root = tempfile.mkdtemp(prefix="x61_audit_")
     for name, claim in HEADLINE:
-        df = qs[name](spark, sf_dir)
+        if name == "x61_bm25_persisted_index":
+            # the registry entry localCheckpoints (its temp index dir is
+            # deleted on return), which hides the scoring plan behind
+            # Scan ExistingRDD; audit the live pre-checkpoint frame so
+            # the pushed token-IN filter is visible
+            df = x61_scoring_frame(spark, sf_dir, x61_root)
+        else:
+            df = qs[name](spark, sf_dir)
         df.collect()  # let AQE finalize
         plan = df._jdf.queryExecution().explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
@@ -137,6 +152,7 @@ def main() -> None:
             "```",
             "",
         ]
+    shutil.rmtree(x61_root, ignore_errors=True)
     with open(os.path.join(os.path.dirname(__file__), "..", "PLANS.md"), "w") as f:
         f.write("\n".join(out))
     print(f"PLANS.md written ({len(HEADLINE)} queries)")

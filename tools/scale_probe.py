@@ -22,11 +22,18 @@ from scratch — TESTDATA.md is the source of truth for shape):
 
 Usage::
 
-    python tools/scale_probe.py [N] [out_dir] [--fixed-dup] [probe ...]
+    python tools/scale_probe.py [N] [out_dir] [--fixed-dup] [--docs-only]
+                                [--emb-only] [--runs=K] [probe ...]
     # default N=10, out_dir=/tmp/spark_graft_scale_sf1, all PROBES
     # out_dir must contain a "/" (else it is read as the first probe)
     # --fixed-dup: constant-duplication-rate corpus variant (see
     #   build_scaled) — the curve a crawl growing by NEW content sees
+    # --docs-only / --emb-only: replicate ONLY documents / embeddings
+    #   (crossJoin builders — the thousand-x decades for the text and
+    #   vector flagships; other tables copy at 1x)
+    # --runs=K: best-of-K timing (default 3; the 1000x decades use 2 —
+    #   at 100s+ per query the relative GC/JIT noise best-of-3 exists
+    #   to absorb is already small)
 
 Interpretation notes printed with the table: operators whose OUTPUT is
 pair-shaped (x03/x14 LSH near-dup) are expected to grow faster than
@@ -80,6 +87,52 @@ def build_docs_scaled(spark, n: int, out_dir: str) -> None:
     for t in (
         "region nation customer supplier part orders lineitem events "
         "embeddings"
+    ).split():
+        spark.read.parquet(os.path.join(SRC, f"{t}.parquet")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, f"{t}.parquet"))
+    with open(done_marker, "w") as fh:
+        fh.write("ok")
+
+
+def build_emb_scaled(spark, n: int, out_dir: str) -> None:
+    """Embeddings-only N× corpus for the thousand-x decade of the
+    VECTOR flagships (x59/x60/x62): embeddings replicate via ONE
+    crossJoin (same analyzer rationale as build_docs_scaled) with a
+    deterministic per-replica component nudge (replica k adds
+    k·1e-4 to component (k mod dim) — cheap, order-free, keeps vectors
+    distinct so top-k ties don't explode); every other table copies at
+    1× (the vector operators never read them)."""
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+    done_marker = os.path.join(out_dir, f"_built_emb_x{n}")
+    if os.path.exists(done_marker):
+        return
+    emb = spark.read.parquet(os.path.join(SRC, "embeddings.parquet"))
+    n_vec = emb.count()
+    others = [c for c in emb.columns if c not in ("vec_id", "embedding")]
+    reps = spark.range(n).withColumnRenamed("id", "__k")
+    dim = F.size(F.col("embedding"))
+    (
+        emb.crossJoin(reps)
+        .select(
+            (F.col("vec_id") + F.col("__k") * n_vec).alias("vec_id"),
+            F.zip_with(
+                F.col("embedding"),
+                F.sequence(F.lit(0), dim - 1),
+                lambda v, i: F.when(
+                    i == F.pmod(F.col("__k"), dim), v + F.col("__k") * 1e-4
+                ).otherwise(v),
+            ).alias("embedding"),
+            *others,
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "embeddings.parquet"))
+    )
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents"
     ).split():
         spark.read.parquet(os.path.join(SRC, f"{t}.parquet")).write.mode(
             "overwrite"
@@ -221,6 +274,7 @@ PROBES = [
     "x16_asof_join",
     "x19_tfidf_topk",
     "x58_bm25_topk",
+    "x61_bm25_persisted_index",
     "x59_pq_encode",
     "x60_pq_adc_topk",
     "x62_ivf_pq_topk",
@@ -254,21 +308,31 @@ OUTPUT_BOUND = {"x03_minhash_lsh_pairs", "x14_embedding_lsh_near_dup"}
 
 
 def main() -> int:
-    argv = [
-        a for a in sys.argv[1:] if a not in ("--fixed-dup", "--docs-only")
-    ]
+    runs = 3
+    argv = []
+    for a in sys.argv[1:]:
+        if a in ("--fixed-dup", "--docs-only", "--emb-only"):
+            continue
+        if a.startswith("--runs="):
+            runs = int(a.split("=", 1)[1])
+            continue
+        argv.append(a)
     fixed_dup = "--fixed-dup" in sys.argv
     docs_only = "--docs-only" in sys.argv
+    emb_only = "--emb-only" in sys.argv
     n = int(argv[0]) if argv else 10
     # out_dir must look like a path — otherwise it's the first probe name
     if len(argv) > 1 and ("/" in argv[1] or argv[1].startswith(".")):
         out_dir, probe_args = argv[1], argv[2:]
     else:
-        out_dir = (
-            f"/tmp/spark_graft_scale_fixdup{n}"
-            if fixed_dup
-            else "/tmp/spark_graft_scale_sf1"
-        )
+        if fixed_dup:
+            out_dir = f"/tmp/spark_graft_scale_fixdup{n}"
+        elif docs_only:
+            out_dir = f"/tmp/spark_graft_scale_docs{n}"
+        elif emb_only:
+            out_dir = f"/tmp/spark_graft_scale_emb{n}"
+        else:
+            out_dir = "/tmp/spark_graft_scale_sf1"
         probe_args = argv[1:]
     from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans import suites
     from end_to_end_chess_com_etl_and_analytics_pipeline_spark.session import (
@@ -278,6 +342,8 @@ def main() -> int:
     spark = get_spark(app_name="scale-probe")
     if docs_only:
         build_docs_scaled(spark, n, out_dir)
+    elif emb_only:
+        build_emb_scaled(spark, n, out_dir)
     else:
         build_scaled(spark, n, out_dir, fixed_dup=fixed_dup)
 
@@ -293,7 +359,7 @@ def main() -> int:
         row = {}
         for label, sf_dir in (("base", SRC), (f"x{n}", out_dir)):
             best = None
-            for _ in range(3):
+            for _ in range(runs):
                 # untimed GC barrier (as bench.py): collect the previous
                 # run's garbage now so its pause doesn't bill this timing
                 spark.sparkContext._jvm.System.gc()
