@@ -77,3 +77,42 @@ def test_stable_row_ids_deterministic_across_partitionings(spark):
         for r in stable_row_ids(df.coalesce(1), "k", n_shards=3).collect()
     }
     assert a == b
+
+
+def test_shard_offsets_matches_window_semantics(spark):
+    """The triangular-join offsets must equal the unpartitioned-window
+    exclusive running sum they replaced — including NULLS FIRST
+    ordering (a NULL shard's sums count toward every non-NULL shard's
+    offset, and the NULL shard itself gets offset 0), multi-column
+    sums, and re-derivation from live data on every execution."""
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.operators.ids import (
+        shard_offsets,
+    )
+
+    counts = spark.createDataFrame(
+        [(None, 7, 100), (0, 3, 10), (1, 5, 20), (3, 2, 40)],
+        "s long, n long, tok long",
+    )
+    got = {
+        r["s"]: (r["n_off"], r["tok_off"])
+        for r in shard_offsets(
+            counts, "s", {"n": "n_off", "tok": "tok_off"}
+        ).collect()
+    }
+    assert got == {
+        None: (0, 0),
+        0: (7, 100),
+        1: (10, 110),
+        3: (15, 130),
+    }
+
+
+def test_shard_offsets_empty_and_single(spark):
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.operators.ids import (
+        shard_offsets,
+    )
+
+    empty = spark.createDataFrame([], "s long, n long")
+    assert shard_offsets(empty, "s", {"n": "off"}).count() == 0
+    one = spark.createDataFrame([(5, 9)], "s long, n long")
+    assert shard_offsets(one, "s", {"n": "off"}).collect()[0]["off"] == 0
