@@ -54,6 +54,7 @@ HEADLINE = [
     "x01_exact_dedup",
     "x03_minhash_lsh_pairs",
     "x05_simhash",
+    "x63_fuzzy_join",
     "x07_similarity_topk",
     "x08_text_stats",
     "x09_tumbling_window",

@@ -2455,6 +2455,62 @@ FROM documents
 """
 
 
+# x63: fuzzy key-join geometry.  Key = first 16 chars of the
+# whitespace-normalized, casefolded, ASCII-squashed text (ASCII-only so
+# Spark's UTF-16 levenshtein and DuckDB's codepoint levenshtein count
+# identically — stated contract, not an accident), distance band 2.
+_FUZZY_KEY_LEN = 16
+_FUZZY_MAX_DIST = 2
+
+
+def _fuzzy_key_expr() -> Column:
+    """Spark side of the x63 key: normalize whitespace, casefold
+    (divergence-free lower), strip every non-printable-ASCII char
+    (including the combining dot casefold itself introduces), take the
+    16-char prefix."""
+    ws = F.regexp_replace(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+", " ")
+    ascii_only = F.regexp_replace(casefold(ws), "[^ -~]", "")
+    return F.substring(ascii_only, 1, _FUZZY_KEY_LEN)
+
+
+def x63_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance self-join (operators.fuzzy): every unordered doc
+    pair whose normalized 16-char key prefix is within 2 Levenshtein
+    edits — typo-distance entity matching, the near-dup signal exact
+    fingerprints (x01) and token shingles (x03/x04) both miss.
+
+    Candidate generation is PassJoin segment banding over DISTINCT
+    keys (lossless by pigeonhole — see operators/fuzzy.py), verified
+    with the thresholded native levenshtein; never an all-pairs
+    product.  The oracle IS the brute-force quadratic join, so the
+    banding's losslessness is hash-checked every round."""
+    from ..operators.fuzzy import edit_distance_pairs
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", _fuzzy_key_expr().alias("fkey")
+    )
+    return edit_distance_pairs(
+        docs, key_col="fkey", id_col="doc_id", max_dist=_FUZZY_MAX_DIST
+    )
+
+
+def _x63_sql() -> str:
+    key = (
+        f"substr(regexp_replace("
+        + _CASEFOLD_SQL.format(
+            c="regexp_replace(trim(coalesce(text, '')), '\\s+', ' ', 'g')"
+        )
+        + f", '[^ -~]', '', 'g'), 1, {_FUZZY_KEY_LEN})"
+    )
+    return f"""
+WITH k AS (SELECT doc_id, {key} AS fkey FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.fkey, b.fkey) AS INTEGER) AS dist
+FROM k a JOIN k b ON a.doc_id < b.doc_id
+WHERE levenshtein(a.fkey, b.fkey) <= {_FUZZY_MAX_DIST}
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x01_exact_dedup": x01_exact_dedup,
     "x02_minhash_signatures": x02_minhash_signatures,
@@ -2498,6 +2554,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x54_zorder_layout": x54_zorder_layout,
     "x56_native_session_window": x56_native_session_window,
     "x57_mergeable_rollup": x57_mergeable_rollup,
+    "x63_fuzzy_join": x63_fuzzy_join,
 }
 
 EXT_ORACLE: dict[str, str] = {
@@ -2552,4 +2609,7 @@ EXT_ORACLE: dict[str, str] = {
     # x57's oracle recomputes the rollup in ONE pass over all events;
     # matching the two-part merged state proves associativity
     "x57_mergeable_rollup": _X57_SQL,
+    # x63's oracle is the brute-force quadratic levenshtein join — the
+    # banding losslessness check itself
+    "x63_fuzzy_join": _x63_sql(),
 }

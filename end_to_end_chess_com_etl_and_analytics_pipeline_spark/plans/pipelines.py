@@ -40,6 +40,8 @@ from ..streaming.pipeline import (
     read_gold_fact,
     run_incremental_gold,
     run_stream_to_memory,
+    run_streaming_scd2,
+    stage_events_by_time,
     streaming_dedup,
     streaming_stateful_sessions,
     streaming_tumbling_counts,
@@ -50,6 +52,7 @@ from .analytics import (
     result_distribution,
     win_rate_by_opening,
 )
+from .driver import _Q25_SQL
 from .extensions import _X09_SQL, _X11_SQL, _X56_SQL
 from .gold import build_gold
 from .silver import bronze_to_silver
@@ -495,6 +498,29 @@ def st10_streaming_native_sessions(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def st13_streaming_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Type-2 SCD dimension maintenance: the events fixture
+    staged as four time-ordered files, one micro-batch each, every
+    batch merged into the on-disk history table by re-collapsing
+    (affected users' version rows ∪ batch events) — never a full-
+    history recompute (streaming.pipeline.run_streaming_scd2).  Drained
+    with availableNow the table must equal the batch SCD2 build, so the
+    oracle is q25's SQL."""
+    stream_dir = tempfile.mkdtemp(prefix="st13_events_")
+    n = stage_events_by_time(
+        os.path.join(sf_dir, "events.parquet"), stream_dir, n_files=4
+    )
+    assert n >= 1
+    work = tempfile.mkdtemp(prefix="st13_scd2_")
+    dim_path = os.path.join(work, "dim_history")
+    run_streaming_scd2(
+        spark, stream_dir, dim_path, os.path.join(work, "ckpt")
+    )
+    return spark.read.parquet(dim_path).select(
+        "user_id", "attr_value", "valid_from", "valid_to", "is_current"
+    )
+
+
 def m01_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline: documents → opaque binary payload + typed
     metadata → Arrow-batched mapInPandas feature extraction.  The
@@ -851,6 +877,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st05_stream_stream_join": st05_stream_stream_join,
     "st08_stream_stream_left_join": st08_stream_stream_left_join,
     "st10_streaming_native_sessions": st10_streaming_native_sessions,
+    "st13_streaming_scd2": st13_streaming_scd2,
     "m01_multimodal_features": m01_multimodal_features,
     "m02_multimodal_resize": m02_multimodal_resize,
     "s01_io_formats": s01_io_formats,
@@ -873,6 +900,9 @@ PIPELINE_ORACLE: dict[str, str] = {
     "st05_stream_stream_join": _ST05_SQL,
     "st08_stream_stream_left_join": _ST08_SQL,
     "st10_streaming_native_sessions": _X56_SQL,
+    # st13's oracle: the drained streaming SCD2 table equals the batch
+    # q25 build over the same events
+    "st13_streaming_scd2": _Q25_SQL,
     "m01_multimodal_features": _M01_SQL,
     "m02_multimodal_resize": _M02_SQL,
     "s01_io_formats": _s01_sql(),

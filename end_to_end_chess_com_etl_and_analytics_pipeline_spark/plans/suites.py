@@ -147,6 +147,14 @@ _SUITE_PARTS: dict[str, list[str]] = {
         "x56_native_session_window",
         "st10_streaming_native_sessions",
     ],
+    # text-similarity verify/matching family: exact n-gram Jaccard over
+    # a candidate set, SimHash signatures, and the PassJoin fuzzy
+    # (edit-distance) key join — three text-pair similarity kernels
+    "x04_textsim_suite": [
+        "x04_ngram_jaccard",
+        "x05_simhash",
+        "x63_fuzzy_join",
+    ],
     # skew mitigation: two-phase hot-key count + salted join (one family)
     "x15_skew_suite": [
         "x15_skew_salted_count",

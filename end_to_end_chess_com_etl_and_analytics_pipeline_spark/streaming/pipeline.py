@@ -23,8 +23,9 @@ cadence, not table size.
 from __future__ import annotations
 
 import os
+import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -749,6 +750,151 @@ def streaming_ivf_pq_encode(
     try:
         (
             stream.writeStream.foreachBatch(enc)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def stage_events_by_time(events_path: str, out_dir: str, n_files: int = 4) -> int:
+    """Split the events fixture into ``n_files`` time-ordered parquet
+    FILES (plain files, not Spark output directories — what the file
+    source actually lists), slice k strictly before slice k+1 in ``ts``
+    and file mtimes increasing so the file source drains them oldest-
+    first.  Boundaries fall BETWEEN distinct ts values, so equal
+    timestamps always share a slice — the SCD2 merge's tie-breaks never
+    straddle a batch boundary.  NULL-ts rows (none in the shipped
+    fixtures, handled defensively) sort first, matching Spark's
+    NULLS FIRST ascending order.  Works for both fixture ts flavors
+    (timestamp[us] and TIMESTAMP(NANOS)-as-int64) — pyarrow sorts
+    either.  Returns the number of files written."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(events_path)
+    order = pc.sort_indices(
+        tbl, sort_keys=[("ts", "ascending")], null_placement="at_start"
+    )
+    tbl = tbl.take(order)
+    n = tbl.num_rows
+    os.makedirs(out_dir, exist_ok=True)
+    cuts = [round(n * k / n_files) for k in range(1, n_files)]
+    # push each cut forward past any run of equal ts values
+    ts = tbl["ts"].to_pylist()
+    adj = []
+    for c in cuts:
+        while 0 < c < n and ts[c] == ts[c - 1]:
+            c += 1
+        adj.append(min(c, n))
+    bounds = [0] + adj + [n]
+    written = 0
+    now = time.time()
+    for k in range(len(bounds) - 1):
+        lo, hi = bounds[k], bounds[k + 1]
+        if hi <= lo:
+            continue
+        path = os.path.join(out_dir, f"events_{written:03d}.parquet")
+        pq.write_table(tbl.slice(lo, hi - lo), path)
+        os.utime(path, (now + written, now + written))
+        written += 1
+    return written
+
+
+def run_streaming_scd2(
+    spark: SparkSession,
+    events_dir: str,
+    dim_path: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Streaming Type-2 SCD maintenance: each micro-batch of events
+    merges into the on-disk dimension-history table so that after any
+    prefix of batches the table equals the batch SCD2 (q25) over the
+    events seen so far.
+
+    Merge kernel (foreachBatch): the table's version rows ARE the
+    collapsed run-start events of all prior history, so re-collapsing
+    (affected users' version rows ∪ batch events) with the same
+    lag/lead windows reproduces the batch build exactly — no user's
+    full event history is ever re-read.  Per batch the work is
+    O(batch + affected users' version rows): untouched users' rows are
+    carried over by an anti-join, never recomputed (at 100 TB dims the
+    carry-over becomes a partition-scoped rewrite like
+    run_incremental_gold's; the fixture table rewrites whole, the merge
+    itself is already partition-scoped by construction).
+
+    In-order contract: a batch's events must not precede any already-
+    merged event of the same user (stage_events_by_time's global time
+    slicing guarantees it; equal timestamps never straddle batches).
+    The run-start event_id is carried in the state table (__event_id)
+    so (ts, event_id) tie-breaks survive the round-trip.
+
+    Reference parity: the reference rebuilds its dims truncate-reload
+    per month (create_dim_*.sql via load_data_warehouse_dag.py); this
+    is the incremental history-preserving form of the same dim
+    maintenance."""
+    from ..sources.tables import fs_exists
+
+    raw_schema = read_events_raw(spark, events_dir).schema
+    stream = repair_events_ts(
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(events_dir)
+    )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.select("user_id", "event_type", "ts", "event_id")
+        if fs_exists(spark, dim_path):
+            state = spark.read.parquet(dim_path)
+            affected = b.select("user_id").distinct()
+            keep = state.join(affected, "user_id", "left_anti")
+            prior = (
+                state.join(affected, "user_id", "left_semi")
+                .select(
+                    "user_id",
+                    F.col("attr_value").alias("event_type"),
+                    F.col("valid_from").alias("ts"),
+                    F.col("__event_id").alias("event_id"),
+                )
+            )
+            combined = prior.unionByName(b)
+        else:
+            keep = None
+            combined = b
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        runs = (
+            combined.withColumn("prev_type", F.lag("event_type").over(w))
+            .where(
+                F.col("prev_type").isNull()
+                | (F.col("prev_type") != F.col("event_type"))
+            )
+            .drop("prev_type")
+        )
+        versions = runs.select(
+            "user_id",
+            F.col("event_type").alias("attr_value"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+            F.lead("ts").over(w).isNull().alias("is_current"),
+            F.col("event_id").alias("__event_id"),
+        )
+        if keep is not None:
+            versions = keep.unionByName(versions)
+        # pin before overwriting the directory being read from
+        versions.localCheckpoint().write.mode("overwrite").parquet(dim_path)
+
+    # batch-scoped shuffle width (see run_incremental_gold)
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        (
+            stream.writeStream.foreachBatch(merge_batch)
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start()

@@ -266,6 +266,7 @@ PROBES = [
     "x01_exact_dedup",
     "x03_minhash_lsh_pairs",
     "x05_simhash",
+    "x63_fuzzy_join",
     "x08_text_stats",
     "x09_tumbling_window",
     "x11_sessionize",
