@@ -55,6 +55,7 @@ HEADLINE = [
     "x03_minhash_lsh_pairs",
     "x05_simhash",
     "x63_fuzzy_join",
+    "x64_mmr_diversified_topk",
     "x07_similarity_topk",
     "x08_text_stats",
     "x09_tumbling_window",

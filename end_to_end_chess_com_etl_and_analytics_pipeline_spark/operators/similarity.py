@@ -525,3 +525,120 @@ def ivf_topk_joined(
         .where(F.col("rank") <= k)
         .select("query_id", "cand_id", "cos", "rank")
     )
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    pool: int = 12,
+    lam: float = 0.7,
+    one_minus_lam: float = 0.3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k (Carbonell &
+    Goldstein, SIGIR 1998): rerank each query's brute-force candidate
+    pool so every next pick maximizes
+    ``lam * cos(q, d) - one_minus_lam * max_{s in selected} cos(d, s)``
+    — relevance minus redundancy, the retrieval diversifier a
+    dedup-aware RAG pipeline puts after ANN candidate generation.
+
+    Plan shape (100 TB): the candidate pool is |Q| x pool rows
+    (brute_force_topk — corpus never shuffles); pairwise candidate
+    similarities are |Q| x pool^2 rows built by a pool self-join plus
+    two id-keyed joins back to the vectors (bounded fanout, no
+    all-pairs over the corpus); the greedy selection itself is
+    ``applyInPandas`` per query group — per-group state is <= pool
+    rows, the textbook bounded-iterative case the built-in operators
+    can't express.
+
+    Cross-engine determinism: q-cand and cand-cand cosines are rounded
+    to 6 decimals BEFORE selection (both engines then compare identical
+    doubles), the score arithmetic uses the same two literals in both
+    engines — ``one_minus_lam`` is passed explicitly because IEEE
+    ``1 - 0.7 = 0.30000000000000004 != 0.3`` — and ties break on
+    ascending candidate id.  Scores are emitted raw (identical inputs,
+    identical ops -> bit-identical doubles; no output rounding needed).
+    """
+    import pandas as pd
+
+    pool_df = brute_force_topk(
+        corpus, queries, k=pool, vec_col=vec_col, id_col=id_col
+    ).select("query_id", "cand_id", F.col("cos").alias("rel"))
+
+    vecs = corpus.where(usable_vec(F.col(vec_col))).select(
+        F.col(id_col).alias("__vid"),
+        F.col(vec_col).alias("__v"),
+        norm(F.col(vec_col)).alias("__vn"),
+    )
+    a = pool_df.select("query_id", F.col("cand_id").alias("a"))
+    b = pool_df.select("query_id", F.col("cand_id").alias("b"))
+    pairs = (
+        a.join(b, "query_id")
+        .where(F.col("a") != F.col("b"))
+        .join(vecs.alias("va"), F.col("a") == F.col("va.__vid"))
+        .join(vecs.alias("vb"), F.col("b") == F.col("vb.__vid"))
+        .select(
+            "query_id",
+            "a",
+            "b",
+            round_fixed(
+                cosine_staged(
+                    F.col("va.__v"),
+                    F.col("vb.__v"),
+                    F.col("va.__vn"),
+                    F.col("vb.__vn"),
+                ),
+                6,
+            ).alias("sim"),
+        )
+    )
+    # one grouped frame for applyInPandas: rel rows carry b = NULL
+    tagged = pool_df.select(
+        "query_id",
+        F.col("cand_id").alias("a"),
+        F.lit(None).cast("long").alias("b"),
+        F.col("rel").alias("sim"),
+    ).unionByName(pairs)
+
+    out_schema = (
+        "query_id long, cand_id long, mmr_rank int, mmr_score double"
+    )
+
+    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        rel_rows = pdf[pdf["b"].isna()]
+        rel = dict(zip(rel_rows["a"].astype(int), rel_rows["sim"]))
+        pair_rows = pdf[pdf["b"].notna()]
+        sim = {
+            (int(x), int(y)): s
+            for x, y, s in zip(
+                pair_rows["a"], pair_rows["b"], pair_rows["sim"]
+            )
+        }
+        selected: list[int] = []
+        out = []
+        cands = sorted(rel)
+        for step in range(1, k + 1):
+            best = None
+            for c in cands:
+                if c in selected:
+                    continue
+                msim = (
+                    max(sim[(c, s)] for s in selected) if selected else 0.0
+                )
+                score = lam * rel[c] - one_minus_lam * msim
+                # max by (score, then LOWER cand id) — strict > on the
+                # score, so equal scores keep the earlier (smaller) id
+                if best is None or score > best[0]:
+                    best = (score, c)
+            if best is None:
+                break
+            selected.append(best[1])
+            out.append((qid, best[1], step, best[0]))
+        return pd.DataFrame(
+            out, columns=["query_id", "cand_id", "mmr_rank", "mmr_score"]
+        )
+
+    return tagged.groupBy("query_id").applyInPandas(_greedy, out_schema)

@@ -43,7 +43,7 @@ from ..operators.dedup import (
     ngram_jaccard_pairs,
     simhash_signatures,
 )
-from ..operators.similarity import brute_force_topk, ivf_topk
+from ..operators.similarity import brute_force_topk, ivf_topk, mmr_rerank
 from ..operators.windows import sessionize, sliding_agg, tumbling_agg
 from ..sources.tables import load_table
 
@@ -2511,6 +2511,94 @@ WHERE levenshtein(a.fkey, b.fkey) <= {_FUZZY_MAX_DIST}
 """
 
 
+# x64: MMR diversified retrieval geometry.  8 query vectors, pool of
+# 12 brute-force candidates, 5 picks, lambda 0.7.  ONE_MINUS_LAM is a
+# separate literal (NOT 1-lam): IEEE 1-0.7 = 0.30000000000000004, and
+# both engines must multiply by the same double.
+_MMR_K, _MMR_POOL, _MMR_NQ = 5, 12, 8
+_MMR_LAM, _MMR_ONE_MINUS_LAM = 0.7, 0.3
+
+
+def x64_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified top-k (operators.similarity.mmr_rerank): greedy
+    relevance-minus-redundancy rerank of each query's brute-force
+    candidate pool — the retrieval diversifier after ANN candidate
+    generation.  Selection runs in applyInPandas per query (bounded
+    <= pool rows of state); the oracle unrolls the same greedy loop as
+    chained SQL CTEs, so the non-relational execution path is
+    hash-verified step by step."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return mmr_rerank(
+        emb,
+        emb.where(F.col("vec_id") < _MMR_NQ),
+        k=_MMR_K,
+        pool=_MMR_POOL,
+        lam=_MMR_LAM,
+        one_minus_lam=_MMR_ONE_MINUS_LAM,
+    )
+
+
+def _x64_sql() -> str:
+    """The greedy MMR loop unrolled as chained CTEs: sel{i} picks step
+    i's argmax of lam*rel - one_minus_lam*max(sim to selected), ties on
+    ascending cand_id; selu{i} accumulates the selected set."""
+    cos = round_fixed_sql(cosine_sql("ea.embedding", "eb.embedding"), 6)
+    parts = [
+        f"""WITH scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           {round_fixed_sql(cosine_sql('q.embedding', 'c.embedding'), 6)} AS rel
+    FROM {_EMB_USABLE} q, {_EMB_USABLE} c
+    WHERE q.vec_id < {_MMR_NQ} AND c.vec_id != q.vec_id),
+pool AS (
+    SELECT query_id, cand_id, rel FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY rel DESC, cand_id ASC) AS rn
+        FROM scored) WHERE rn <= {_MMR_POOL}),
+pairs AS (
+    SELECT p1.query_id, p1.cand_id AS a, p2.cand_id AS b, {cos} AS sim
+    FROM pool p1
+    JOIN pool p2 ON p1.query_id = p2.query_id AND p1.cand_id != p2.cand_id
+    JOIN embeddings ea ON ea.vec_id = p1.cand_id
+    JOIN embeddings eb ON eb.vec_id = p2.cand_id),
+sel1 AS (
+    SELECT query_id, cand_id, 1 AS mmr_rank,
+           {_MMR_LAM} * rel - {_MMR_ONE_MINUS_LAM} * 0.0 AS mmr_score
+    FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY query_id ORDER BY rel DESC, cand_id ASC) AS rn
+          FROM pool) WHERE rn = 1),
+selu1 AS (SELECT * FROM sel1)"""
+    ]
+    for i in range(2, _MMR_K + 1):
+        parts.append(
+            f"""cand{i} AS (
+    SELECT p.query_id, p.cand_id, p.rel,
+           (SELECT max(pr.sim) FROM pairs pr
+            JOIN selu{i - 1} s ON s.query_id = pr.query_id
+                              AND s.cand_id = pr.b
+            WHERE pr.query_id = p.query_id AND pr.a = p.cand_id) AS msim
+    FROM pool p
+    WHERE NOT EXISTS (SELECT 1 FROM selu{i - 1} s
+                      WHERE s.query_id = p.query_id
+                        AND s.cand_id = p.cand_id)),
+sel{i} AS (
+    SELECT query_id, cand_id, {i} AS mmr_rank,
+           {_MMR_LAM} * rel - {_MMR_ONE_MINUS_LAM} * msim AS mmr_score
+    FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY query_id
+              ORDER BY {_MMR_LAM} * rel - {_MMR_ONE_MINUS_LAM} * msim DESC,
+                       cand_id ASC) AS rn
+          FROM cand{i}) WHERE rn = 1),
+selu{i} AS (SELECT * FROM selu{i - 1} UNION ALL SELECT * FROM sel{i})"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT query_id, cand_id, CAST(mmr_rank AS INTEGER) AS mmr_rank, mmr_score
+FROM selu{_MMR_K}
+"""
+    )
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x01_exact_dedup": x01_exact_dedup,
     "x02_minhash_signatures": x02_minhash_signatures,
@@ -2555,6 +2643,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x56_native_session_window": x56_native_session_window,
     "x57_mergeable_rollup": x57_mergeable_rollup,
     "x63_fuzzy_join": x63_fuzzy_join,
+    "x64_mmr_diversified_topk": x64_mmr_diversified_topk,
 }
 
 EXT_ORACLE: dict[str, str] = {
@@ -2612,4 +2701,6 @@ EXT_ORACLE: dict[str, str] = {
     # x63's oracle is the brute-force quadratic levenshtein join — the
     # banding losslessness check itself
     "x63_fuzzy_join": _x63_sql(),
+    # x64's oracle unrolls the greedy MMR loop as chained CTEs
+    "x64_mmr_diversified_topk": _x64_sql(),
 }

@@ -202,6 +202,7 @@ _SUITE_PARTS: dict[str, list[str]] = {
         "x60_pq_adc_topk",
         "x62_ivf_pq_topk",
         "st12_streaming_ivf_pq",
+        "x64_mmr_diversified_topk",
     ],
     # mergeable-summary family: HLL/quantile bounded-error contracts,
     # count-min heavy hitters (exact-reproducible cells), the streaming

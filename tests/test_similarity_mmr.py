@@ -1,0 +1,147 @@
+"""x64 MMR diversified top-k: the greedy rerank must (a) match a
+straight python reference on planted geometry, (b) actually diversify —
+drop a near-duplicate that plain relevance top-k keeps, and (c) match
+the chained-CTE oracle bit-for-bit including raw double scores."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from end_to_end_chess_com_etl_and_analytics_pipeline_spark.operators.similarity import (
+    brute_force_topk,
+    mmr_rerank,
+)
+
+from tests.conftest import SF_DIR
+
+LAM, ONE_MINUS_LAM = 0.7, 0.3
+
+
+def _mk(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_mmr_drops_near_duplicate_plain_topk_keeps(spark):
+    """Query q; candidates: two parallel (cos = 1) vectors very close
+    to q, one moderately relevant diverse vector.  Plain top-2 = the
+    twin pair; MMR at lambda 0.5 must swap the redundant twin for the
+    diverse candidate (the twin's marginal score is
+    0.5*rel - 0.5*1.0 < 0)."""
+    vecs = {
+        0: [1.0, 0.0, 0.0, 0.0],          # the query
+        10: [0.99, 0.10, 0.0, 0.0],       # near-dup A (most relevant)
+        11: [1.98, 0.20, 0.0, 0.0],       # near-dup B: exactly parallel to A
+        12: [0.70, 0.0, 0.70, 0.0],       # diverse, still relevant
+        13: [0.0, 0.0, 0.0, 1.0],         # irrelevant
+    }
+    df = _mk(spark, vecs)
+    q = df.where(F.col("vec_id") == 0)
+    plain = {
+        r.cand_id
+        for r in brute_force_topk(df, q, k=2).collect()
+    }
+    assert plain == {10, 11}
+    got = {
+        (r.mmr_rank, r.cand_id)
+        for r in mmr_rerank(
+            df, q, k=2, pool=4, lam=0.5, one_minus_lam=0.5
+        ).collect()
+    }
+    assert got == {(1, 10), (2, 12)}
+
+
+def _cos(a, b):
+    d = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return d / (na * nb)
+
+
+def test_mmr_matches_python_reference(spark):
+    """Seeded corpus; python reference replays the greedy loop on the
+    same 6dp-rounded sims with the same literals and tie-break."""
+    import random
+
+    rng = random.Random(11)
+    vecs = {
+        i: [rng.uniform(-1, 1) for _ in range(8)] for i in range(20)
+    }
+    df = _mk(spark, vecs)
+    queries = df.where(F.col("vec_id") < 2)
+    k, pool = 4, 6
+    got = sorted(
+        (r.query_id, r.mmr_rank, r.cand_id, r.mmr_score)
+        for r in mmr_rerank(
+            df, queries, k=k, pool=pool, lam=LAM, one_minus_lam=ONE_MINUS_LAM
+        ).collect()
+    )
+
+    want = []
+    for qid in (0, 1):
+        # float32 storage: round-trip through struct to match Spark
+        import struct
+
+        def f32(v):
+            return [struct.unpack("f", struct.pack("f", x))[0] for x in v]
+
+        rel = {
+            c: round(_cos(f32(vecs[qid]), f32(vecs[c])), 6)
+            for c in vecs
+            if c != qid
+        }
+        poolset = sorted(rel, key=lambda c: (-rel[c], c))[:pool]
+        sim = {
+            (a, b): round(_cos(f32(vecs[a]), f32(vecs[b])), 6)
+            for a in poolset
+            for b in poolset
+            if a != b
+        }
+        selected = []
+        for step in range(1, k + 1):
+            best = None
+            for c in sorted(poolset):
+                if c in selected:
+                    continue
+                msim = max((sim[(c, s)] for s in selected), default=0.0)
+                score = LAM * rel[c] - ONE_MINUS_LAM * msim
+                if best is None or score > best[0]:
+                    best = (score, c)
+            selected.append(best[1])
+            want.append((qid, step, best[1], best[0]))
+    want = sorted(want)
+    assert [(g[0], g[1], g[2]) for g in got] == [
+        (w[0], w[1], w[2]) for w in want
+    ]
+    for g, w in zip(got, want):
+        assert abs(g[3] - w[3]) < 1e-12
+
+
+def test_mmr_pool_smaller_than_k(spark):
+    vecs = {0: [1.0, 0.0], 1: [0.9, 0.1], 2: [0.8, 0.3]}
+    df = _mk(spark, vecs)
+    q = df.where(F.col("vec_id") == 0)
+    out = mmr_rerank(
+        df, q, k=5, pool=8, lam=LAM, one_minus_lam=ONE_MINUS_LAM
+    ).collect()
+    # only 2 candidates exist -> 2 picks, ranks 1..2
+    assert sorted(r.mmr_rank for r in out) == [1, 2]
+
+
+def test_x64_matches_oracle_exactly(spark, duck):
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans.extensions import (
+        _x64_sql,
+        x64_mmr_diversified_topk,
+    )
+
+    got = sorted(
+        (r.query_id, r.cand_id, r.mmr_rank, r.mmr_score)
+        for r in x64_mmr_diversified_topk(spark, SF_DIR).collect()
+    )
+    want = sorted(tuple(r) for r in duck.sql(_x64_sql()).fetchall())
+    assert len(got) > 0
+    assert got == want  # raw double scores bit-identical

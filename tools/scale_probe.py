@@ -279,6 +279,7 @@ PROBES = [
     "x59_pq_encode",
     "x60_pq_adc_topk",
     "x62_ivf_pq_topk",
+    "x64_mmr_diversified_topk",
     "x26_pack_sequences",
     "x28_stable_row_ids",
     "x33_token_budget_select",
