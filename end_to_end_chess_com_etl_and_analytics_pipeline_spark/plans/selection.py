@@ -178,9 +178,17 @@ def x33_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             w_local.rowsBetween(Window.unboundedPreceding, 0)
         ),
     )
-    # n_shards rows — the whole sequential fraction of this plan
-    counts = base.groupBy("__shard").agg(
-        F.count("*").alias("__n"), F.sum("n_bpe_tokens").alias("__tok")
+    # n_shards rows — the whole sequential fraction of this plan.
+    # Derived from the post-window frame (max rank = shard count, max
+    # running sum = shard token total), NOT from ``base``: an agg over
+    # ``base`` is a second consumer of the scan lineage and re-executes
+    # the quality/BPE text projection over the whole corpus — measured
+    # 234.8s -> 121.5s at 5M docs (tools/x33_profile.py; the text
+    # functions are ~110s of the plan, the window ~2s).  Both consumers
+    # now sit above one identical Exchange, which ReuseExchange
+    # deduplicates, so the corpus is scanned and scored ONCE.
+    counts = ranked.groupBy("__shard").agg(
+        F.max("__rank").alias("__n"), F.max("__cum").alias("__tok")
     )
     offsets = shard_offsets(
         counts, "__shard", {"__n": "__n_off", "__tok": "__tok_off"}

@@ -76,6 +76,8 @@ HEADLINE = [
     ("x55_kmv_source_overlap", "x50's distinct (source,shingle) kernel is the only corpus-grain exchange; per-source bottom-K window collapses to S*K sketch rows; pair stage = broadcast NLJ over two constant-size frames"),
     ("x56_native_session_window", "one user_id exchange feeds MergingSessionsExec (Catalyst's native session operator) — same shuffle count as the gaps-and-islands form, no window-function pass"),
     ("x57_mergeable_rollup", "two slice-local map-side-combined hash-aggs (history, batch) + one grain-bounded merge agg — events never re-shuffled together, merge input is O(grain) rows"),
+    ("x63_fuzzy_join", "PassJoin banding: DISTINCT keys once; segment/probe explodes are scan-local; candidates = equi-join on (len, seg, value) — NO CartesianProduct/BNLJ anywhere; verify is thresholded levenshtein on candidates only"),
+    ("x64_mmr_diversified_topk", "pool = broadcast-query brute-force top-k (corpus never shuffles); pairwise sims = pool self-join + two id-keyed vector joins (|Q|*pool^2 bounded rows); greedy rerank = ONE query_id exchange into applyInPandas"),
 ]
 
 

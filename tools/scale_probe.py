@@ -81,6 +81,12 @@ def build_docs_scaled(spark, n: int, out_dir: str) -> None:
             .alias("text"),
             *others,
         )
+        # 32 output files: the crossJoin inherits the 1-partition fixture
+        # scan, and ONE parquet file with ONE row group cannot be split -
+        # every downstream scan would run on a single task (this exact
+        # artifact silently single-threaded the r7 1000x decade; the
+        # probes measured one core, not the plan)
+        .repartition(32)
         .write.mode("overwrite")
         .parquet(os.path.join(out_dir, "documents.parquet"))
     )
@@ -127,6 +133,9 @@ def build_emb_scaled(spark, n: int, out_dir: str) -> None:
             ).alias("embedding"),
             *others,
         )
+        # 32 files - single-row-group corpora single-thread every scan
+        # (see build_docs_scaled)
+        .repartition(32)
         .write.mode("overwrite")
         .parquet(os.path.join(out_dir, "embeddings.parquet"))
     )
