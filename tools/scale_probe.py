@@ -315,7 +315,14 @@ PROBES = [
 # operators whose result is pair/fan-out shaped: their cost tracks
 # OUTPUT size, which grows faster than input when duplication grows —
 # report output rows alongside time so the ratio is interpretable
-OUTPUT_BOUND = {"x03_minhash_lsh_pairs", "x14_embedding_lsh_near_dup"}
+OUTPUT_BOUND = {
+    "x03_minhash_lsh_pairs",
+    "x14_embedding_lsh_near_dup",
+    # replica corpora make every replica set mutual near-keys, so the
+    # pair-shaped result grows ~quadratically in duplication — cost is
+    # output-bound by design
+    "x63_fuzzy_join",
+}
 
 
 def main() -> int:
