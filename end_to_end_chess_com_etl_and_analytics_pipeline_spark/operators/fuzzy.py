@@ -68,16 +68,30 @@ def edit_distance_pairs(
     key_col: str = "key",
     id_col: str = "doc_id",
     max_dist: int = 2,
+    min_key_len: int = 0,
 ) -> DataFrame:
     """All unordered id pairs whose keys are within ``max_dist``
     Levenshtein edits: (id_a < id_b, dist).  Keys are compared exactly
     as given — normalize (casefold / ASCII-squash) upstream so both
-    engines agree on character counting."""
+    engines agree on character counting.
+
+    ``min_key_len`` is the degenerate-key guard: rows whose key is
+    shorter than it emit NO pairs.  Aggressive upstream normalization
+    (e.g. an ASCII squash over a CJK/RTL corpus) can map a large
+    fraction of documents to the empty string; without the gate those
+    all become mutual distance-0 "matches" — a quadratic, semantically
+    meaningless output.  A short key carries too little signal to call
+    two documents near-duplicates anyway, so the gate is a semantic
+    floor, not just a blow-up guard.  Set 0 to disable (exact
+    brute-force parity on tiny fixtures)."""
     d = int(max_dist)
     n_seg = d + 1
     doc_keys = df.select(
         F.col(id_col).alias("__id"), F.col(key_col).alias("__key")
-    ).where(F.col("__key").isNotNull())
+    ).where(
+        F.col("__key").isNotNull()
+        & (F.length("__key") >= int(min_key_len))
+    )
 
     # --- distance-0 pairs: equality self-join on the key ------------
     a, b = doc_keys.alias("a"), doc_keys.alias("b")

@@ -2459,8 +2459,15 @@ FROM documents
 # whitespace-normalized, casefolded, ASCII-squashed text (ASCII-only so
 # Spark's UTF-16 levenshtein and DuckDB's codepoint levenshtein count
 # identically — stated contract, not an accident), distance band 2.
+# MIN_KEY guards the squash's degenerate corner: on a pure-CJK/RTL
+# corpus every document squashes to the empty key, and without a floor
+# those all pair at distance 0 — quadratic, meaningless output.  Keys
+# shorter than 4 chars emit no pairs (operators/fuzzy.py
+# edit_distance_pairs(min_key_len=...); pinned by the CJK/RTL fixture
+# in tests/test_fuzzy.py and the unicode probe sweep).
 _FUZZY_KEY_LEN = 16
 _FUZZY_MAX_DIST = 2
+_FUZZY_MIN_KEY = 4
 
 
 def _fuzzy_key_expr() -> Column:
@@ -2490,7 +2497,11 @@ def x63_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", _fuzzy_key_expr().alias("fkey")
     )
     return edit_distance_pairs(
-        docs, key_col="fkey", id_col="doc_id", max_dist=_FUZZY_MAX_DIST
+        docs,
+        key_col="fkey",
+        id_col="doc_id",
+        max_dist=_FUZZY_MAX_DIST,
+        min_key_len=_FUZZY_MIN_KEY,
     )
 
 
@@ -2503,7 +2514,9 @@ def _x63_sql() -> str:
         + f", '[^ -~]', '', 'g'), 1, {_FUZZY_KEY_LEN})"
     )
     return f"""
-WITH k AS (SELECT doc_id, {key} AS fkey FROM documents)
+WITH k AS (SELECT doc_id, fkey
+           FROM (SELECT doc_id, {key} AS fkey FROM documents)
+           WHERE length(fkey) >= {_FUZZY_MIN_KEY})
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(levenshtein(a.fkey, b.fkey) AS INTEGER) AS dist
 FROM k a JOIN k b ON a.doc_id < b.doc_id

@@ -183,9 +183,10 @@ def x33_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     # running sum = shard token total), NOT from ``base``: an agg over
     # ``base`` is a second consumer of the scan lineage and re-executes
     # the quality/BPE text projection over the whole corpus — measured
-    # 234.8s -> 121.5s at 5M docs (tools/x33_profile.py; the text
-    # functions are ~110s of the plan, the window ~2s).  Both consumers
-    # now sit above one identical Exchange, which ReuseExchange
+    # 234.8s -> 128.2s at 5M docs (fresh-session best-of-3,
+    # tools/x33_profile.py; the text functions are ~110s of the plan,
+    # the window ~2s).  Both consumers now sit above one identical
+    # Exchange, which ReuseExchange
     # deduplicates, so the corpus is scanned and scored ONCE.
     counts = ranked.groupBy("__shard").agg(
         F.max("__rank").alias("__n"), F.max("__cum").alias("__tok")

@@ -93,6 +93,66 @@ def test_short_and_empty_keys(spark):
     assert _run(spark, keys) == _brute(keys, 2)
 
 
+def test_min_key_len_gate_drops_short_keys(spark):
+    """min_key_len is the degenerate-key guard: keys below the floor
+    emit NO pairs (neither distance-0 nor banded), keys at/above it
+    behave exactly as before."""
+    keys = {1: "", 2: "", 3: "ab", 4: "abc", 5: "abcdef", 6: "abcdeX"}
+    df = spark.createDataFrame(
+        list(keys.items()), "doc_id long, key string"
+    )
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in edit_distance_pairs(
+            df, key_col="key", id_col="doc_id", max_dist=2, min_key_len=4
+        ).collect()
+    }
+    want = _brute({i: k for i, k in keys.items() if len(k) >= 4}, 2)
+    assert got == want
+    # the two empty keys would have paired at distance 0 without the gate
+    assert (1, 2, 0) not in got and (5, 6, 1) in got
+
+
+def test_cjk_rtl_corpus_does_not_degenerate(spark):
+    """The x63 contract corner the guard exists for: an ASCII-squash
+    over a pure-CJK/RTL corpus maps every document to the empty key.
+    Without the min-key gate they all become mutual distance-0
+    'matches' (quadratic, meaningless); with it they emit nothing,
+    while genuine ASCII near-keys still pair."""
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans.extensions import (
+        _FUZZY_MIN_KEY,
+        _fuzzy_key_expr,
+    )
+
+    rows = [
+        (1, "引擎测试文档一"),   # pure CJK
+        (2, "大规模数据处理"),   # pure CJK
+        (3, "בדיקת מסמך"),  # Hebrew (RTL)
+        (4, "مستند اختبار"),  # Arabic (RTL)
+        (5, "duplicate english doc"),
+        (6, "duplicXte english doc"),  # 1 edit inside the 16-char prefix
+        (7, "ok"),                      # squashes to a 2-char key: gated
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    keyed = df.select("doc_id", _fuzzy_key_expr().alias("fkey"))
+    # precondition: the squash really does empty these keys
+    empties = {
+        r.doc_id for r in keyed.where("length(fkey) = 0").collect()
+    }
+    assert {1, 2} <= empties
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in edit_distance_pairs(
+            keyed,
+            key_col="fkey",
+            id_col="doc_id",
+            max_dist=2,
+            min_key_len=_FUZZY_MIN_KEY,
+        ).collect()
+    }
+    assert got == {(5, 6, 1)}
+
+
 @pytest.mark.parametrize("seed", [7, 41])
 def test_random_corpus_matches_brute_force(spark, seed):
     rng = random.Random(seed)
