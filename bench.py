@@ -69,6 +69,8 @@ HEADLINE = [
     "x59_pq_encode",
     "x60_pq_adc_topk",
     "x62_ivf_pq_topk",
+    "x65_ivf_pq_persisted_index",
+    "x66_ann_mmr_rerank",
     "x20_dedup_clusters",
     "x29_repetition_filters",
     "x31_contamination",
@@ -231,13 +233,24 @@ def _latest_prior_artifact() -> tuple[str, dict] | None:
     if override:
         candidates = [override]
     else:
-        def rnum(p: str) -> int:
-            m = re.search(r"BENCH_r(\d+)\.json$", p)
-            return int(m.group(1)) if m else -1
+        # BENCH_SOLO_r{N}.json are builder-committed full copies of the
+        # solo run's JSON line: the driver's BENCH_r{N}.json keeps only
+        # a 2000-char tail of stdout, which the (vs_prior-bearing) line
+        # outgrew in r8 — its per-query timings were truncated away and
+        # parsed=None, silently aging the comparison baseline one round
+        # per round.  Prefer the driver artifact when both parse (it is
+        # canonical); the SOLO twin exists so a truncated driver round
+        # still leaves a same-round baseline.
+        def rkey(p: str) -> tuple[int, int]:
+            m = re.search(r"BENCH_(SOLO_)?r(\d+)\.json$", p)
+            if not m:
+                return (-1, 0)
+            return (int(m.group(2)), 0 if m.group(1) else 1)
 
         candidates = sorted(
-            glob.glob(os.path.join(_REPO_ROOT, "BENCH_r*.json")),
-            key=rnum,
+            glob.glob(os.path.join(_REPO_ROOT, "BENCH_r*.json"))
+            + glob.glob(os.path.join(_REPO_ROOT, "BENCH_SOLO_r*.json")),
+            key=rkey,
             reverse=True,
         )
     for path in candidates:

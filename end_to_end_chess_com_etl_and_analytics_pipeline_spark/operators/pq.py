@@ -392,6 +392,38 @@ def ivf_pq_encode_corpus(
     return pq_encode(corpus_f, codebooks, vec_col, id_col, carry=("__cell",))
 
 
+def _query_probes(
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    nprobe: int,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """(query_id, __qv, __cell): each usable query exploded to its
+    ``nprobe`` nearest coarse cells — the foldable-literal argsort both
+    ivf_pq_topk_from_codes and the persisted-index scan pruning derive
+    probed cells from (ONE definition, so the pruning filter can never
+    disagree with the scoring join)."""
+    cent_lit = _cent_literal(centroids)
+    qs = queries.where(
+        usable_vec(F.col(vec_col), require_nonzero=False)
+    ).select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    return qs.select(
+        "query_id",
+        "__qv",
+        F.explode(
+            F.transform(
+                F.slice(
+                    F.array_sort(_cell_scored(cent_lit, F.col("__qv"))),
+                    1,
+                    nprobe,
+                ),
+                lambda s: s["cid"],
+            )
+        ).alias("__cell"),
+    )
+
+
 def ivf_pq_topk_from_codes(
     codes: DataFrame,
     queries: DataFrame,
@@ -406,24 +438,7 @@ def ivf_pq_topk_from_codes(
     """ADC scoring over an EXISTING (id, __cell, codes) table — the
     read side of a persisted/streamed IVF-PQ index (st12)."""
     spark = codes.sparkSession
-    cent_lit = _cent_literal(centroids)
-
-    def cell_scored(col: Column) -> Column:
-        return _cell_scored(cent_lit, col)
-
-    qs = queries.where(
-        usable_vec(F.col(vec_col), require_nonzero=False)
-    ).select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
-    probes = qs.select(
-        "query_id",
-        "__qv",
-        F.explode(
-            F.transform(
-                F.slice(F.array_sort(cell_scored(F.col("__qv"))), 1, nprobe),
-                lambda s: s["cid"],
-            )
-        ).alias("__cell"),
-    )
+    probes = _query_probes(queries, centroids, nprobe, vec_col, id_col)
     recon = _reconstruct(codes, codebooks, id_col, keep=("__cell",))
     cand_vec = F.col("__recon")
     if residual:
@@ -453,6 +468,127 @@ def ivf_pq_topk_from_codes(
         scored.withColumn("rnk", F.row_number().over(w).cast("int"))
         .where(F.col("rnk") <= k)
         .select("query_id", "cand_id", "adc_d2", "rnk")
+    )
+
+
+def ivf_pq_build_index(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: Codebooks,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    residual: bool = False,
+) -> None:
+    """Persist the FULL IVF-PQ index as parquet artifacts under
+    ``path`` (codes/, centroids/, codebooks/, meta/) — the ANN analog
+    of retrieval.bm25_build_index (r8 verdict #5: the registered x62
+    rebuilt codebooks and re-encoded the corpus per query batch; the
+    production shape trains/encodes on rebuild cadence and serves
+    arbitrary later batches from the artifact, exactly st12's frozen
+    contract but persisted for batch scoring too).
+
+    The codes table is range-laid-out by ``__cell`` and sorted within
+    partitions, so a query batch's ``__cell IN (probed cells)`` scan
+    prunes parquet row groups by min/max stats — at 100 TB a batch
+    touches only its probed cells' slices (~nprobe/n_cells of the
+    corpus), never the whole index (the x61 token-IN lesson applied to
+    vectors).  Centroids/codebooks are driver-sized by the IVF/PQ
+    contract; persisting them makes the artifact self-describing — a
+    scorer needs only ``path``."""
+    import os
+
+    spark = corpus.sparkSession
+    codes = ivf_pq_encode_corpus(
+        corpus, centroids, codebooks, vec_col, id_col, residual
+    )
+    (
+        codes.repartitionByRange("__cell")
+        .sortWithinPartitions("__cell")
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "codes"))
+    )
+    spark.createDataFrame(
+        [(int(cid), [float(v) for v in vec]) for cid, vec in centroids],
+        "cid long, cv array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "centroids")
+    )
+    spark.createDataFrame(
+        [
+            (j, int(code), [float(v) for v in sub])
+            for j, book in enumerate(codebooks)
+            for code, sub in book
+        ],
+        "subspace int, code int, cv array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "codebooks")
+    )
+    spark.createDataFrame(
+        [(len(codebooks), bool(residual))], "m int, residual boolean"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "meta"))
+
+
+def read_ivf_pq_index(
+    spark,
+    path: str,
+) -> tuple[DataFrame, list[tuple[int, list[float]]], Codebooks, bool]:
+    """(codes, centroids, codebooks, residual) from a persisted index.
+    Codes stay a lazy scan; centroids/codebooks collect to the driver
+    (driver-sized by the build contract)."""
+    import os
+
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    cents = [
+        (r["cid"], [float(v) for v in r["cv"]])
+        for r in spark.read.parquet(os.path.join(path, "centroids"))
+        .orderBy("cid")
+        .collect()
+    ]
+    meta = spark.read.parquet(os.path.join(path, "meta")).first()
+    books: Codebooks = [[] for _ in range(meta["m"])]
+    for r in (
+        spark.read.parquet(os.path.join(path, "codebooks"))
+        .orderBy("subspace", "code")
+        .collect()
+    ):
+        books[r["subspace"]].append(
+            (r["code"], [float(v) for v in r["cv"]])
+        )
+    return codes, cents, books, bool(meta["residual"])
+
+
+def ivf_pq_topk_from_persisted(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k against a PERSISTED index: no re-train, no re-encode,
+    and the codes scan is pre-filtered to ``__cell IN (probed cells)``
+    so parquet row-group pruning (min/max on the range layout) skips
+    everything outside the batch's ~nprobe·|Q| cells.  The probed-cell
+    set is collected driver-side — it is query-batch-sized (≤ |Q| ×
+    nprobe ids) by the same contract that makes the probe table
+    broadcastable, and it comes from the SAME _query_probes expression
+    the scoring join uses, so the filter is provably a superset of the
+    join keys."""
+    codes, cents, books, residual = read_ivf_pq_index(spark, path)
+    probe_cells = sorted(
+        {
+            r["__cell"]
+            for r in _query_probes(queries, cents, nprobe, vec_col, id_col)
+            .select("__cell")
+            .distinct()
+            .collect()
+        }
+    )
+    pruned = codes.where(F.col("__cell").isin(probe_cells))
+    return ivf_pq_topk_from_codes(
+        pruned, queries, cents, books, k, nprobe, vec_col, id_col, residual
     )
 
 

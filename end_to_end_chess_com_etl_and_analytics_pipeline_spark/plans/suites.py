@@ -203,6 +203,8 @@ _SUITE_PARTS: dict[str, list[str]] = {
         "x62_ivf_pq_topk",
         "st12_streaming_ivf_pq",
         "x64_mmr_diversified_topk",
+        "x65_ivf_pq_persisted_index",
+        "x66_ann_mmr_rerank",
     ],
     # mergeable-summary family: HLL/quantile bounded-error contracts,
     # count-min heavy hitters (exact-reproducible cells), the streaming

@@ -812,6 +812,7 @@ def run_streaming_scd2(
     dim_path: str,
     checkpoint_dir: str,
     max_files_per_trigger: int = 1,
+    n_buckets: int = 16,
 ) -> None:
     """Streaming Type-2 SCD maintenance: each micro-batch of events
     merges into the on-disk dimension-history table so that after any
@@ -824,10 +825,33 @@ def run_streaming_scd2(
     lag/lead windows reproduces the batch build exactly — no user's
     full event history is ever re-read.  Per batch the work is
     O(batch + affected users' version rows): untouched users' rows are
-    carried over by an anti-join, never recomputed (at 100 TB dims the
-    carry-over becomes a partition-scoped rewrite like
-    run_incremental_gold's; the fixture table rewrites whole, the merge
-    itself is already partition-scoped by construction).
+    never recomputed.
+
+    Partition-scoped carry-over (r8 verdict #4): the table lives hash-
+    bucketed by user (``__bucket = pmod(xxhash64(user_id), n_buckets)``
+    — layout only, dropped by readers), and a batch rewrites ONLY the
+    buckets its users hash into: the state scan partition-prunes to
+    those buckets, the carry-over anti-join runs inside them, and
+    dynamic partition overwrite replaces just those directories —
+    untouched buckets' files are not rewritten (pinned by
+    test_streaming_scd2_untouched_buckets' mtime check).  At a 100 TB
+    dim a batch costs O(its buckets), not O(table).  Affected users are
+    matched NULL-SAFELY (eqNullSafe): NULL user ids are real data (the
+    null probe injects them), hash to a real bucket, and must re-
+    collapse against their prior versions like any user.
+
+    Crash window (r8 ADVICE): dynamic overwrite stages files and then
+    swaps each affected bucket directory; a crash mid-swap can leave an
+    affected bucket empty until the checkpoint replays the batch.  The
+    replay is idempotent — re-collapsing (already-merged versions ∪
+    the same events) drops resent events as non-run-starts — but a
+    bucket whose directory was lost rebuilds from that batch's events
+    alone, losing its prior history; unaffected buckets are safe either
+    way (the bucketing bounds the blast radius the old whole-table
+    overwrite did not).  A deployment that needs atomicity across the
+    swap uses the two-phase stage/intent/rename commit the BM25 index
+    refresh implements (operators/retrieval.py) or a transactional
+    table format.
 
     In-order contract: a batch's events must not precede any already-
     merged event of the same user (stage_events_by_time's global time
@@ -839,7 +863,7 @@ def run_streaming_scd2(
     per month (create_dim_*.sql via load_data_warehouse_dag.py); this
     is the incremental history-preserving form of the same dim
     maintenance."""
-    from ..sources.tables import fs_exists
+    from ..sources.tables import fs_exists, write_parquet
 
     raw_schema = read_events_raw(spark, events_dir).schema
     stream = repair_events_ts(
@@ -848,14 +872,38 @@ def run_streaming_scd2(
         .parquet(events_dir)
     )
 
+    def bucket_of(col: Column) -> Column:
+        # xxhash64(NULL) is the seed hash (non-NULL), so NULL users get
+        # a real, stable bucket; pmod keeps negatives non-negative
+        return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
+
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         b = batch_df.select("user_id", "event_type", "ts", "event_id")
         if fs_exists(spark, dim_path):
-            state = spark.read.parquet(dim_path)
-            affected = b.select("user_id").distinct()
-            keep = state.join(affected, "user_id", "left_anti")
+            affected = b.select("user_id").distinct().localCheckpoint()
+            # the batch's rewrite set: ≤ n_buckets ids, driver-sized
+            # by construction
+            buckets = sorted(
+                r["__b"]
+                for r in affected.select(
+                    bucket_of(F.col("user_id")).alias("__b")
+                )
+                .distinct()
+                .collect()
+            )
+            # partition pruning: only the affected buckets are read
+            state = (
+                spark.read.parquet(dim_path)
+                .where(F.col("__bucket").isin(buckets))
+                .drop("__bucket")
+            )
+            match = F.col("s.user_id").eqNullSafe(F.col("a.user_id"))
+            keep = state.alias("s").join(
+                affected.alias("a"), match, "left_anti"
+            )
             prior = (
-                state.join(affected, "user_id", "left_semi")
+                state.alias("s")
+                .join(affected.alias("a"), match, "left_semi")
                 .select(
                     "user_id",
                     F.col("attr_value").alias("event_type"),
@@ -886,8 +934,13 @@ def run_streaming_scd2(
         )
         if keep is not None:
             versions = keep.unionByName(versions)
-        # pin before overwriting the directory being read from
-        versions.localCheckpoint().write.mode("overwrite").parquet(dim_path)
+        out = versions.withColumn("__bucket", bucket_of(F.col("user_id")))
+        # pin before overwriting directories being read from; dynamic
+        # overwrite then replaces ONLY the buckets present in `out`
+        # (= the affected buckets, plus every bucket on first write)
+        write_parquet(
+            out.localCheckpoint(), dim_path, partition_by=["__bucket"]
+        )
 
     # batch-scoped shuffle width (see run_incremental_gold)
     prev = spark.conf.get("spark.sql.shuffle.partitions", None)

@@ -379,3 +379,82 @@ def test_ivf_pq_recall_on_clustered_fixture(spark):
     raw8 = recall(books_raw8, 2, False)
     corpus.unpersist()
     assert res8 >= raw8 + 0.1, (raw8, res8)  # IVFADC claim, tight budget
+
+
+def test_persisted_index_equals_in_memory(spark, emb, tmp_path):
+    """x65's operator contract: (build index → score from persisted
+    artifact) must equal scoring straight from the in-memory model —
+    the persistence round-trip (codes layout, centroid/codebook
+    tables, meta) loses nothing.  Also pins the scan-pruning claim:
+    the pruned plan reads only probed cells yet returns identical
+    rows, and the codes scan carries a pushed In(__cell, ...) filter."""
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.operators.pq import (
+        ivf_pq_build_index,
+        ivf_pq_topk,
+        ivf_pq_topk_from_persisted,
+        read_ivf_pq_index,
+    )
+
+    cents = [
+        (r.vec_id, [float(v) for v in r.embedding])
+        for r in emb.orderBy("vec_id").limit(6).collect()
+    ]
+    books = pq_codebooks_init(emb, m=M, k=KC)
+    root = str(tmp_path / "ivfpq")
+    ivf_pq_build_index(emb, cents, books, root)
+
+    # round-trip: the model tables come back exactly
+    _codes, cents2, books2, residual = read_ivf_pq_index(spark, root)
+    assert cents2 == [(c, [float(v) for v in vec]) for c, vec in cents]
+    assert books2 == books and residual is False
+
+    queries = emb.orderBy(F.col("vec_id").asc()).limit(4)
+    want = sorted(
+        map(tuple, ivf_pq_topk(emb, queries, cents, books, k=5).collect())
+    )
+    frame = ivf_pq_topk_from_persisted(spark, root, queries, k=5)
+    got = sorted(map(tuple, frame.collect()))
+    assert got == want and len(got) > 0
+
+    plan = frame._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "In(__cell" in plan
+
+
+def test_persisted_index_residual_flag_round_trips(spark, emb, tmp_path):
+    """The meta table must carry the residual flag so a scorer can't
+    silently mis-score a residual-encoded index as raw."""
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.operators.pq import (
+        ivf_pq_build_index,
+        ivf_pq_topk,
+        ivf_pq_topk_from_persisted,
+        ivf_residuals,
+        pq_codebooks_train,
+    )
+
+    cents = [
+        (r.vec_id, [float(v) for v in r.embedding])
+        for r in emb.orderBy("vec_id").limit(4).collect()
+    ]
+    books = pq_codebooks_train(
+        ivf_residuals(emb, cents), m=M, k=8, rounds=1
+    )
+    root = str(tmp_path / "ivfpq_res")
+    ivf_pq_build_index(emb, cents, books, root, residual=True)
+    queries = emb.orderBy(F.col("vec_id").asc()).limit(3)
+    want = sorted(
+        map(
+            tuple,
+            ivf_pq_topk(
+                emb, queries, cents, books, k=4, residual=True
+            ).collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            ivf_pq_topk_from_persisted(
+                spark, root, queries, k=4
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0

@@ -145,3 +145,75 @@ def test_x64_matches_oracle_exactly(spark, duck):
     want = sorted(tuple(r) for r in duck.sql(_x64_sql()).fetchall())
     assert len(got) > 0
     assert got == want  # raw double scores bit-identical
+
+
+def test_mmr_external_pool_matches_brute_pool(spark):
+    """pool_df: feeding the brute-force pool in EXTERNALLY must equal
+    the self-built path — the ANN composition (x66) changes only where
+    candidates come from, never the selection semantics."""
+    vecs = {
+        0: [1.0, 0.0, 0.0, 0.0],
+        10: [0.99, 0.10, 0.0, 0.0],
+        11: [1.98, 0.20, 0.0, 0.0],
+        12: [0.70, 0.0, 0.70, 0.0],
+        13: [0.1, 0.9, 0.2, 0.0],
+    }
+    df = _mk(spark, vecs)
+    q = df.where(F.col("vec_id") == 0)
+    want = sorted(
+        map(
+            tuple,
+            mmr_rerank(
+                df, q, k=3, pool=4, lam=LAM, one_minus_lam=ONE_MINUS_LAM
+            ).collect(),
+        )
+    )
+    ext = brute_force_topk(df, q, k=4).select(
+        "query_id", "cand_id", F.col("cos").alias("rel")
+    )
+    got = sorted(
+        map(
+            tuple,
+            mmr_rerank(
+                df,
+                q,
+                k=3,
+                lam=LAM,
+                one_minus_lam=ONE_MINUS_LAM,
+                pool_df=ext,
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) == 3
+
+
+def test_x66_matches_oracle_exactly(spark, duck):
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans.extensions import (
+        _x66_sql,
+        x66_ann_mmr_rerank,
+    )
+
+    got = sorted(
+        (r.query_id, r.cand_id, r.mmr_rank, r.mmr_score)
+        for r in x66_ann_mmr_rerank(spark, SF_DIR).collect()
+    )
+    want = sorted(tuple(r) for r in duck.sql(_x66_sql()).fetchall())
+    assert len(got) > 0
+    assert got == want  # raw double scores bit-identical
+
+
+def test_x66_pool_is_ann_not_brute(spark):
+    """The composition claim: x66's pool must be the IVF-PQ candidate
+    set (ANN may legitimately differ from exact brute force), and its
+    plan must contain no corpus×corpus cartesian/NLJ product."""
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans.extensions import (
+        x66_ann_mmr_rerank,
+    )
+
+    plan = (
+        x66_ann_mmr_rerank(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan

@@ -78,6 +78,9 @@ HEADLINE = [
     ("x57_mergeable_rollup", "two slice-local map-side-combined hash-aggs (history, batch) + one grain-bounded merge agg — events never re-shuffled together, merge input is O(grain) rows"),
     ("x63_fuzzy_join", "PassJoin banding: DISTINCT keys once; segment/probe explodes are scan-local; candidates = equi-join on (len, seg, value) — NO CartesianProduct/BNLJ anywhere; verify is thresholded levenshtein on candidates only"),
     ("x64_mmr_diversified_topk", "pool = broadcast-query brute-force top-k (corpus never shuffles); pairwise sims = pool self-join + two id-keyed vector joins (|Q|*pool^2 bounded rows); greedy rerank = ONE query_id exchange into applyInPandas"),
+    ("x65_ivf_pq_persisted_index", "persisted-index ADC scoring: codes scan with pushed In(__cell,...) filter (range layout -> row-group pruning); centroids/codebooks read from driver-sized artifact tables; NO re-encode, NO codebook rebuild — scoring is O(probed postings)"),
+    ("x66_ann_mmr_rerank", "ANN-pooled MMR: IVF×PQ candidate generation (broadcast probes join codes on cell — ~nprobe/n_cells of the corpus) + |Q|*pool id-keyed exact cosine rerank + pool self-join pairwise sims + ONE query_id exchange into applyInPandas; the brute-force corpus scan x64 pays is GONE"),
+    ("st13_streaming_scd2", "the dimension table lives hash-bucketed by user — this audits the final table read (scan shows __bucket partition dirs); the per-batch merge reads ONLY affected buckets (partition pruning) and rewrites ONLY them via dynamic overwrite (untouched buckets pinned mtime-identical by tests/test_streaming_scd2.py)"),
 ]
 
 
@@ -112,9 +115,11 @@ def main() -> None:
 
     from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans.extensions import (
         x61_scoring_frame,
+        x65_scoring_frame,
     )
 
     x61_root = tempfile.mkdtemp(prefix="x61_audit_")
+    x65_root = tempfile.mkdtemp(prefix="x65_audit_")
     for name, claim in HEADLINE:
         if name == "x61_bm25_persisted_index":
             # the registry entry localCheckpoints (its temp index dir is
@@ -122,6 +127,11 @@ def main() -> None:
             # Scan ExistingRDD; audit the live pre-checkpoint frame so
             # the pushed token-IN filter is visible
             df = x61_scoring_frame(spark, sf_dir, x61_root)
+        elif name == "x65_ivf_pq_persisted_index":
+            # same localCheckpoint-hides-the-plan shape as x61: audit
+            # the live scoring frame so the pushed __cell-IN filter on
+            # the codes scan is visible
+            df = x65_scoring_frame(spark, sf_dir, x65_root)
         else:
             df = qs[name](spark, sf_dir)
         df.collect()  # let AQE finalize
@@ -155,6 +165,7 @@ def main() -> None:
             "",
         ]
     shutil.rmtree(x61_root, ignore_errors=True)
+    shutil.rmtree(x65_root, ignore_errors=True)
     with open(os.path.join(os.path.dirname(__file__), "..", "PLANS.md"), "w") as f:
         f.write("\n".join(out))
     print(f"PLANS.md written ({len(HEADLINE)} queries)")
