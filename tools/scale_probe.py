@@ -288,7 +288,9 @@ PROBES = [
     "x59_pq_encode",
     "x60_pq_adc_topk",
     "x62_ivf_pq_topk",
+    "x65_ivf_pq_persisted_index",
     "x64_mmr_diversified_topk",
+    "x66_ann_mmr_rerank",
     "x26_pack_sequences",
     "x28_stable_row_ids",
     "x33_token_budget_select",
