@@ -831,9 +831,22 @@ def q25_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id (same partitioning, Spark reuses the exchange).  This is
     the standard warehouse history-table shape the reference's
     dim tables would need under updates (create_dim_*.sql are
-    truncate-reload; SCD2 is the incremental form)."""
-    e = load_table(spark, "events", sf_dir).select(
-        "user_id", "event_type", "ts", "event_id"
+    truncate-reload; SCD2 is the incremental form).
+
+    NULL contract (r9 null probe): events with NULL event_type are
+    EXCLUDED — a NULL attribute observation carries no dimension
+    signal (the dedup family's no-content-no-fingerprint rule).  The
+    alternative (letting them through the lag collapse) silently SPLITS
+    a run without starting one — the dropped NULL row still changes
+    prev_type — which breaks the streaming merge's invariant that
+    version rows are a sufficient statistic of history
+    (tests/test_streaming_scd2.py::test_streaming_scd2_null_event_type).
+    NULL ts events sort first (Spark ASC default), which the oracle
+    must state explicitly — DuckDB defaults to NULLS LAST."""
+    e = (
+        load_table(spark, "events", sf_dir)
+        .select("user_id", "event_type", "ts", "event_id")
+        .where(F.col("event_type").isNotNull())
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     runs = (
@@ -857,9 +870,10 @@ def q25_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q25_SQL = """
 WITH ordered AS (
     SELECT user_id, event_type, ts, event_id,
-           LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           LAG(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts NULLS FIRST, event_id)
                AS prev_type
-    FROM events),
+    FROM events WHERE event_type IS NOT NULL),
 runs AS (
     SELECT user_id, event_type, ts, event_id FROM ordered
     WHERE prev_type IS NULL OR prev_type <> event_type)
@@ -869,7 +883,7 @@ SELECT user_id,
        LEAD(ts) OVER w AS valid_to,
        LEAD(ts) OVER w IS NULL AS is_current
 FROM runs
-WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
 """
 
 

@@ -878,7 +878,14 @@ def run_streaming_scd2(
         return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        b = batch_df.select("user_id", "event_type", "ts", "event_id")
+        # NULL event_type carries no dimension signal and is EXCLUDED
+        # (q25's contract).  Not just hygiene: a NULL-type row passes
+        # through the lag collapse as a run BREAKER without becoming a
+        # run START, so keeping them makes the version rows an
+        # insufficient statistic and stream ≠ batch (r9 null probe).
+        b = batch_df.select("user_id", "event_type", "ts", "event_id").where(
+            F.col("event_type").isNotNull()
+        )
         if fs_exists(spark, dim_path):
             affected = b.select("user_id").distinct().localCheckpoint()
             # the batch's rewrite set: ≤ n_buckets ids, driver-sized

@@ -210,6 +210,102 @@ def test_streaming_scd2_null_user_recollapses(spark, tmp_path):
     assert [r["attr_value"] for r in nulls if r["is_current"]] == ["b"]
 
 
+def test_streaming_scd2_null_event_type(spark, tmp_path):
+    """r9 null probe finding: a NULL event_type row used to pass the
+    lag collapse as a run BREAKER without becoming a run START — so
+    the batch build split runs the version rows couldn't reproduce and
+    stream ≠ batch.  Contract now: NULL event_type carries no dim
+    signal and is excluded by BOTH builds; a run spanning a NULL-type
+    event stays ONE run."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2024, 1, 1)
+    # user 1: error, NULL, error — must collapse to ONE 'error' run.
+    # The NULL-type row lands in batch 1, the second error in batch 2,
+    # so the streaming merge must agree across the batch boundary.
+    b1 = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array([base, base.replace(hour=1)], pa.timestamp("us")),
+            "user_id": pa.array([1, 1], pa.int64()),
+            "event_type": pa.array(["error", None]),
+        }
+    )
+    b2 = pa.table(
+        {
+            "event_id": pa.array([3, 4], pa.int64()),
+            "ts": pa.array(
+                [base.replace(hour=2), base.replace(hour=3)],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([1, 1], pa.int64()),
+            "event_type": pa.array(["error", "ok"]),
+        }
+    )
+    live = str(tmp_path / "live")
+    os.makedirs(live)
+    dim = str(tmp_path / "dim")
+    ckpt = str(tmp_path / "ckpt")
+    pq.write_table(b1, os.path.join(live, "events_000.parquet"))
+    run_streaming_scd2(spark, live, dim, ckpt)
+    pq.write_table(b2, os.path.join(live, "events_001.parquet"))
+    run_streaming_scd2(spark, live, dim, ckpt)
+    got = sorted(
+        (r["attr_value"], r["is_current"])
+        for r in spark.read.parquet(dim).collect()
+    )
+    # one 'error' run (unsplit, closed by 'ok') + the current 'ok' run
+    assert got == [("error", False), ("ok", True)]
+
+
+def test_q25_scd2_null_parity_with_oracle(spark, tmp_path):
+    """q25 itself on NULL-type + NULL-ts events: Spark and the DuckDB
+    oracle must agree (NULLS FIRST ordering stated explicitly — DuckDB
+    defaults to NULLS LAST — and NULL-type rows excluded by both)."""
+    import datetime as dt
+
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans.driver import (
+        ORACLE,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(8), pa.int64()),
+            "ts": pa.array(
+                [None, base, None, base.replace(hour=1), base.replace(hour=2),
+                 None, base.replace(hour=3), base.replace(hour=4)],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([1, 1, 1, 2, 2, 2, 2, None], pa.int64()),
+            "event_type": pa.array(
+                ["a", "b", None, "a", "a", "b", "b", "c"]
+            ),
+        }
+    )
+    d = str(tmp_path / "fix")
+    os.makedirs(d)
+    pq.write_table(tbl, os.path.join(d, "events.parquet"))
+    got = _rows(q25_scd2(spark, d))
+    import duckdb
+
+    c = duckdb.connect()
+    c.sql(
+        f"CREATE VIEW events AS SELECT * FROM '{os.path.join(d, 'events.parquet')}'"
+    )
+    want = sorted(
+        (tuple(r) for r in c.sql(ORACLE["q25_scd2"]).fetchall()),
+        key=lambda t: tuple((v is None, str(v)) for v in t),
+    )
+    got_n = [tuple(r) for r in got]
+    assert len(got_n) == len(want) > 0
+    assert [tuple(map(str, r)) for r in got_n] == [
+        tuple(map(str, r)) for r in want
+    ]
+
+
 def test_stage_events_by_time_keeps_equal_ts_together(tmp_path):
     """Equal timestamps must share a slice: boundaries are pushed past
     ties so (ts, event_id) ordering never straddles batches."""

@@ -92,7 +92,13 @@ def main() -> int:
     from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans import suites
 
     build_fixture()
-    names = sorted(n for n in suites.FULL_QUERIES if n.startswith("x"))
+    # x-family plus the standalone streaming SCD2 entry (r8 verdict
+    # next-round #1: its NULL-user carry-over must merge null-safely —
+    # the eqNullSafe affected-user match is exactly what this stresses;
+    # the other st queries ride the x09/x05 suites already in the list)
+    names = sorted(n for n in suites.FULL_QUERIES if n.startswith("x")) + [
+        "st13_streaming_scd2"
+    ]
     return subprocess.call(
         [sys.executable, os.path.join(REPO, "tools", "local_sweep.py"), DST]
         + names
