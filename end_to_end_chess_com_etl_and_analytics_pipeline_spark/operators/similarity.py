@@ -578,6 +578,18 @@ def mmr_rerank(
         ).select("query_id", "cand_id", F.col("cos").alias("rel"))
     else:
         pool_df = pool_df.select("query_id", "cand_id", "rel")
+    # NaN-similarity contract (r9 nonfinite probe): a finite-component
+    # vector can still OVERFLOW the norm/dot arithmetic (e.g. 1e300
+    # components pass usable_vec but square to Inf), making its cosine
+    # NaN.  Ranking engines agree on NaN placement (both sort it
+    # greatest), but the Python greedy's strict `>` SINKS NaN while
+    # SQL's ORDER BY DESC floats it — silently divergent picks.  An
+    # undefined similarity is not evidence of relevance or redundancy:
+    # NaN-rel candidates drop from the pool, NaN pair sims drop from
+    # the redundancy set (missing pairs contribute 0 via .get/COALESCE
+    # — both engines total).  Mirrored in the oracle CTEs
+    # (plans/extensions._mmr_sql_tail).
+    pool_df = pool_df.where(~F.isnan(F.col("rel")))
 
     vecs = corpus.where(usable_vec(F.col(vec_col))).select(
         F.col(id_col).alias("__vid"),
@@ -605,6 +617,7 @@ def mmr_rerank(
                 6,
             ).alias("sim"),
         )
+        .where(~F.isnan(F.col("sim")))  # NaN-similarity contract above
     )
     # one grouped frame for applyInPandas: rel rows carry b = NULL
     tagged = pool_df.select(
@@ -638,7 +651,12 @@ def mmr_rerank(
                 if c in selected:
                     continue
                 msim = (
-                    max(sim[(c, s)] for s in selected) if selected else 0.0
+                    # .get default 0.0: a pair dropped by the NaN
+                    # filter contributes no redundancy (oracle twin:
+                    # COALESCE(msim, 0.0))
+                    max(sim.get((c, s), 0.0) for s in selected)
+                    if selected
+                    else 0.0
                 )
                 score = lam * rel[c] - one_minus_lam * msim
                 # max by (score, then LOWER cand id) — strict > on the

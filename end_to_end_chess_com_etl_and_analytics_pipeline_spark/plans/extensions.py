@@ -2640,12 +2640,13 @@ def _mmr_sql_tail(pool_ctes: str) -> str:
     cos = round_fixed_sql(cosine_sql("ea.embedding", "eb.embedding"), 6)
     parts = [
         f"""WITH {pool_ctes},
-pairs AS (
+pairs AS (SELECT * FROM (
     SELECT p1.query_id, p1.cand_id AS a, p2.cand_id AS b, {cos} AS sim
     FROM pool p1
     JOIN pool p2 ON p1.query_id = p2.query_id AND p1.cand_id != p2.cand_id
     JOIN embeddings ea ON ea.vec_id = p1.cand_id
-    JOIN embeddings eb ON eb.vec_id = p2.cand_id),
+    JOIN embeddings eb ON eb.vec_id = p2.cand_id)
+    WHERE NOT isnan(sim)),
 sel1 AS (
     SELECT query_id, cand_id, 1 AS mmr_rank,
            {_MMR_LAM} * rel - {_MMR_ONE_MINUS_LAM} * 0.0 AS mmr_score
@@ -2658,10 +2659,11 @@ selu1 AS (SELECT * FROM sel1)"""
         parts.append(
             f"""cand{i} AS (
     SELECT p.query_id, p.cand_id, p.rel,
-           (SELECT max(pr.sim) FROM pairs pr
+           COALESCE((SELECT max(pr.sim) FROM pairs pr
             JOIN selu{i - 1} s ON s.query_id = pr.query_id
                               AND s.cand_id = pr.b
-            WHERE pr.query_id = p.query_id AND pr.a = p.cand_id) AS msim
+            WHERE pr.query_id = p.query_id AND pr.a = p.cand_id),
+            0.0) AS msim
     FROM pool p
     WHERE NOT EXISTS (SELECT 1 FROM selu{i - 1} s
                       WHERE s.query_id = p.query_id
@@ -2697,7 +2699,8 @@ pool AS (
     SELECT query_id, cand_id, rel FROM (
         SELECT *, ROW_NUMBER() OVER (
             PARTITION BY query_id ORDER BY rel DESC, cand_id ASC) AS rn
-        FROM scored) WHERE rn <= {_MMR_POOL})"""
+        FROM scored)
+    WHERE rn <= {_MMR_POOL} AND NOT isnan(rel))"""
     return _mmr_sql_tail(pool_ctes)
 
 
@@ -2784,10 +2787,12 @@ def _x66_sql() -> str:
         ann
         + f""",
 pool AS (
-    SELECT a.query_id, a.cand_id, {rel} AS rel
-    FROM ann a
-    JOIN {_EMB_USABLE} qe ON qe.vec_id = a.query_id
-    JOIN {_EMB_USABLE} ce ON ce.vec_id = a.cand_id)"""
+    SELECT * FROM (
+        SELECT a.query_id, a.cand_id, {rel} AS rel
+        FROM ann a
+        JOIN {_EMB_USABLE} qe ON qe.vec_id = a.query_id
+        JOIN {_EMB_USABLE} ce ON ce.vec_id = a.cand_id)
+    WHERE NOT isnan(rel))"""
     )
     return _mmr_sql_tail(pool_ctes)
 

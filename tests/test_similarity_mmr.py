@@ -217,3 +217,30 @@ def test_x66_pool_is_ann_not_brute(spark):
         .toString()
     )
     assert "CartesianProduct" not in plan
+
+
+def test_mmr_overflow_vector_excluded(spark):
+    """r9 nonfinite probe finding: a finite-component vector whose
+    norm/dot OVERFLOWS (1e300 components pass usable_vec) makes its
+    cosine NaN; SQL ranking floats NaN first while the Python greedy's
+    strict `>` sinks it — silently divergent picks.  Contract: NaN-rel
+    candidates drop from the pool; selection proceeds over the finite
+    candidates only, on both engines."""
+    vecs = {
+        0: [1.0, 0.0, 0.0, 0.0],
+        10: [0.99, 0.10, 0.0, 0.0],
+        11: [0.70, 0.0, 0.70, 0.0],
+        12: [0.1, 0.9, 0.2, 0.0],
+        13: [1e300, 1e300, 1e300, 1e300],  # overflow: cos(q, 13) = NaN
+    }
+    df = _mk(spark, vecs)
+    q = df.where(F.col("vec_id") == 0)
+    out = mmr_rerank(
+        df, q, k=4, pool=8, lam=LAM, one_minus_lam=ONE_MINUS_LAM
+    ).collect()
+    picked = {r.cand_id for r in out}
+    assert 13 not in picked
+    assert picked == {10, 11, 12}
+    assert all(
+        r.mmr_score == r.mmr_score for r in out  # no NaN scores emitted
+    )

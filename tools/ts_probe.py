@@ -57,6 +57,10 @@ TIME_FAMILY = [
     "x16_asof_join",
     "x17_range_join",
     "x16_temporal_joins",
+    # r9: the streaming SCD2 merge depends on time-sliced staging that
+    # must never split equal timestamps across batches — adversarial
+    # timestamp shapes stress exactly that contract
+    "st13_streaming_scd2",
 ]
 
 
