@@ -586,9 +586,11 @@ def mmr_rerank(
     # SQL's ORDER BY DESC floats it — silently divergent picks.  An
     # undefined similarity is not evidence of relevance or redundancy:
     # NaN-rel candidates drop from the pool, NaN pair sims drop from
-    # the redundancy set (missing pairs contribute 0 via .get/COALESCE
-    # — both engines total).  Mirrored in the oracle CTEs
-    # (plans/extensions._mmr_sql_tail).
+    # the redundancy set.  Redundancy is then max over the PRESENT
+    # pairs, 0.0 only when ALL pairs are missing — both engines
+    # compute COALESCE(max(present sims), 0.0); a per-missing-pair 0.0
+    # default would clamp negative maxima and diverge (r9 ADVICE).
+    # Mirrored in the oracle CTEs (plans/extensions._mmr_sql_tail).
     pool_df = pool_df.where(~F.isnan(F.col("rel")))
 
     vecs = corpus.where(usable_vec(F.col(vec_col))).select(
@@ -650,14 +652,16 @@ def mmr_rerank(
             for c in cands:
                 if c in selected:
                     continue
-                msim = (
-                    # .get default 0.0: a pair dropped by the NaN
-                    # filter contributes no redundancy (oracle twin:
-                    # COALESCE(msim, 0.0))
-                    max(sim.get((c, s), 0.0) for s in selected)
-                    if selected
-                    else 0.0
-                )
+                # max over PRESENT pairs only; 0.0 only when every
+                # pair was NaN-dropped.  The oracle computes
+                # COALESCE(max(sim of present pairs), 0.0) — injecting
+                # a 0.0 per MISSING pair (the old .get default) would
+                # clamp a negative max-of-present to 0 and diverge on
+                # partially-missing pair sets (r9 ADVICE finding).
+                present = [
+                    sim[(c, s)] for s in selected if (c, s) in sim
+                ]
+                msim = max(present) if present else 0.0
                 score = lam * rel[c] - one_minus_lam * msim
                 # max by (score, then LOWER cand id) — strict > on the
                 # score, so equal scores keep the earlier (smaller) id

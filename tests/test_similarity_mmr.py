@@ -244,3 +244,36 @@ def test_mmr_overflow_vector_excluded(spark):
     assert all(
         r.mmr_score == r.mmr_score for r in out  # no NaN scores emitted
     )
+
+
+def test_mmr_partial_missing_negative_sims(spark):
+    """r9 ADVICE pin: redundancy is COALESCE(max(sim over PRESENT
+    pairs), 0.0) — NOT a 0.0 default per missing pair.  Fixture: the
+    top-rel candidate's vector is unusable (Inf component), so every
+    pair touching it is NaN-dropped; candidate 12's surviving pair to
+    the second pick is NEGATIVE.  Per-missing-pair defaulting clamps
+    12's msim to 0 (score 0.35) and picks 14 (0.385) at step 3; the
+    max-of-present contract scores 12 at 0.7*0.5 - 0.3*(-0.6) = 0.53
+    and picks it — exactly what the oracle's scalar-subquery COALESCE
+    computes."""
+    vecs = {
+        0: [1.0, 0.0, 0.0, 0.0],        # query
+        10: [1e300, 0.0, 0.0, 0.0],     # Inf as float32 -> unusable
+        11: [1.0, 0.0, 0.0, 0.0],
+        12: [-0.6, 0.8, 0.0, 0.0],      # cos(12, 11) = -0.6
+        14: [0.0, 0.0, 1.0, 0.0],       # cos(14, 11) = 0.0
+    }
+    df = _mk(spark, vecs)
+    q = df.where(F.col("vec_id") == 0)
+    ext = spark.createDataFrame(
+        [(0, 10, 0.95), (0, 11, 0.9), (0, 12, 0.5), (0, 14, 0.55)],
+        "query_id long, cand_id long, rel double",
+    )
+    out = sorted(
+        mmr_rerank(
+            df, q, k=3, lam=LAM, one_minus_lam=ONE_MINUS_LAM, pool_df=ext
+        ).collect(),
+        key=lambda r: r.mmr_rank,
+    )
+    assert [(r.mmr_rank, r.cand_id) for r in out] == [(1, 10), (2, 11), (3, 12)]
+    assert abs(out[2].mmr_score - (0.7 * 0.5 - 0.3 * (-0.6))) < 1e-6
