@@ -75,7 +75,10 @@ def run_incremental_gold(
     rewrite set — the batch's own months plus any month holding a
     stale cross-month copy of a batch key — are read for the
     latest-wins merge (partition pruning on the scan) and only those
-    are rewritten (dynamic partition overwrite).  A month's arrival
+    are rewritten — via the crash-atomic two-phase partition swap in
+    operators/commit.py, so no crash point leaves a month observable
+    empty or half-written (pinned by
+    test_incremental_gold_crash_replay).  A month's arrival
     costs O(that month) in data plus a game_url-column-only probe of
     the other partitions (finding stale copies; see merge_batch), not
     O(table) in data — the difference between a working and a seized
@@ -85,11 +88,14 @@ def run_incremental_gold(
     correction path by test_incremental_gold_cross_month_correction)."""
     from functools import reduce
 
-    from ..sources.tables import write_parquet
-
     silver_stream = stream_bronze_to_silver(spark, bronze_dir)
     fact_path = os.path.join(gold_dir, "fact_games")
 
+    from ..operators.commit import (
+        has_partition_dirs,
+        recover_pending_swaps,
+        two_phase_partition_overwrite,
+    )
     from ..operators.merge import insert_if_absent
     from ..sources.tables import fs_exists
 
@@ -105,6 +111,9 @@ def run_incremental_gold(
         # in-batch latest-wins); localCheckpoint pins the fact so the
         # month probe below and the merge/write share one computation
         # and the write cannot read-from-while-writing.
+        # finish any fact swap a previous attempt crashed mid-commit
+        # BEFORE anything reads the fact this batch
+        recover_pending_swaps(spark, fact_path)
         gold = build_gold(spark, batch_df, username, run_ts)
         batch_fact = gold["fact_games"].localCheckpoint()
         # T5: dims append-if-absent per micro-batch (the reference's
@@ -134,7 +143,7 @@ def run_incremental_gold(
             .collect()
         }
         existing = None
-        if fs_exists(spark, fact_path) and months:
+        if has_partition_dirs(spark, fact_path) and months:
             # A re-pull can CORRECT a game's game_date into a different
             # month; the stale row then lives in a partition the batch's
             # own months never touch, and a months-of-the-batch-only
@@ -189,15 +198,12 @@ def run_incremental_gold(
         out = merged.withColumn("year", F.year("game_date")).withColumn(
             "month", F.month("game_date")
         )
-        # dynamic overwrite: only partitions present in `out` (= the
-        # rewrite set) are replaced; all other months' files untouched
-        write_parquet(out, fact_path, partition_by=["year", "month"])
-        # a month whose ONLY game moved away has no rows in `out`, so
-        # dynamic overwrite cannot rewrite (= empty) it — drop the
-        # now-orphaned partition directory explicitly.  Via the Hadoop
-        # FS API, not os/shutil: fact_path may be s3a://hdfs:// where a
-        # local-path check silently no-ops and would leave the stale
-        # copy alive.  NULL partition values use Spark's
+        # two-phase commit (operators/commit.py): only partitions
+        # present in `out` (= the rewrite set) are staged and swapped;
+        # all other months' files untouched.  A month whose ONLY game
+        # moved away has no rows in `out` and cannot be rewritten-empty
+        # — it goes in the commit's drop set, applied in the same
+        # crash-recoverable phase 2.  NULL partition values use Spark's
         # __HIVE_DEFAULT_PARTITION__ directory name (a NULL game_date
         # row lands there, and its correction must clean it like any
         # month's).
@@ -210,17 +216,19 @@ def run_incremental_gold(
             .collect()
         }
         null_part = "__HIVE_DEFAULT_PARTITION__"
-        jvm = spark.sparkContext._jvm
-        hconf = spark.sparkContext._jsc.hadoopConfiguration()
-        for y, m in months - months_out:
-            y_dir = null_part if y is None else str(y)
-            m_dir = null_part if m is None else str(m)
-            orphan = jvm.org.apache.hadoop.fs.Path(
-                fact_path, f"year={y_dir}/month={m_dir}"
-            )
-            fs = orphan.getFileSystem(hconf)
-            if fs.exists(orphan):
-                fs.delete(orphan, True)
+        drops = [
+            f"year={null_part if y is None else y}"
+            f"/month={null_part if m is None else m}"
+            for (y, m) in months - months_out
+        ]
+        two_phase_partition_overwrite(
+            spark,
+            out,
+            fact_path,
+            ["year", "month"],
+            token=f"b{batch_id}",
+            drop_partitions=drops,
+        )
 
     # micro-batches are month-sized, not table-sized: a vanilla
     # 200-partition session spends longer scheduling empty tasks than
@@ -840,18 +848,21 @@ def run_streaming_scd2(
     null probe injects them), hash to a real bucket, and must re-
     collapse against their prior versions like any user.
 
-    Crash window (r8 ADVICE): dynamic overwrite stages files and then
-    swaps each affected bucket directory; a crash mid-swap can leave an
-    affected bucket empty until the checkpoint replays the batch.  The
-    replay is idempotent — re-collapsing (already-merged versions ∪
-    the same events) drops resent events as non-run-starts — but a
-    bucket whose directory was lost rebuilds from that batch's events
-    alone, losing its prior history; unaffected buckets are safe either
-    way (the bucketing bounds the blast radius the old whole-table
-    overwrite did not).  A deployment that needs atomicity across the
-    swap uses the two-phase stage/intent/rename commit the BM25 index
-    refresh implements (operators/retrieval.py) or a transactional
-    table format.
+    Crash atomicity (r8/r9 ADVICE, closed round 10): the bucket swap is
+    a two-phase stage/intent/rename commit (operators/commit.py — the
+    BM25 index-refresh protocol applied to partition dirs).  The batch
+    stages its recomputed buckets to a reader-hidden sibling, records an
+    intent, then swaps per-bucket by rename; every merge batch first
+    runs :func:`recover_pending_swaps`, so a crash at ANY point either
+    leaves the live table untouched (pre-intent — the replayed batch
+    restages over its own leftovers) or is completed exactly before
+    state is re-read (post-intent).  No bucket is ever observable
+    empty; pinned by test_streaming_scd2_crash_replay.
+
+    Layout persistence (r9 ADVICE): ``n_buckets`` is written once as a
+    hidden marker file beside the table and asserted on every later
+    run — a resume with a different ``n_buckets`` raises instead of
+    silently pruning the wrong partitions and duplicating history.
 
     In-order contract: a batch's events must not precede any already-
     merged event of the same user (stage_events_by_time's global time
@@ -863,7 +874,26 @@ def run_streaming_scd2(
     per month (create_dim_*.sql via load_data_warehouse_dag.py); this
     is the incremental history-preserving form of the same dim
     maintenance."""
-    from ..sources.tables import fs_exists, write_parquet
+    from ..operators.commit import (
+        has_partition_dirs,
+        read_int_marker,
+        recover_pending_swaps,
+        two_phase_partition_overwrite,
+        write_int_marker,
+    )
+
+    _NB_MARKER = "._meta_nbuckets_"
+    persisted = read_int_marker(spark, dim_path, _NB_MARKER)
+    if persisted is None:
+        write_int_marker(spark, dim_path, _NB_MARKER, n_buckets)
+    elif persisted != n_buckets:
+        raise ValueError(
+            f"run_streaming_scd2: dim table at {dim_path} was laid out "
+            f"with n_buckets={persisted} but this run asked for "
+            f"{n_buckets}; honoring the parameter would prune the wrong "
+            f"partitions and silently duplicate history. Pass "
+            f"n_buckets={persisted} (or rebuild the table)."
+        )
 
     raw_schema = read_events_raw(spark, events_dir).schema
     stream = repair_events_ts(
@@ -886,7 +916,10 @@ def run_streaming_scd2(
         b = batch_df.select("user_id", "event_type", "ts", "event_id").where(
             F.col("event_type").isNotNull()
         )
-        if fs_exists(spark, dim_path):
+        # finish any swap a previous attempt crashed mid-commit BEFORE
+        # reading state — the replay then sees the post-merge table
+        recover_pending_swaps(spark, dim_path)
+        if has_partition_dirs(spark, dim_path):
             affected = b.select("user_id").distinct().localCheckpoint()
             # the batch's rewrite set: ≤ n_buckets ids, driver-sized
             # by construction
@@ -942,11 +975,14 @@ def run_streaming_scd2(
         if keep is not None:
             versions = keep.unionByName(versions)
         out = versions.withColumn("__bucket", bucket_of(F.col("user_id")))
-        # pin before overwriting directories being read from; dynamic
-        # overwrite then replaces ONLY the buckets present in `out`
-        # (= the affected buckets, plus every bucket on first write)
-        write_parquet(
-            out.localCheckpoint(), dim_path, partition_by=["__bucket"]
+        # two-phase commit: stage ONLY the buckets present in `out`
+        # (= the affected buckets, plus every bucket on first write) to
+        # a reader-hidden sibling, then swap them live by rename — the
+        # live dirs are read during staging and touched only after the
+        # staged copy is complete, so no pin is needed and no crash
+        # point loses a bucket (recover_pending_swaps above)
+        two_phase_partition_overwrite(
+            spark, out, dim_path, ["__bucket"], token=f"b{batch_id}"
         )
 
     # batch-scoped shuffle width (see run_incremental_gold)
