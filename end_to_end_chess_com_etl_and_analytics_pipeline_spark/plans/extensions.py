@@ -2717,7 +2717,7 @@ def x66_ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     join, which touches ~nprobe/n_cells of the codes.  Oracle: the x62
     ANN CTE chain feeding x64's unrolled greedy chain — both halves
     shared with their parent oracles, so none of the three can drift."""
-    from ..functions.vectors import cosine_staged, norm, usable_vec
+    from ..functions.vectors import usable_vec
     from ..operators.pq import ivf_pq_topk
 
     fin, cents, books = _ivf_pq_model(spark, sf_dir)
@@ -2732,9 +2732,28 @@ def x66_ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = ivf_pq_topk(
         fin, queries, cents, books, k=_MMR_POOL, nprobe=_X62_NPROBE
     )
-    # exact cosine rerank of the ANN survivors: zero-norm candidates
-    # drop here (cosine undefined), mirroring the oracle's usable join
-    pool_df = (
+    pool_df = _exact_cosine_pool(usable, cand)
+    return mmr_rerank(
+        emb,
+        queries,
+        k=_MMR_K,
+        lam=_MMR_LAM,
+        one_minus_lam=_MMR_ONE_MINUS_LAM,
+        pool_df=pool_df,
+    )
+
+
+def _exact_cosine_pool(usable: DataFrame, cand: DataFrame) -> DataFrame:
+    """Exact cosine rerank of ANN survivors to an MMR candidate pool
+    (query_id, cand_id, rel): |Q|·pool id-keyed vector lookups —
+    batch-sized, never corpus-sized.  Zero-norm candidates drop here
+    (cosine undefined), mirroring the oracle's usable join.  Shared by
+    x66 (in-plan ANN pool) and x67 (persisted-index pool) so the rerank
+    semantics can never drift between the registered and the production
+    composition."""
+    from ..functions.vectors import cosine_staged, norm
+
+    return (
         cand.join(
             usable.select(
                 F.col("vec_id").alias("query_id"),
@@ -2762,6 +2781,60 @@ def x66_ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel"),
         )
     )
+
+
+def x67_persisted_ann_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production RAG serving shape as a SCORED query (r9 verdict
+    "What's missing" #3): candidate generation FROM the persisted
+    IVF-PQ artifact — x65's build-once index, scoring a LATER disjoint
+    query batch (the finite vectors ranked {_X62_NQ}..{2·_X62_NQ}, the
+    x61 offset pattern) with the codes scan pushed down to
+    ``__cell IN (probed cells)`` — then x66's exact cosine rerank of
+    the pool survivors and the same greedy MMR diversification.  No
+    stage re-encodes or re-trains: the per-batch cost is O(postings of
+    the probed cells) + O(|Q|·pool) rerank + a corpus-independent
+    greedy — the 7.5×-per-1000× decade tools/ivfpq_persist_probe.py
+    measures, now attached to a registered name.  Oracle: the shared
+    x62 ANN CTE chain with the OFFSET query batch feeding the shared
+    x64 greedy chain — every half reused from a parent oracle, so none
+    can drift."""
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="x67_")
+    try:
+        out = x67_scoring_frame(spark, sf_dir, root).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def x67_scoring_frame(
+    spark: SparkSession, sf_dir: str, root: str
+) -> DataFrame:
+    """Build + persist the index at ``root`` and return the
+    UNMATERIALIZED persisted-pool MMR frame — split out of x67 so the
+    plan audit can explain the real scoring plan (the pushed
+    ``__cell IN`` filter under the rerank/MMR stages) instead of the
+    localCheckpoint's ``Scan ExistingRDD``.  Caller owns ``root``."""
+    from ..functions.vectors import usable_vec
+    from ..operators.pq import ivf_pq_build_index, ivf_pq_topk_from_persisted
+
+    fin, cents, books = _ivf_pq_model(spark, sf_dir)
+    if not cents or not books[0]:
+        return spark.createDataFrame(
+            [], "query_id long, cand_id long, mmr_rank int, mmr_score double"
+        )
+    ivf_pq_build_index(fin, cents, books, root)
+    queries = (
+        fin.orderBy(F.col("vec_id").asc()).offset(_X62_NQ).limit(_X62_NQ)
+    )
+    cand = ivf_pq_topk_from_persisted(
+        spark, root, queries, k=_MMR_POOL, nprobe=_X62_NPROBE
+    )
+    emb = load_table(spark, "embeddings", sf_dir)
+    usable = emb.where(usable_vec(F.col("embedding")))
+    pool_df = _exact_cosine_pool(usable, cand)
     return mmr_rerank(
         emb,
         queries,
@@ -2770,6 +2843,29 @@ def x66_ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         one_minus_lam=_MMR_ONE_MINUS_LAM,
         pool_df=pool_df,
     )
+
+
+def _x67_sql() -> str:
+    """x67's oracle: the shared IVF×PQ ANN chain over the OFFSET query
+    batch (disjoint from x62's — proving the artifact serves later
+    batches), exact-reranked to cosine rel, feeding the shared unrolled
+    greedy MMR chain."""
+    ann = _x62_ann_ctes(
+        _x62_q_sql(query_offset=_X62_NQ), _MMR_POOL, _X62_NPROBE
+    )
+    rel = round_fixed_sql(cosine_sql("qe.embedding", "ce.embedding"), 6)
+    pool_ctes = (
+        ann
+        + f""",
+pool AS (
+    SELECT * FROM (
+        SELECT a.query_id, a.cand_id, {rel} AS rel
+        FROM ann a
+        JOIN {_EMB_USABLE} qe ON qe.vec_id = a.query_id
+        JOIN {_EMB_USABLE} ce ON ce.vec_id = a.cand_id)
+    WHERE NOT isnan(rel))"""
+    )
+    return _mmr_sql_tail(pool_ctes)
 
 
 def _x66_sql() -> str:
@@ -2844,6 +2940,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x64_mmr_diversified_topk": x64_mmr_diversified_topk,
     "x65_ivf_pq_persisted_index": x65_ivf_pq_persisted_index,
     "x66_ann_mmr_rerank": x66_ann_mmr_rerank,
+    "x67_persisted_ann_mmr": x67_persisted_ann_mmr,
 }
 
 EXT_ORACLE: dict[str, str] = {
@@ -2905,4 +3002,5 @@ EXT_ORACLE: dict[str, str] = {
     "x64_mmr_diversified_topk": _x64_sql(),
     "x65_ivf_pq_persisted_index": _X65_SQL,
     "x66_ann_mmr_rerank": _x66_sql(),
+    "x67_persisted_ann_mmr": _x67_sql(),
 }

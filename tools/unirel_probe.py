@@ -48,6 +48,12 @@ EXTRA = [
     "x21_sketch_suite",
     "x53_cms_heavy_hitters",
     "x57_mergeable_rollup",
+    # r9 verdict #4: the streaming SCD2 build reads event_type as its
+    # tracked attribute — hostile-unicode attribute values must
+    # round-trip the version table and its stream≡batch≡oracle chain
+    # (relnull_probe is NOT applicable: it stripes lineitem/orders
+    # only, which st13 never reads — events NULLs are null_probe's)
+    "st13_streaming_scd2",
 ]
 
 
