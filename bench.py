@@ -80,6 +80,7 @@ HEADLINE = [
     "x29_repetition_filters",
     "x31_contamination",
     "x40_passage_dedup",
+    "x68_duplicate_spans",
     "x42_lm_quality",
     "x45_bigram_lm",
     "x32_canonical_docs",

@@ -442,6 +442,180 @@ FROM documents docs LEFT JOIN agg ON docs.doc_id = agg.doc_id
 """
 
 
+def duplicate_spans(docs: DataFrame, w: int = PASSAGE_W) -> DataFrame:
+    """Position-aware maximal duplicated-span coverage per document.
+
+    The cutting complement of :func:`passage_dedup`: x40 answers *how
+    much* of a document's distinct passage set is shared, this answers
+    *where* — every w-token window that also occurs in another document
+    is an interval [pos, pos+w-1], and overlapping/adjacent intervals
+    merge into maximal spans (the exact-substring-dedup unit of Lee et
+    al. 2022: the spans are what a trainer cuts or masks).  Per doc:
+    span count, duplicated-token coverage (union of the merged
+    intervals), longest span, and the covered fraction.
+
+    Interval merge without a self-join: intervals all have length w, so
+    with per-doc positions sorted ascending, a duplicated position
+    starts a new span iff the previous duplicated position is > w-1
+    back, and its marginal coverage is min(w, pos - prev_dup_pos)
+    (null prev → w).  Both are one running-window expression — the
+    classic gaps-and-islands formulation, identical in Spark and the
+    DuckDB oracle.
+
+    Shape at 100 TB: ONE corpus scan and two key-partitioned exchanges,
+    both moving fixed-width rows.  The (pos, window) explode hashes the
+    w-token string to 8 bytes in the same scan-side projection
+    (x40's lesson: WindowExec shuffles AND sorts its key, so the gram
+    string never leaves the scan; short of a 2^-64 xxhash64 collision
+    — which would falsely mark both colliding grams duplicated — the
+    flag matches the oracle's string-keyed window).  Cross-doc
+    duplication is min(doc_id) ≠ max(doc_id) over the gram-key window
+    (O(1) window state — no COUNT(DISTINCT), no collect_set); the
+    islands windows re-exchange by doc_id; the (doc, island) and doc
+    rollups reuse that partitioning (HashPartitioning(doc_id) satisfies
+    both clusterings — no further exchange).  Gram-less docs ride a
+    per-doc sentinel key exactly as in passage_dedup, so no docs-side
+    rejoin and no single hot NULL partition."""
+    toks = tokens("text")
+    total = F.size(toks)
+    base = docs.select(
+        "doc_id",
+        total.alias("__nt"),
+        F.posexplode_outer(_ngrams(toks, total, w)).alias("__i", "__g"),
+    ).select(
+        "doc_id",
+        "__nt",
+        (F.col("__i") + 1).alias("pos"),
+        F.col("__g").isNotNull().alias("__has_g"),
+        F.when(F.col("__g").isNull(), F.col("doc_id")).otherwise(
+            F.xxhash64("__g")
+        ).alias("__k"),
+    )
+    w_g = Window.partitionBy("__has_g", "__k")
+    flagged = base.select(
+        "doc_id",
+        "__nt",
+        "pos",
+        (
+            F.col("__has_g")
+            & (F.min("doc_id").over(w_g) != F.max("doc_id").over(w_g))
+        ).alias("__dup"),
+    )
+    order = F.col("pos").asc_nulls_first()
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev = F.max(F.when(F.col("__dup"), F.col("pos"))).over(w_prev)
+    gap = F.col("pos") - prev
+    seq = flagged.select(
+        "doc_id",
+        "__nt",
+        "pos",
+        (F.col("__dup") & (prev.isNull() | (gap > w - 1)))
+        .cast("int")
+        .alias("__st"),
+        F.when(
+            F.col("__dup"), F.least(F.lit(w), F.coalesce(gap, F.lit(w)))
+        ).alias("__c"),
+    ).withColumn("__isl", F.sum("__st").over(w_run))
+    isl = seq.groupBy("doc_id", "__isl").agg(
+        F.max("__nt").alias("__nt"),
+        F.sum("__st").alias("__starts"),
+        F.sum("__c").alias("__len"),
+    )
+    agg = isl.groupBy("doc_id").agg(
+        F.max("__nt").alias("__nt"),
+        F.sum("__starts").alias("__spans"),
+        F.sum("__len").alias("__dtok"),
+        F.max(F.when(F.col("__starts") > 0, F.col("__len"))).alias("__mx"),
+    )
+    nt = F.coalesce(F.col("__nt"), F.lit(0))
+    dtok = F.coalesce(F.col("__dtok"), F.lit(0))
+    frac = F.when(nt == 0, F.lit(0.0)).otherwise(
+        dtok.cast("double") / nt.cast("double")
+    )
+    return agg.select(
+        "doc_id",
+        nt.cast("int").alias("n_tokens"),
+        F.coalesce(F.col("__spans"), F.lit(0)).cast("int").alias("dup_spans"),
+        dtok.cast("int").alias("dup_tokens"),
+        F.coalesce(F.col("__mx"), F.lit(0)).cast("int").alias(
+            "max_span_tokens"
+        ),
+        round_fixed(frac, 6).alias("dup_frac"),
+    )
+
+
+def x68_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """duplicate_spans over the documents fixture (see duplicate_spans)."""
+    return duplicate_spans(load_table(spark, "documents", sf_dir))
+
+
+_X68_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL.format(c='text')} AS w FROM documents),
+grams AS (
+    SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, u.g AS g
+    FROM (SELECT doc_id,
+                 unnest(list_transform(
+                     range(1, coalesce(CAST(len(w) AS BIGINT), 0)
+                              - {PASSAGE_W - 2}),
+                     i -> {{'pos': i,
+                            'g': array_to_string(
+                                w[CAST(i AS INTEGER):
+                                  CAST(i + {PASSAGE_W - 1} AS INTEGER)],
+                                ' ')}})) AS u
+          FROM toks)),
+flagged AS (
+    SELECT doc_id, pos,
+           MIN(doc_id) OVER (PARTITION BY g)
+               <> MAX(doc_id) OVER (PARTITION BY g) AS dup
+    FROM grams),
+seq AS (
+    SELECT doc_id, pos, dup,
+           MAX(CASE WHEN dup THEN pos END) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+    FROM flagged),
+marked AS (
+    SELECT doc_id, pos,
+           CASE WHEN dup AND (prev IS NULL OR pos - prev > {PASSAGE_W - 1})
+                THEN 1 ELSE 0 END AS st,
+           CASE WHEN dup
+                THEN LEAST({PASSAGE_W}, COALESCE(pos - prev, {PASSAGE_W}))
+                END AS c
+    FROM seq),
+isl AS (
+    SELECT doc_id, st, c,
+           SUM(st) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+    FROM marked),
+per_isl AS (
+    SELECT doc_id, island, SUM(st) AS starts, SUM(c) AS len
+    FROM isl GROUP BY doc_id, island),
+agg AS (
+    SELECT doc_id, SUM(starts) AS spans, SUM(len) AS dtok,
+           MAX(CASE WHEN starts > 0 THEN len END) AS mx
+    FROM per_isl GROUP BY doc_id)
+SELECT toks.doc_id,
+       CAST(coalesce(len(toks.w), 0) AS INTEGER) AS n_tokens,
+       CAST(coalesce(agg.spans, 0) AS INTEGER) AS dup_spans,
+       CAST(coalesce(agg.dtok, 0) AS INTEGER) AS dup_tokens,
+       CAST(coalesce(agg.mx, 0) AS INTEGER) AS max_span_tokens,
+       {round_fixed_sql(
+           "CASE WHEN coalesce(len(toks.w), 0) = 0 THEN 0.0"
+           " ELSE CAST(coalesce(agg.dtok, 0) AS DOUBLE) / len(toks.w) END",
+           6)} AS dup_frac
+FROM toks LEFT JOIN agg ON toks.doc_id = agg.doc_id
+"""
+
+
 # x42: unigram-LM quality gate geometry.  Vocab sized below the
 # fixtures' distinct-token count so the <unk> path actually binds (same
 # reasoning as x39's VOCAB_SIZE); the keep band brackets the fixture
@@ -1159,6 +1333,7 @@ QUALITY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x30_pii_scan": x30_pii_scan,
     "x31_contamination": x31_contamination,
     "x40_passage_dedup": x40_passage_dedup,
+    "x68_duplicate_spans": x68_duplicate_spans,
     "x42_lm_quality": x42_lm_quality,
     "st07_streaming_lm_gate": st07_streaming_lm_gate,
     "x45_bigram_lm": x45_bigram_lm,
@@ -1171,6 +1346,7 @@ QUALITY_ORACLE: dict[str, str] = {
     "x30_pii_scan": _X30_SQL,
     "x31_contamination": _X31_SQL,
     "x40_passage_dedup": _X40_SQL,
+    "x68_duplicate_spans": _X68_SQL,
     "x42_lm_quality": _X42_SQL,
     "st07_streaming_lm_gate": _X42_SQL,
     "x45_bigram_lm": _X45_SQL,

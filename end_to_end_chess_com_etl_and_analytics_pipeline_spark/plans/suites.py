@@ -128,6 +128,7 @@ _SUITE_PARTS: dict[str, list[str]] = {
         "x30_pii_scan",
         "x31_contamination",
         "x40_passage_dedup",
+        "x68_duplicate_spans",
         "x42_lm_quality",
         "st07_streaming_lm_gate",
         "x45_bigram_lm",

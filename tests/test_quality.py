@@ -528,3 +528,72 @@ def test_zipf_fit_known_answer(spark, tmp_path):
     # this geometric corpus is exactly Zipf-like in log2: slope of
     # ln(cnt) vs ln(rank) is negative and steep
     assert row["zipf_slope"] < -1.0
+
+
+def test_duplicate_spans_known_answer(spark):
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans.quality import (
+        duplicate_spans,
+    )
+
+    # w=3 windows.  doc 1 and doc 2 share "a b c", "b c d" and "d e f";
+    # "c d e" is doc 1-only and "x x x" repeats WITHIN doc 2 only (within-
+    # doc repetition must not flag — cross-doc means min(doc)!=max(doc)).
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "a b c d x x x x d e f"),
+            (3, "p q r s"),
+            (4, "x y"),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in duplicate_spans(df, w=3).collect()}
+    # doc 1: dup starts {1,2,4}; 2-4 overlaps 1-3 (gap 1) and 4-6 abuts
+    # at gap w-1=2 -> ONE merged span [1..6] covering the whole doc
+    assert got[1]["n_tokens"] == 6
+    assert got[1]["dup_spans"] == 1
+    assert got[1]["dup_tokens"] == 6
+    assert got[1]["max_span_tokens"] == 6
+    assert got[1]["dup_frac"] == 1.0
+    # doc 2: dup starts {1,2,9}; gap 9-2=7 > w-1 -> two spans,
+    # [1..4] (len 4) and [9..11] (len 3); the twice-occurring "x x x"
+    # at starts 5 and 6 is within-doc only and contributes nothing
+    assert got[2]["n_tokens"] == 11
+    assert got[2]["dup_spans"] == 2
+    assert got[2]["dup_tokens"] == 7
+    assert got[2]["max_span_tokens"] == 4
+    assert got[2]["dup_frac"] == round(7 / 11, 6)
+    # doc 3 disjoint, doc 4 too short for any window, doc 5 NULL text
+    for d, nt in ((3, 4), (4, 2), (5, 0)):
+        assert got[d]["n_tokens"] == nt
+        assert got[d]["dup_spans"] == 0
+        assert got[d]["dup_tokens"] == 0
+        assert got[d]["max_span_tokens"] == 0
+        assert got[d]["dup_frac"] == 0.0
+
+
+def test_duplicate_spans_split_at_gap_w(spark):
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans.quality import (
+        duplicate_spans,
+    )
+
+    # dup starts {1, 4} with w=3: gap 3 > w-1 -> intervals [1..3] and
+    # [4..6] touch but do not overlap as token ranges -> they still
+    # merge into neither (gap > w-1 is the split rule; coverage is the
+    # union either way, but the span COUNT distinguishes them)
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c z z z d e f")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in duplicate_spans(df, w=3).collect()}
+    # doc 1: "a b c" (start 1) and "d e f" (start 4) shared; "b c d",
+    # "c d e" doc 1-only -> spans [1..3], [4..6]: 2 spans, 6 tokens
+    assert got[1]["dup_spans"] == 2
+    assert got[1]["dup_tokens"] == 6
+    assert got[1]["max_span_tokens"] == 3
+    assert got[1]["dup_frac"] == 1.0
+    # doc 2: starts {1, 7} -> [1..3], [7..9]
+    assert got[2]["dup_spans"] == 2
+    assert got[2]["dup_tokens"] == 6
+    assert got[2]["max_span_tokens"] == 3

@@ -298,6 +298,7 @@ PROBES = [
     "x38_chunk_documents",
     "x39_vocab_coverage",
     "x40_passage_dedup",
+    "x68_duplicate_spans",
     "x41_semantic_dedup",
     "x42_lm_quality",
     "x44_snapshot_diff",
