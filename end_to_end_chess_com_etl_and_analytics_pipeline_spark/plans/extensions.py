@@ -2635,12 +2635,21 @@ def _mmr_sql_tail(pool_ctes: str) -> str:
     cand_id, rel)): sel{i} picks step i's argmax of lam*rel -
     one_minus_lam*max(sim to selected), ties on ascending cand_id;
     selu{i} accumulates the selected set.  Shared by x64 (brute-force
-    pool) and x66 (IVF-PQ ANN pool) so the selection semantics can
-    never drift between the two."""
+    pool) and x66/x67 (IVF-PQ ANN pools) so the selection semantics can
+    never drift between them.
+
+    ``pool`` and ``pairs`` are declared MATERIALIZED (a purely physical
+    hint): the greedy unroll references them once per step, and cand{i}
+    re-references pairs from a correlated subquery — without the hint
+    DuckDB inlined x67's pool (the full ANN chain, 8 per-subspace
+    encode CTEs) at every reference and OOM-killed an 8 GB limit at
+    sf0.01 (round-10, caught by re-driving the contract after x67's
+    registration; x64/x66 happened to dodge the inliner, x67's
+    LIMIT/OFFSET query CTE did not)."""
     cos = round_fixed_sql(cosine_sql("ea.embedding", "eb.embedding"), 6)
     parts = [
         f"""WITH {pool_ctes},
-pairs AS (SELECT * FROM (
+pairs AS MATERIALIZED (SELECT * FROM (
     SELECT p1.query_id, p1.cand_id AS a, p2.cand_id AS b, {cos} AS sim
     FROM pool p1
     JOIN pool p2 ON p1.query_id = p2.query_id AND p1.cand_id != p2.cand_id
@@ -2695,7 +2704,7 @@ def _x64_sql() -> str:
            {round_fixed_sql(cosine_sql('q.embedding', 'c.embedding'), 6)} AS rel
     FROM {_EMB_USABLE} q, {_EMB_USABLE} c
     WHERE q.vec_id < {_MMR_NQ} AND c.vec_id != q.vec_id),
-pool AS (
+pool AS MATERIALIZED (
     SELECT query_id, cand_id, rel FROM (
         SELECT *, ROW_NUMBER() OVER (
             PARTITION BY query_id ORDER BY rel DESC, cand_id ASC) AS rn
@@ -2857,7 +2866,7 @@ def _x67_sql() -> str:
     pool_ctes = (
         ann
         + f""",
-pool AS (
+pool AS MATERIALIZED (
     SELECT * FROM (
         SELECT a.query_id, a.cand_id, {rel} AS rel
         FROM ann a
@@ -2882,7 +2891,7 @@ def _x66_sql() -> str:
     pool_ctes = (
         ann
         + f""",
-pool AS (
+pool AS MATERIALIZED (
     SELECT * FROM (
         SELECT a.query_id, a.cand_id, {rel} AS rel
         FROM ann a

@@ -616,6 +616,123 @@ FROM toks LEFT JOIN agg ON toks.doc_id = agg.doc_id
 """
 
 
+def span_cut_text(docs: DataFrame, w: int = PASSAGE_W) -> DataFrame:
+    """The ACTION twin of :func:`duplicate_spans`: emit each document's
+    text with every cross-doc duplicated span removed (what the trainer
+    actually feeds the tokenizer after exact-substring dedup), plus the
+    token accounting.  A token at position i is cut iff some duplicated
+    window starts in [i-w+1, i] — exactly the interval-union coverage
+    x68 counts, so ``removed_tokens`` here ≡ x68's ``dup_tokens`` (a
+    free cross-operator invariant).
+
+    Output text is whitespace-normalized (tokens re-joined with single
+    spaces) — the stated contract; the cut is token-granular, not
+    byte-granular.  NULL text ≡ empty text (row kept, empty output) per
+    the family's NULL contract.
+
+    Shape at 100 TB: the dup-position detection is x68's gram-key
+    window (one corpus-gram exchange, 8-byte keys); the positions then
+    COLLAPSE per doc (collect_list bounded by the doc's own token
+    count — per-doc state, the same bound the token array itself has)
+    and rejoin the corpus by doc_id.  The per-token cut test is an
+    array `exists` over the doc's dup starts — doc-local CPU, no
+    shuffle; no corpus-sized driver state anywhere."""
+    toks = tokens("text")
+    total = F.size(toks)
+    base = docs.select(
+        "doc_id",
+        F.posexplode_outer(_ngrams(toks, total, w)).alias("__i", "__g"),
+    ).select(
+        "doc_id",
+        (F.col("__i") + 1).alias("pos"),
+        F.col("__g").isNotNull().alias("__has_g"),
+        F.when(F.col("__g").isNull(), F.col("doc_id")).otherwise(
+            F.xxhash64("__g")
+        ).alias("__k"),
+    )
+    w_g = Window.partitionBy("__has_g", "__k")
+    dup_pos = (
+        base.withColumn(
+            "__dup",
+            F.col("__has_g")
+            & (F.min("doc_id").over(w_g) != F.max("doc_id").over(w_g)),
+        )
+        .where(F.col("__dup"))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("__ps"))
+    )
+    joined = docs.select("doc_id", toks.alias("__w")).join(
+        dup_pos, "doc_id", "left"
+    )
+    n = F.coalesce(F.size("__w"), F.lit(0))
+    ps = F.coalesce(F.col("__ps"), F.array().cast("array<int>"))
+    idx = F.when(n > 0, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    keep_idx = F.filter(
+        idx,
+        lambda i: ~F.exists(
+            ps, lambda p: (p <= i) & (i <= p + F.lit(w - 1))
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        n.cast("int").alias("n_tokens"),
+        (n - F.size(keep_idx)).cast("int").alias("removed_tokens"),
+        F.array_join(
+            F.transform(keep_idx, lambda i: F.element_at("__w", i)), " "
+        ).alias("clean_text"),
+    )
+
+
+def x69_span_cut_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """span_cut_text over the documents fixture (see span_cut_text)."""
+    return span_cut_text(load_table(spark, "documents", sf_dir))
+
+
+_X69_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL.format(c='text')} AS w FROM documents),
+grams AS (
+    SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, u.g AS g
+    FROM (SELECT doc_id,
+                 unnest(list_transform(
+                     range(1, coalesce(CAST(len(w) AS BIGINT), 0)
+                              - {PASSAGE_W - 2}),
+                     i -> {{'pos': i,
+                            'g': array_to_string(
+                                w[CAST(i AS INTEGER):
+                                  CAST(i + {PASSAGE_W - 1} AS INTEGER)],
+                                ' ')}})) AS u
+          FROM toks)),
+flagged AS (
+    SELECT doc_id, pos,
+           MIN(doc_id) OVER (PARTITION BY g)
+               <> MAX(doc_id) OVER (PARTITION BY g) AS dup
+    FROM grams),
+dps AS (
+    SELECT doc_id, list(pos ORDER BY pos) AS ps
+    FROM flagged WHERE dup GROUP BY doc_id),
+final AS (
+    SELECT toks.doc_id,
+           coalesce(CAST(len(toks.w) AS BIGINT), 0) AS n,
+           toks.w AS w,
+           list_filter(
+               range(1, coalesce(CAST(len(toks.w) AS BIGINT), 0) + 1),
+               i -> len(list_filter(coalesce(dps.ps, CAST([] AS BIGINT[])),
+                                    p -> p <= i
+                                         AND i <= p + {PASSAGE_W - 1})) = 0
+           ) AS keep_idx
+    FROM toks LEFT JOIN dps ON toks.doc_id = dps.doc_id)
+SELECT doc_id,
+       CAST(n AS INTEGER) AS n_tokens,
+       CAST(n - len(keep_idx) AS INTEGER) AS removed_tokens,
+       coalesce(array_to_string(
+           list_transform(keep_idx, i -> w[CAST(i AS INTEGER)]),
+           ' '), '') AS clean_text
+FROM final
+"""
+
+
 # x42: unigram-LM quality gate geometry.  Vocab sized below the
 # fixtures' distinct-token count so the <unk> path actually binds (same
 # reasoning as x39's VOCAB_SIZE); the keep band brackets the fixture
@@ -1334,6 +1451,7 @@ QUALITY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x31_contamination": x31_contamination,
     "x40_passage_dedup": x40_passage_dedup,
     "x68_duplicate_spans": x68_duplicate_spans,
+    "x69_span_cut_text": x69_span_cut_text,
     "x42_lm_quality": x42_lm_quality,
     "st07_streaming_lm_gate": st07_streaming_lm_gate,
     "x45_bigram_lm": x45_bigram_lm,
@@ -1347,6 +1465,7 @@ QUALITY_ORACLE: dict[str, str] = {
     "x31_contamination": _X31_SQL,
     "x40_passage_dedup": _X40_SQL,
     "x68_duplicate_spans": _X68_SQL,
+    "x69_span_cut_text": _X69_SQL,
     "x42_lm_quality": _X42_SQL,
     "st07_streaming_lm_gate": _X42_SQL,
     "x45_bigram_lm": _X45_SQL,

@@ -129,6 +129,7 @@ _SUITE_PARTS: dict[str, list[str]] = {
         "x31_contamination",
         "x40_passage_dedup",
         "x68_duplicate_spans",
+        "x69_span_cut_text",
         "x42_lm_quality",
         "st07_streaming_lm_gate",
         "x45_bigram_lm",

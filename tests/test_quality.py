@@ -597,3 +597,50 @@ def test_duplicate_spans_split_at_gap_w(spark):
     assert got[2]["dup_spans"] == 2
     assert got[2]["dup_tokens"] == 6
     assert got[2]["max_span_tokens"] == 3
+
+
+def test_span_cut_text_known_answer(spark):
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans.quality import (
+        span_cut_text,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "a b c d x x x x d e f"),
+            (3, "p q r s"),
+            (4, "x y"),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in span_cut_text(df, w=3).collect()}
+    # doc 1 is fully covered by the merged span [1..6] -> empty output
+    assert got[1]["clean_text"] == "" and got[1]["removed_tokens"] == 6
+    # doc 2: spans [1..4] and [9..11] cut; kept positions 5..8
+    assert got[2]["clean_text"] == "x x x x"
+    assert got[2]["removed_tokens"] == 7 and got[2]["n_tokens"] == 11
+    # untouched docs come back whitespace-normalized but verbatim
+    assert got[3]["clean_text"] == "p q r s" and got[3]["removed_tokens"] == 0
+    assert got[4]["clean_text"] == "x y"
+    # NULL text ≡ empty text: row kept, empty output
+    assert got[5]["clean_text"] == "" and got[5]["n_tokens"] == 0
+
+
+def test_span_cut_removed_equals_duplicate_spans_coverage(spark):
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans.quality import (
+        duplicate_spans,
+        span_cut_text,
+    )
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    # cross-operator invariant: the tokens x69 cuts are exactly the
+    # interval-union coverage x68 counts (same windows, same merge rule)
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    a = {r["doc_id"]: r["dup_tokens"] for r in duplicate_spans(docs).collect()}
+    b = {
+        r["doc_id"]: r["removed_tokens"] for r in span_cut_text(docs).collect()
+    }
+    assert a == b and len(a) > 0

@@ -299,6 +299,7 @@ PROBES = [
     "x39_vocab_coverage",
     "x40_passage_dedup",
     "x68_duplicate_spans",
+    "x69_span_cut_text",
     "x41_semantic_dedup",
     "x42_lm_quality",
     "x44_snapshot_diff",

@@ -12,6 +12,10 @@ selection paths that partition by an entity key:
   two-phase salted quota must keep its phase-2 window constant-sized
   while the hot source dominates phase 1, and x52's per-source
   percent_rank ranks a partition holding half the corpus.
+- ``documents.text``: the same 8-token boilerplate header is prepended
+  to every 2nd doc — ONE w-token window key now owns half the corpus,
+  the hottest partition the x40/x68 gram-key windows can see (real
+  crawls look exactly like this: site chrome repeated across pages).
 
 Derived copy of the sf0.001 fixtures; every listed query runs through
 ``tools/local_sweep``'s comparator against its oracle over the SAME
@@ -50,7 +54,14 @@ QUERIES = [
     # source-keyed aggregates over the hot source
     "x50_source_similarity",
     "x55_kmv_source_overlap",
+    # gram-key windows over the hot boilerplate passage
+    "x40_passage_dedup",
+    "x68_duplicate_spans",
 ]
+
+# exactly PASSAGE_W (8) tokens: one full window key shared by half the
+# corpus, plus w-1 straddling windows into each doc's real text
+BOILERPLATE = "subscribe to our newsletter for the latest updates"
 
 
 def build_fixture() -> str:
@@ -77,6 +88,8 @@ def build_fixture() -> str:
     n = len(d["doc_id"])
     for i in range(0, n, 2):
         d["source"][i] = "web"  # one source = 50% of documents
+        if d["text"][i] is not None:
+            d["text"][i] = BOILERPLATE + " " + d["text"][i]
     pq.write_table(
         pa.table(d, schema=docs.schema), os.path.join(DST, "documents.parquet")
     )
