@@ -59,6 +59,8 @@ HEADLINE = [
     ("x38_chunk_documents", "tokenize-once + explode start offsets + slice — scan-local Project+Generate; no exchange beyond the undersplit-scan spread (a no-op at cluster scale)"),
     ("x39_vocab_coverage", "corpus-scale work = one explode + one token hash-agg exchange (plus the undersplit-scan spread); every later exchange moves only the distinct-token table (vocab-bounded rows), where the monotone log2(cnt) shards + broadcast offsets replace a global sort"),
     ("x40_passage_dedup", "ONE corpus scan (explode_outer keeps short docs, no rejoin); two key exchanges — passage-key COUNT window + per-doc re-agg (plus the undersplit-scan spread, a no-op at cluster scale); sentinel key de-skews passage-less rows"),
+    ("x68_duplicate_spans", "gaps-and-islands substring dedup: ONE corpus scan; gram-key window exchange moves 8-byte scan-side hashes; doc_id exchange feeds the islands windows AND both rollups (HashPartitioning(doc_id) satisfies the (doc,island) clustering — no further exchange)"),
+    ("x69_span_cut_text", "span-cut rewrite: x68's gram-key window detects dup starts; positions collapse per doc and rejoin the corpus by doc_id; the per-token cut is a doc-local array exists — no extra shuffle beyond the rejoin"),
     ("x41_semantic_dedup", "IVF-cell-bucketed pairwise (never corpus-quadratic): one cell-key join for the exists-lower-neighbor mark, one vec_id mark join; no iteration — keep-first is closure-free"),
     ("x42_lm_quality", "LM trains in ONE checkpointed pass (explode + token hash-agg); top-V cut via orderBy+limit -> TakeOrderedAndProject (no global sort materialization); scoring pass = single corpus scan + broadcast LM join + one doc_id exchange; explode_outer keeps empty docs without a rejoin"),
     ("x43_corpus_funnel", "gates keep their own plans; the funnel adds only co-keyed doc_id flag joins that collapse to a SCALAR aggregate before the 3-row stack — nothing stage-shaped ever moves"),
@@ -80,6 +82,7 @@ HEADLINE = [
     ("x64_mmr_diversified_topk", "pool = broadcast-query brute-force top-k (corpus never shuffles); pairwise sims = pool self-join + two id-keyed vector joins (|Q|*pool^2 bounded rows); greedy rerank = ONE query_id exchange into applyInPandas"),
     ("x65_ivf_pq_persisted_index", "persisted-index ADC scoring: codes scan with pushed In(__cell,...) filter (range layout -> row-group pruning); centroids/codebooks read from driver-sized artifact tables; NO re-encode, NO codebook rebuild — scoring is O(probed postings)"),
     ("x66_ann_mmr_rerank", "ANN-pooled MMR: IVF×PQ candidate generation (broadcast probes join codes on cell — ~nprobe/n_cells of the corpus) + |Q|*pool id-keyed exact cosine rerank + pool self-join pairwise sims + ONE query_id exchange into applyInPandas; the brute-force corpus scan x64 pays is GONE"),
+    ("x67_persisted_ann_mmr", "persisted-ANN MMR serving: scoring scans the frozen codes artifact with the pushed In(__cell,...) filter (x65's plan) — NO re-train, NO corpus re-encode; exact rerank is |Q|*pool id-keyed lookups; ONE query_id exchange into the greedy applyInPandas"),
     ("st13_streaming_scd2", "the dimension table lives hash-bucketed by user — this audits the final table read (scan shows __bucket partition dirs); the per-batch merge reads ONLY affected buckets (partition pruning) and rewrites ONLY them via dynamic overwrite (untouched buckets pinned mtime-identical by tests/test_streaming_scd2.py)"),
 ]
 
@@ -116,10 +119,12 @@ def main() -> None:
     from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans.extensions import (
         x61_scoring_frame,
         x65_scoring_frame,
+        x67_scoring_frame,
     )
 
     x61_root = tempfile.mkdtemp(prefix="x61_audit_")
     x65_root = tempfile.mkdtemp(prefix="x65_audit_")
+    x67_root = tempfile.mkdtemp(prefix="x67_audit_")
     for name, claim in HEADLINE:
         if name == "x61_bm25_persisted_index":
             # the registry entry localCheckpoints (its temp index dir is
@@ -132,6 +137,10 @@ def main() -> None:
             # the live scoring frame so the pushed __cell-IN filter on
             # the codes scan is visible
             df = x65_scoring_frame(spark, sf_dir, x65_root)
+        elif name == "x67_persisted_ann_mmr":
+            # same shape again: audit the live persisted-pool frame so
+            # the pushed __cell-IN codes scan under the rerank is visible
+            df = x67_scoring_frame(spark, sf_dir, x67_root)
         else:
             df = qs[name](spark, sf_dir)
         df.collect()  # let AQE finalize
@@ -166,6 +175,7 @@ def main() -> None:
         ]
     shutil.rmtree(x61_root, ignore_errors=True)
     shutil.rmtree(x65_root, ignore_errors=True)
+    shutil.rmtree(x67_root, ignore_errors=True)
     with open(os.path.join(os.path.dirname(__file__), "..", "PLANS.md"), "w") as f:
         f.write("\n".join(out))
     print(f"PLANS.md written ({len(HEADLINE)} queries)")
