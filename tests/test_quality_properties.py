@@ -290,3 +290,76 @@ def test_lm_quality_differential_vs_duckdb(spark, texts):
         pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
     )
     compare(got, con.sql(_X42_SQL))
+
+
+# ---------------------------------------------------------------------------
+# x68/x69 duplicated-span coverage vs a brute-force reference
+# ---------------------------------------------------------------------------
+
+_W = 3
+_SPAN_TOKENS = st.lists(
+    st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=12
+)
+
+
+def _ref_span_stats(texts: dict[int, str], w: int):
+    """Brute-force reference: dup windows by string, interval union by
+    overlap-only merge (gap > w-1 splits), per-doc stats + clean text."""
+    toks = {
+        d: [t for t in (txt or "").split() if t] for d, txt in texts.items()
+    }
+    owners: dict[str, set[int]] = {}
+    for d, ts in toks.items():
+        for i in range(len(ts) - w + 1):
+            owners.setdefault(" ".join(ts[i : i + w]), set()).add(d)
+    out = {}
+    for d, ts in toks.items():
+        starts = [
+            i + 1
+            for i in range(len(ts) - w + 1)
+            if len(owners[" ".join(ts[i : i + w])]) >= 2
+        ]
+        merged: list[list[int]] = []
+        for p in starts:
+            if merged and p <= merged[-1][1]:
+                merged[-1][1] = p + w - 1
+            else:
+                merged.append([p, p + w - 1])
+        covered = {i for s, e in merged for i in range(s, e + 1)}
+        clean = " ".join(t for i, t in enumerate(ts, 1) if i not in covered)
+        out[d] = dict(
+            n_tokens=len(ts),
+            dup_spans=len(merged),
+            dup_tokens=sum(e - s + 1 for s, e in merged),
+            max_span=max((e - s + 1 for s, e in merged), default=0),
+            clean_text=clean,
+        )
+    return out
+
+
+@given(
+    st.lists(_SPAN_TOKENS, min_size=2, max_size=4).map(
+        lambda ds: {i: " ".join(t) for i, t in enumerate(ds)}
+    )
+)
+@settings(**_SETTINGS)
+def test_duplicate_spans_matches_bruteforce(spark, texts):
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans.quality import (
+        duplicate_spans,
+        span_cut_text,
+    )
+
+    df = spark.createDataFrame(
+        [(d, t) for d, t in texts.items()], "doc_id long, text string"
+    )
+    ref = _ref_span_stats(texts, _W)
+    got68 = {r["doc_id"]: r for r in duplicate_spans(df, w=_W).collect()}
+    got69 = {r["doc_id"]: r for r in span_cut_text(df, w=_W).collect()}
+    assert set(got68) == set(ref) == set(got69)
+    for d, exp in ref.items():
+        assert got68[d]["n_tokens"] == exp["n_tokens"]
+        assert got68[d]["dup_spans"] == exp["dup_spans"]
+        assert got68[d]["dup_tokens"] == exp["dup_tokens"]
+        assert got68[d]["max_span_tokens"] == exp["max_span"]
+        assert got69[d]["clean_text"] == exp["clean_text"]
+        assert got69[d]["removed_tokens"] == exp["dup_tokens"]

@@ -57,6 +57,7 @@ QUERIES = [
     # gram-key windows over the hot boilerplate passage
     "x40_passage_dedup",
     "x68_duplicate_spans",
+    "x69_span_cut_text",
 ]
 
 # exactly PASSAGE_W (8) tokens: one full window key shared by half the
