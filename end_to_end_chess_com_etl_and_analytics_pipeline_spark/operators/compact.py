@@ -34,6 +34,7 @@ import math
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from ..session import local_df
 
 DEFAULT_TARGET_BYTES = 128 * 1024 * 1024  # the classic HDFS-block target
 
@@ -214,6 +215,8 @@ def fragmentation_report(
         (rel, n, b, max(1, math.ceil(b / target_bytes)))
         for rel, n, b in partition_file_stats(spark, path)
     ]
-    return spark.createDataFrame(
-        rows, "partition string, n_files long, bytes long, target_files long"
+    return local_df(
+        spark,
+        rows,
+        "partition string, n_files long, bytes long, target_files long",
     ).withColumn("fragmented", F.col("n_files") > F.col("target_files"))

@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 
 from ..functions.rounding import round_fixed
 from ..functions.vectors import usable_vec
+from ..session import local_df
 from .clustering import _sq_dist, kmeans
 
 Codebooks = list[list[tuple[int, list[float]]]]  # [subspace][(code, sub)]
@@ -207,7 +208,8 @@ def _reconstruct(
     recon = codes
     parts = []
     for j, book in enumerate(codebooks):
-        map_df = spark.createDataFrame(
+        map_df = local_df(
+            spark,
             [(code, sub) for code, sub in book],
             f"code_{j} int, __sub_{j} array<double>",
         )
@@ -442,7 +444,8 @@ def ivf_pq_topk_from_codes(
     recon = _reconstruct(codes, codebooks, id_col, keep=("__cell",))
     cand_vec = F.col("__recon")
     if residual:
-        cents_df = spark.createDataFrame(
+        cents_df = local_df(
+            spark,
             [(int(cid), [float(v) for v in vec]) for cid, vec in centroids],
             "__cell long, __cvec array<double>",
         )
@@ -497,36 +500,69 @@ def ivf_pq_build_index(
     contract; persisting them makes the artifact self-describing — a
     scorer needs only ``path``."""
     import os
+    from concurrent.futures import ThreadPoolExecutor
 
     spark = corpus.sparkSession
     codes = ivf_pq_encode_corpus(
         corpus, centroids, codebooks, vec_col, id_col, residual
     )
-    (
-        codes.repartitionByRange("__cell")
-        .sortWithinPartitions("__cell")
-        .write.mode("overwrite")
-        .parquet(os.path.join(path, "codes"))
-    )
-    spark.createDataFrame(
-        [(int(cid), [float(v) for v in vec]) for cid, vec in centroids],
-        "cid long, cv array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(path, "centroids")
-    )
-    spark.createDataFrame(
-        [
-            (j, int(code), [float(v) for v in sub])
-            for j, book in enumerate(codebooks)
-            for code, sub in book
-        ],
-        "subspace int, code int, cv array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(path, "codebooks")
-    )
-    spark.createDataFrame(
-        [(len(codebooks), bool(residual))], "m int, residual boolean"
-    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "meta"))
+
+    # the four artifact writes are independent — submit them from a
+    # small thread pool so the three tiny metadata writes overlap the
+    # codes write instead of queueing behind it (guide §2.6: Spark
+    # schedules concurrent jobs happily; actions are only sequential
+    # because driver code calls them sequentially)
+    def _write_codes() -> None:
+        (
+            codes.repartitionByRange("__cell")
+            .sortWithinPartitions("__cell")
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, "codes"))
+        )
+
+    def _write_centroids() -> None:
+        local_df(
+            spark,
+            [(int(cid), [float(v) for v in vec]) for cid, vec in centroids],
+            "cid long, cv array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(path, "centroids")
+        )
+
+    def _write_codebooks() -> None:
+        local_df(
+            spark,
+            [
+                (j, int(code), [float(v) for v in sub])
+                for j, book in enumerate(codebooks)
+                for code, sub in book
+            ],
+            "subspace int, code int, cv array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(path, "codebooks")
+        )
+
+    def _write_meta() -> None:
+        local_df(
+            spark,
+            [(len(codebooks), bool(residual))],
+            "m int, residual boolean",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(path, "meta")
+        )
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        futures = [
+            pool.submit(fn)
+            for fn in (
+                _write_codes,
+                _write_centroids,
+                _write_codebooks,
+                _write_meta,
+            )
+        ]
+        for f in futures:
+            f.result()
 
 
 def read_ivf_pq_index(
@@ -537,24 +573,39 @@ def read_ivf_pq_index(
     Codes stay a lazy scan; centroids/codebooks collect to the driver
     (driver-sized by the build contract)."""
     import os
+    from concurrent.futures import ThreadPoolExecutor
 
     codes = spark.read.parquet(os.path.join(path, "codes"))
-    cents = [
-        (r["cid"], [float(v) for v in r["cv"]])
-        for r in spark.read.parquet(os.path.join(path, "centroids"))
-        .orderBy("cid")
-        .collect()
-    ]
-    meta = spark.read.parquet(os.path.join(path, "meta")).first()
-    books: Codebooks = [[] for _ in range(meta["m"])]
-    for r in (
-        spark.read.parquet(os.path.join(path, "codebooks"))
-        .orderBy("subspace", "code")
-        .collect()
-    ):
-        books[r["subspace"]].append(
-            (r["code"], [float(v) for v in r["cv"]])
+    # three independent driver-sized artifact collects — overlap them
+    # (guide §2.6) instead of paying three sequential job round trips;
+    # ordering moves driver-side (the tables are driver-sized by the
+    # build contract, so a distributed sort bought nothing)
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        cent_rows = pool.submit(
+            lambda: spark.read.parquet(
+                os.path.join(path, "centroids")
+            ).collect()
         )
+        meta_f = pool.submit(
+            lambda: spark.read.parquet(os.path.join(path, "meta")).first()
+        )
+        book_rows = pool.submit(
+            lambda: spark.read.parquet(
+                os.path.join(path, "codebooks")
+            ).collect()
+        )
+        cents = sorted(
+            (r["cid"], [float(v) for v in r["cv"]])
+            for r in cent_rows.result()
+        )
+        meta = meta_f.result()
+        books: Codebooks = [[] for _ in range(meta["m"])]
+        for r in sorted(
+            book_rows.result(), key=lambda r: (r["subspace"], r["code"])
+        ):
+            books[r["subspace"]].append(
+                (r["code"], [float(v) for v in r["cv"]])
+            )
     return codes, cents, books, bool(meta["residual"])
 
 

@@ -188,6 +188,7 @@ def write_bm25_index(
     parquet row groups by min/max stats — at 100 TB a batch touches
     only its terms' slices, never the whole index."""
     import os
+    from concurrent.futures import ThreadPoolExecutor
 
     (
         tf.repartitionByRange("token")
@@ -195,8 +196,33 @@ def write_bm25_index(
         .write.mode("overwrite")
         .parquet(os.path.join(path, "tf"))
     )
-    terms.write.mode("overwrite").parquet(os.path.join(path, "terms"))
-    scalars.write.mode("overwrite").parquet(os.path.join(path, "scalars"))
+    # r11: terms/scalars frames passed in carry the full tokenize+agg
+    # lineage, so writing them re-tokenized the corpus twice more.
+    # The tf table just written IS their input — rebind both onto the
+    # written tf scan (identical rows: bm25_index is a deterministic
+    # aggregate of tf), then overlap the two small writes (guide §2.6).
+    spark = tf.sparkSession
+    tf_written = spark.read.parquet(os.path.join(path, "tf"))
+    id_col = next(
+        c for c in tf_written.columns if c not in ("token", "tf", "dl")
+    )
+    terms_w, scalars_w = bm25_index(tf_written, id_col)
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futures = [
+            pool.submit(
+                lambda: terms_w.write.mode("overwrite").parquet(
+                    os.path.join(path, "terms")
+                )
+            ),
+            pool.submit(
+                lambda: scalars_w.write.mode("overwrite").parquet(
+                    os.path.join(path, "scalars")
+                )
+            ),
+        ]
+        for f in futures:
+            f.result()
 
 
 def read_bm25_index(

@@ -45,7 +45,8 @@ from ..operators.dedup import (
 )
 from ..operators.similarity import brute_force_topk, ivf_topk, mmr_rerank
 from ..operators.windows import sessionize, sliding_agg, tumbling_agg
-from ..sources.tables import load_table
+from ..sources.tables import load_table, raw_row_count
+from ..session import local_df
 
 # ---------------------------------------------------------------------------
 # shared oracle-SQL building blocks
@@ -328,7 +329,7 @@ def x12_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir).where(
         usable_vec(F.col("embedding"))
     )
-    n = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).count()
+    n = raw_row_count(spark, os.path.join(sf_dir, "embeddings.parquet"))
     stride = max(50, math.ceil(n / 100))
     centroids = emb.where(F.col("vec_id") % stride == 3).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
@@ -1091,7 +1092,8 @@ def x61_scoring_frame(
         .limit(2 * _X58_TOPQ)
         .collect()
     )
-    queries = spark.createDataFrame(
+    queries = local_df(
+        spark,
         [(r["token"], [r["token"]]) for r in top2[_X58_TOPQ:]],
         "query string, terms array<string>",
     )
@@ -1370,22 +1372,53 @@ def _ivf_pq_model(
     import os as _os
 
     from ..functions.vectors import usable_vec
-    from ..operators.pq import pq_codebooks_init
 
     emb = load_table(spark, "embeddings", sf_dir)
     # raw sizing count — the same metadata-cheap heuristic x12 uses
-    n = spark.read.parquet(
-        _os.path.join(sf_dir, "embeddings.parquet")
-    ).count()
+    # (footer metadata, no Spark job)
+    n = raw_row_count(spark, _os.path.join(sf_dir, "embeddings.parquet"))
     stride = max(50, math.ceil(n / 100))
     fin = emb.where(usable_vec(F.col("embedding"), require_nonzero=False))
-    cents = [
+    # ONE collect for both driver-sized model pieces (r11: they were two
+    # sequential jobs — stride centroids, then pq_codebooks_init's
+    # 16-lowest-id rows — each ~0.5 s of fixed job cost; a tagged union
+    # fetches both in a single job).  Semantics identical:
+    # pq_codebooks_init is the k-lowest-usable-id slice-per-subspace
+    # rule, reproduced here over the same filter.
+    tagged = (
+        fin.where(F.col("vec_id") % stride == 3)
+        .select("vec_id", "embedding", F.lit(True).alias("__cent"))
+        .unionByName(
+            fin.orderBy(F.col("vec_id").asc())
+            .limit(_X59_KC)
+            .select("vec_id", "embedding", F.lit(False).alias("__cent"))
+        )
+    )
+    rows = tagged.collect()
+    cents = sorted(
         (r["vec_id"], [float(v) for v in r["embedding"]])
-        for r in fin.where(F.col("vec_id") % stride == 3)
-        .select("vec_id", "embedding")
-        .collect()
-    ]  # driver-sized by the capped-cell-count contract (~100 rows)
-    books = pq_codebooks_init(emb, m=_X59_M, k=_X59_KC)
+        for r in rows
+        if r["__cent"]
+    )  # driver-sized by the capped-cell-count contract (~100 rows)
+    init = sorted(
+        (r for r in rows if not r["__cent"]), key=lambda r: r["vec_id"]
+    )
+    if not init:
+        books: list = [[] for _ in range(_X59_M)]
+    else:
+        dim = len(init[0]["embedding"])
+        if dim % _X59_M != 0:
+            raise ValueError(
+                f"embedding dim {dim} not divisible by m={_X59_M}"
+            )
+        sub = dim // _X59_M
+        books = [
+            [
+                (code, [float(v) for v in r["embedding"]][j * sub:(j + 1) * sub])
+                for code, r in enumerate(init)
+            ]
+            for j in range(_X59_M)
+        ]
     return fin, cents, books
 
 
@@ -1685,7 +1718,7 @@ def x41_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir).where(
         usable_vec(F.col("embedding"))
     )
-    n = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).count()
+    n = raw_row_count(spark, os.path.join(sf_dir, "embeddings.parquet"))
     stride = max(50, math.ceil(math.sqrt(n)))  # √n codebook, see _X41_STRIDE_SQL
     centroids = emb.where(F.col("vec_id") % stride == 3).select(
         F.col("vec_id").alias("centroid_id"),

@@ -24,6 +24,7 @@ import uuid
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from ..session import local_df
 from pyspark.sql import functions as F
 
 from ..functions.rounding import round_fixed, round_fixed_sql
@@ -91,7 +92,7 @@ def _stage_gold(spark: SparkSession) -> str:
     """Spark-computed gold star parquet — the analytics queries' input."""
     if "gold" not in _staged:
         silver = spark.read.parquet(_stage_silver(spark))
-        lookup = spark.createDataFrame(demo.OPENINGS_LOOKUP, OPENINGS_CSV_SCHEMA)
+        lookup = local_df(spark, demo.OPENINGS_LOOKUP, OPENINGS_CSV_SCHEMA)
         gold = build_gold(
             spark, silver, demo.USERNAME, "2024-02-01 00:00:00",
             openings_lookup=lookup,
@@ -158,7 +159,7 @@ def c02_chess_gold_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes the fact projection (python_scripts.py:533-564) from the
     identical silver bytes."""
     silver = spark.read.parquet(_stage_silver(spark))
-    lookup = spark.createDataFrame(demo.OPENINGS_LOOKUP, OPENINGS_CSV_SCHEMA)
+    lookup = local_df(spark, demo.OPENINGS_LOOKUP, OPENINGS_CSV_SCHEMA)
     return build_gold(
         spark, silver, demo.USERNAME, "2024-02-01 00:00:00",
         openings_lookup=lookup,
@@ -181,7 +182,7 @@ def c04_chess_openings_classified(spark: SparkSession, sf_dir: str) -> DataFrame
     the openings book (the reference's get_opening loop, test.ipynb cell
     28); oracle = prefix-explode + max_by in DuckDB."""
     stage = _stage_gold(spark)
-    lookup = spark.createDataFrame(demo.OPENINGS_LOOKUP, OPENINGS_CSV_SCHEMA)
+    lookup = local_df(spark, demo.OPENINGS_LOOKUP, OPENINGS_CSV_SCHEMA)
     return classify_openings(
         spark.read.parquet(os.path.join(stage, "fact_games")), lookup
     )

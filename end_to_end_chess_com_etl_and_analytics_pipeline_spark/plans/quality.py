@@ -442,17 +442,111 @@ FROM documents docs LEFT JOIN agg ON docs.doc_id = agg.doc_id
 """
 
 
-def duplicate_spans(docs: DataFrame, w: int = PASSAGE_W) -> DataFrame:
-    """Position-aware maximal duplicated-span coverage per document.
+def _span_base(docs: DataFrame, w: int, with_nt: bool) -> DataFrame:
+    """(doc_id[, __nt], pos, __has_g, __k): the ONE scan-side projection
+    both span operators start from — positions 1-based, each w-token
+    window hashed to an 8-byte key in the same projection (x40's
+    lesson: the gram string never leaves the scan; short of a 2^-64
+    xxhash64 collision — which would falsely mark both colliding grams
+    duplicated — the hashed key's flag matches the oracle's
+    string-keyed one), gram-less docs riding a per-doc sentinel key so
+    there is no docs-side rejoin and no hot NULL partition.  Shared by
+    :func:`duplicate_spans` and :func:`span_cut_text` so the two can
+    never drift."""
+    toks = tokens("text")
+    total = F.size(toks)
+    head = ["doc_id"] + ([total.alias("__nt")] if with_nt else [])
+    keep = ["doc_id"] + (["__nt"] if with_nt else [])
+    return docs.select(
+        *head,
+        F.posexplode_outer(_ngrams(toks, total, w)).alias("__i", "__g"),
+    ).select(
+        *keep,
+        (F.col("__i") + 1).alias("pos"),
+        F.col("__g").isNotNull().alias("__has_g"),
+        F.when(F.col("__g").isNull(), F.col("doc_id")).otherwise(
+            F.xxhash64("__g")
+        ).alias("__k"),
+    )
+
+
+def _dup_flag_window(base: DataFrame) -> DataFrame:
+    """Cross-doc duplication flag, WINDOW formulation: min(doc_id) ≠
+    max(doc_id) over the gram-key window (O(1) window state — no
+    COUNT(DISTINCT), no collect_set).  ONE occurrence-sized exchange
+    that also sorts (WindowExec).  Wins when per-gram duplication is
+    LOW and most grams are unique: the partial aggregation the aggjoin
+    formulation leans on collapses nothing there, so its extra agg
+    exchange buys nothing."""
+    w_g = Window.partitionBy("__has_g", "__k")
+    keep = [c for c in base.columns if c not in ("__has_g", "__k")]
+    return base.select(
+        *keep,
+        (
+            F.col("__has_g")
+            & (F.min("doc_id").over(w_g) != F.max("doc_id").over(w_g))
+        ).alias("__dup"),
+    )
+
+
+def _dup_flag_aggjoin(base: DataFrame) -> DataFrame:
+    """Cross-doc duplication flag, PARTIAL-AGG/JOIN formulation:
+    collapse (gram-key → min_doc, max_doc) through a map-side partial
+    aggregation first — distinct grams ≪ occurrences when duplication
+    is high — keep only keys with min ≠ max, and join that
+    duplicated-key set back to the positions.  AQE broadcasts the set
+    while it fits the bar, skipping the occurrence-sized exchange
+    entirely; past the bar it degrades to a key-partitioned join whose
+    big-side exchange is the one the window formulation pays anyway
+    (minus its sort, plus the map-side-reduced agg exchange) —
+    self-gating, no duplication estimate needed.  Wins when per-gram
+    duplication is HIGH (the r10 1000× probe's 244×/401× last decade
+    was exactly the window exchange through one box's sort-and-spill);
+    SCALE.md records the r11 A/B that made this the default."""
+    dup_keys = (
+        base.where("__has_g")
+        .groupBy("__k")
+        .agg(F.min("doc_id").alias("__dmin"), F.max("doc_id").alias("__dmax"))
+        .where(F.col("__dmin") != F.col("__dmax"))
+        .select("__k", F.lit(True).alias("__dup_k"))
+    )
+    keep = [base[c] for c in base.columns if c not in ("__has_g", "__k")]
+    return base.join(
+        dup_keys, (base["__has_g"]) & (base["__k"] == dup_keys["__k"]), "left"
+    ).select(
+        *keep,
+        F.coalesce(F.col("__dup_k"), F.lit(False)).alias("__dup"),
+    )
+
+
+def _dup_flagged(base: DataFrame, formulation: str) -> DataFrame:
+    """Dispatch to a duplication-flag formulation (identical output by
+    construction; tools/x68_ab_probe.py asserts it and SCALE.md records
+    the A/B timings that picked the default)."""
+    if formulation == "window":
+        return _dup_flag_window(base)
+    if formulation == "aggjoin":
+        return _dup_flag_aggjoin(base)
+    raise ValueError(f"unknown dup-flag formulation: {formulation!r}")
+
+
+def duplicate_spans(
+    docs: DataFrame, w: int = PASSAGE_W, formulation: str = "aggjoin"
+) -> DataFrame:
+    """Position-aware duplicated-span coverage per document.
 
     The cutting complement of :func:`passage_dedup`: x40 answers *how
     much* of a document's distinct passage set is shared, this answers
     *where* — every w-token window that also occurs in another document
-    is an interval [pos, pos+w-1], and overlapping/adjacent intervals
-    merge into maximal spans (the exact-substring-dedup unit of Lee et
-    al. 2022: the spans are what a trainer cuts or masks).  Per doc:
-    span count, duplicated-token coverage (union of the merged
-    intervals), longest span, and the covered fraction.
+    is an interval [pos, pos+w-1], and overlapping intervals merge
+    into spans (the exact-substring-dedup unit of Lee et al. 2022: the
+    spans are what a trainer cuts or masks).  Two intervals that merely
+    TOUCH (gap of exactly w between start positions) count as two
+    spans: the split rule is gap > w-1, pinned by
+    test_duplicate_spans_split_at_gap_w; dup_tokens/dup_frac are the
+    interval-union coverage either way, so x69's cut is unaffected by
+    the split convention.  Per doc: span count, duplicated-token
+    coverage, longest span, and the covered fraction.
 
     Interval merge without a self-join: intervals all have length w, so
     with per-doc positions sorted ascending, a duplicated position
@@ -462,45 +556,13 @@ def duplicate_spans(docs: DataFrame, w: int = PASSAGE_W) -> DataFrame:
     classic gaps-and-islands formulation, identical in Spark and the
     DuckDB oracle.
 
-    Shape at 100 TB: ONE corpus scan and two key-partitioned exchanges,
-    both moving fixed-width rows.  The (pos, window) explode hashes the
-    w-token string to 8 bytes in the same scan-side projection
-    (x40's lesson: WindowExec shuffles AND sorts its key, so the gram
-    string never leaves the scan; short of a 2^-64 xxhash64 collision
-    — which would falsely mark both colliding grams duplicated — the
-    flag matches the oracle's string-keyed window).  Cross-doc
-    duplication is min(doc_id) ≠ max(doc_id) over the gram-key window
-    (O(1) window state — no COUNT(DISTINCT), no collect_set); the
-    islands windows re-exchange by doc_id; the (doc, island) and doc
-    rollups reuse that partitioning (HashPartitioning(doc_id) satisfies
-    both clusterings — no further exchange).  Gram-less docs ride a
-    per-doc sentinel key exactly as in passage_dedup, so no docs-side
-    rejoin and no single hot NULL partition."""
-    toks = tokens("text")
-    total = F.size(toks)
-    base = docs.select(
-        "doc_id",
-        total.alias("__nt"),
-        F.posexplode_outer(_ngrams(toks, total, w)).alias("__i", "__g"),
-    ).select(
-        "doc_id",
-        "__nt",
-        (F.col("__i") + 1).alias("pos"),
-        F.col("__g").isNotNull().alias("__has_g"),
-        F.when(F.col("__g").isNull(), F.col("doc_id")).otherwise(
-            F.xxhash64("__g")
-        ).alias("__k"),
-    )
-    w_g = Window.partitionBy("__has_g", "__k")
-    flagged = base.select(
-        "doc_id",
-        "__nt",
-        "pos",
-        (
-            F.col("__has_g")
-            & (F.min("doc_id").over(w_g) != F.max("doc_id").over(w_g))
-        ).alias("__dup"),
-    )
+    Shape at 100 TB: ONE corpus scan; the duplication flag is the
+    ``formulation`` choice (:func:`_dup_flag_aggjoin`, the r11 A/B
+    default, vs :func:`_dup_flag_window`); the islands windows
+    exchange by doc_id; the (doc, island) and doc rollups reuse that
+    partitioning (HashPartitioning(doc_id) satisfies both clusterings
+    — no further exchange)."""
+    flagged = _dup_flagged(_span_base(docs, w, with_nt=True), formulation)
     order = F.col("pos").asc_nulls_first()
     w_prev = (
         Window.partitionBy("doc_id")
@@ -616,7 +678,9 @@ FROM toks LEFT JOIN agg ON toks.doc_id = agg.doc_id
 """
 
 
-def span_cut_text(docs: DataFrame, w: int = PASSAGE_W) -> DataFrame:
+def span_cut_text(
+    docs: DataFrame, w: int = PASSAGE_W, formulation: str = "aggjoin"
+) -> DataFrame:
     """The ACTION twin of :func:`duplicate_spans`: emit each document's
     text with every cross-doc duplicated span removed (what the trainer
     actually feeds the tokenizer after exact-substring dedup), plus the
@@ -630,33 +694,21 @@ def span_cut_text(docs: DataFrame, w: int = PASSAGE_W) -> DataFrame:
     byte-granular.  NULL text ≡ empty text (row kept, empty output) per
     the family's NULL contract.
 
-    Shape at 100 TB: the dup-position detection is x68's gram-key
-    window (one corpus-gram exchange, 8-byte keys); the positions then
-    COLLAPSE per doc (collect_list bounded by the doc's own token
-    count — per-doc state, the same bound the token array itself has)
-    and rejoin the corpus by doc_id.  The per-token cut test is an
-    array `exists` over the doc's dup starts — doc-local CPU, no
-    shuffle; no corpus-sized driver state anywhere."""
+    Shape at 100 TB: dup-position detection is shared with x68
+    (:func:`_span_base` + the ``formulation`` flag choice); the
+    positions then COLLAPSE per doc (collect_list bounded by the doc's
+    own token count — per-doc state, the same bound the token array
+    itself has) and rejoin the corpus by doc_id.  The per-token cut is
+    O(n + d·w) doc-local array work (r10 ADVICE: the previous
+    per-token ``exists`` over all dup starts was O(n·d)): the covered
+    position set is the flattened union of the d start intervals
+    (≤ d·w elements, deduped), and the kept positions are one
+    ``array_except`` hash-lookup pass over 1..n — no shuffle beyond
+    the doc_id rejoin; no corpus-sized driver state anywhere."""
     toks = tokens("text")
-    total = F.size(toks)
-    base = docs.select(
-        "doc_id",
-        F.posexplode_outer(_ngrams(toks, total, w)).alias("__i", "__g"),
-    ).select(
-        "doc_id",
-        (F.col("__i") + 1).alias("pos"),
-        F.col("__g").isNotNull().alias("__has_g"),
-        F.when(F.col("__g").isNull(), F.col("doc_id")).otherwise(
-            F.xxhash64("__g")
-        ).alias("__k"),
-    )
-    w_g = Window.partitionBy("__has_g", "__k")
+    base = _span_base(docs, w, with_nt=False)
     dup_pos = (
-        base.withColumn(
-            "__dup",
-            F.col("__has_g")
-            & (F.min("doc_id").over(w_g) != F.max("doc_id").over(w_g)),
-        )
+        _dup_flagged(base, formulation)
         .where(F.col("__dup"))
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_list("pos")).alias("__ps"))
@@ -669,12 +721,10 @@ def span_cut_text(docs: DataFrame, w: int = PASSAGE_W) -> DataFrame:
     idx = F.when(n > 0, F.sequence(F.lit(1), n)).otherwise(
         F.array().cast("array<int>")
     )
-    keep_idx = F.filter(
-        idx,
-        lambda i: ~F.exists(
-            ps, lambda p: (p <= i) & (i <= p + F.lit(w - 1))
-        ),
+    covered = F.array_distinct(
+        F.flatten(F.transform(ps, lambda p: F.sequence(p, p + F.lit(w - 1))))
     )
+    keep_idx = F.array_except(idx, covered)
     return joined.select(
         "doc_id",
         n.cast("int").alias("n_tokens"),

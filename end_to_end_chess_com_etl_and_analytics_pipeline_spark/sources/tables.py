@@ -22,6 +22,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from ..session import local_df
 
 from ..schemas import (
     DIM_DATE_SCHEMA,
@@ -144,7 +145,34 @@ def spread_small_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
     return df
 
 
+def raw_row_count(spark: SparkSession, path: str) -> int:
+    """Raw row count of a parquet file/dir from FOOTER METADATA — the
+    sizing heuristic several operators derive codebook/stride geometry
+    from (x12/x41/the IVF-PQ family).  Parquet footers carry the exact
+    row count, so spending a Spark job (scan + agg + collect, ~0.5 s of
+    fixed cost per call on this harness) to recount it is pure
+    overhead (guide §1.2: don't compute what metadata already knows).
+    Falls back to the Spark count for anything pyarrow can't read
+    (non-local FS, encrypted footers)."""
+    try:
+        import pyarrow.parquet as pq
+
+        p = path.removeprefix("file:")
+        if os.path.isdir(p):
+            total = 0
+            for entry in os.listdir(p):
+                if entry.endswith(".parquet"):
+                    total += pq.ParquetFile(
+                        os.path.join(p, entry)
+                    ).metadata.num_rows
+            return total
+        return pq.ParquetFile(p).metadata.num_rows
+    except Exception:
+        return spark.read.parquet(path).count()
+
+
 def load_table(
+
     spark: SparkSession,
     name: str,
     sf_dir: str | None = None,
@@ -534,7 +562,7 @@ DIM_RESULTS_ROWS: list[tuple[str, str, str]] = [
 
 def dim_results_seed(spark: SparkSession) -> DataFrame:
     """Inline literal table (S11)."""
-    return spark.createDataFrame(DIM_RESULTS_ROWS, DIM_RESULTS_SCHEMA)
+    return local_df(spark, DIM_RESULTS_ROWS, DIM_RESULTS_SCHEMA)
 
 
 def register_views(

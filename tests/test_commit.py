@@ -251,3 +251,53 @@ def test_incremental_gold_crash_replay(spark, tmp_path):
     assert streamed.count() == batch.count() == 90
     assert streamed.exceptAll(batch).count() == 0
     assert batch.exceptAll(streamed).count() == 0
+
+
+def test_reader_during_swap_sees_old_or_new_never_mix(spark, tmp_path):
+    """The docstring's reader-hidden-sibling claim, pinned (r10 verdict
+    #5): a reader scanning the live table at ANY protocol point sees
+    each partition's content entirely-old or entirely-new — never the
+    staged replacement alongside the live rows, never a partially
+    swapped partition's rows doubled.
+
+    Probe points: (a) fully staged + intent written, nothing renamed —
+    reader sees exactly the old table (the dot-prefixed staging sibling
+    is invisible to Spark's listing); (b) mid-swap — one partition
+    renamed in, the other still live-old — reader sees new content for
+    the renamed partition and old for the other, with exact row
+    multisets (no duplicates, no partial partitions); (c) after
+    recover_pending_swaps — exactly the new table."""
+    table = str(tmp_path / "tbl")
+    old = spark.createDataFrame(
+        [(1, "a", 10), (1, "b", 11), (2, "c", 20)], "p int, k string, v int"
+    )
+    old.write.partitionBy("p").parquet(table)
+    rows = lambda: sorted(  # noqa: E731
+        map(tuple, spark.read.parquet(table).select("p", "k", "v").collect())
+    )
+    old_rows = rows()
+    assert len(old_rows) == 3
+
+    # phase 1 complete: staged replacement for BOTH partitions + intent
+    new = spark.createDataFrame(
+        [(1, "a2", 100), (2, "c2", 200)], "p int, k string, v int"
+    )
+    staged = os.path.join(table, ".staged_t1")
+    new.write.partitionBy("p").parquet(staged)
+    open(os.path.join(table, "._swap_intent_t1"), "w").close()
+    # (a) reader: staging + intent are invisible — exactly the old rows
+    assert rows() == old_rows
+
+    # (b) manufacture mid-swap: partition p=1 renamed in, p=2 not yet
+    import shutil
+
+    shutil.rmtree(os.path.join(table, "p=1"))
+    os.rename(os.path.join(staged, "p=1"), os.path.join(table, "p=1"))
+    got = rows()
+    assert got == sorted([(1, "a2", 100), (2, "c", 20)])  # old-or-new only
+
+    # (c) recovery completes the swap; reader sees exactly the new table
+    assert commit.recover_pending_swaps(spark, table) == ["t1"]
+    assert rows() == sorted([(1, "a2", 100), (2, "c2", 200)])
+    assert not os.path.exists(staged)
+    assert not os.path.exists(os.path.join(table, "._swap_intent_t1"))

@@ -76,3 +76,32 @@ def test_streaming_subs_have_batch_twins_checked():
         assert st in folded, st
         assert twin in suites._FINE_QUERIES, twin
     assert set(twins) == _STREAMING_SUBS
+
+
+def test_x08_suite_carries_every_member_full_output(spark):
+    """Registry hygiene at the 50-entry cap (r10 verdict #7): x68/x69
+    score through x08_text_quality_suite, which carries 15 members — a
+    silent member dropout (or a truncated union) must not be able to
+    hide behind a suite-level green.  Pins, at sf0.001: (a) the suite
+    output's tag set is exactly the member list, and (b) each tag's row
+    count equals the member's standalone row count (the suite is a
+    tagged union of FULL member outputs, nothing dropped, nothing
+    doubled).  Per-member row counts are recorded in FIXTURES.md."""
+    import pyspark.sql.functions as F
+
+    name = "x08_text_quality_suite"
+    members = suites._SUITE_PARTS[name]
+    out = suites.SUITE_QUERIES[name](spark, SF_DIR)
+    by_tag = {
+        r["sub"]: r["n"]
+        for r in out.groupBy("sub").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(by_tag) == set(members), (
+        f"suite tags {sorted(by_tag)} != members {sorted(members)}"
+    )
+    for sub in members:
+        standalone = suites._FINE_QUERIES[sub](spark, SF_DIR).count()
+        assert by_tag[sub] == standalone, (
+            f"{sub}: suite carries {by_tag[sub]} rows, standalone "
+            f"computes {standalone}"
+        )

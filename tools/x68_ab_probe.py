@@ -1,21 +1,33 @@
-"""A/B probe: x68's window formulation vs the partial-agg/broadcast
-formulation of the duplicated-gram flag, on the near-dup replica corpus
-(the duplication-heavy extreme where the occurrence-sized window
-exchange has no map-side reduction).
+"""A/B probe: x68/x69's window formulation vs the partial-agg/join
+formulation of the duplicated-gram flag (both now live in
+plans/quality.py as `_dup_flag_window` / `_dup_flag_aggjoin` behind
+`duplicate_spans(..., formulation=...)` — the r10 ADVICE factored the
+probe's 70-line copy into the shared helpers, so the two can no longer
+drift).
 
-The registered `duplicate_spans` flags duplication with
-min(doc)≠max(doc) OVER (PARTITION BY gram-key) — one occurrence-sized
-exchange that must sort.  The alternative measured here collapses
-(gram-key → min_doc, max_doc) through a map-side partial aggregation
-first (distinct grams ≪ occurrences when duplication is high), keeps
-only keys with min≠max, and joins that duplicated-key set back to the
-positions — AQE broadcasts it while it fits the bar, skipping the
-occurrence exchange entirely.  Identical output by construction; the
-probe asserts the per-doc stats match before reporting times.
+Corpora:
+
+- ``replica`` (default): the near-dup replica corpus from
+  tools/scale_probe.py — the duplication-heavy extreme where every
+  gram occurs ~N× and the occurrence-sized window exchange has no
+  map-side reduction.  This is where SCALE.md measured the window
+  formulation's superlinear last decade (244×/401× per 1000×).
+- ``hotgram``: ONE gram carries ~50% of all occurrences while
+  duplication is LOW elsewhere (r10 verdict #4's anti-overfit case:
+  the partial agg saves little on the unique tail, and the hot gram is
+  a single giant window partition / join key).
+- ``unique``: all-unique corpus with only pairwise duplicated grams
+  (each duplicated gram occurs exactly twice) — the WORST case for the
+  aggjoin formulation (the agg collapses nothing; dup-key set is
+  occurrence-scale) and the best for the window one.
+
+The probe first asserts the two formulations agree row-for-row
+(order-insensitive) for BOTH x68 and x69, then times each best-of-2.
 
 Usage::
 
-    python tools/x68_ab_probe.py [N] [out_dir]   # default N=100
+    python tools/x68_ab_probe.py [N] [out_dir] [corpus]
+    # default N=100, corpus=replica
 """
 
 from __future__ import annotations
@@ -28,101 +40,83 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def duplicate_spans_aggjoin(docs, w: int = 8):
-    """The partial-agg/broadcast formulation (see module docstring)."""
-    from pyspark.sql import Window
+def build_hotgram(spark, n: int, out_dir: str) -> None:
+    """documents.parquet where ~50% of all gram occurrences are ONE
+    boilerplate gram (every doc shares an identical w-token header) and
+    the body is per-doc unique text with NO cross-doc duplication —
+    the aggjoin formulation's partial agg collapses only the header
+    key, and that key is a single hot join/window partition."""
     from pyspark.sql import functions as F
 
-    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.functions.rounding import (
-        round_fixed,
+    os.makedirs(out_dir, exist_ok=True)
+    marker = os.path.join(out_dir, f"_built_hotgram_x{n}")
+    if os.path.exists(marker):
+        return
+    n_docs = 5000 * max(1, n // 100)
+    # header: 15 shared tokens → 8 grams of w=8 all shared; body: 16
+    # unique tokens per doc → ~16 unique grams + 8 mixed ones.  Shared
+    # occurrences ≈ unique ones → the hot key is ~50% of the exchange.
+    header = " ".join(f"h{i}" for i in range(15))
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit(header + " "),
+            F.concat_ws(
+                " ",
+                *[
+                    F.concat(F.lit(f"u{j}x"), F.col("id").cast("string"))
+                    for j in range(16)
+                ],
+            ),
+        ).alias("text"),
+        F.lit("probe").alias("source"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("created_at"),
     )
-    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.functions.text import (
-        tokens,
+    docs.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "documents.parquet")
     )
-    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans.quality import (
-        _ngrams,
-    )
+    open(marker, "w").close()
 
-    toks = tokens("text")
-    total = F.size(toks)
-    base = docs.select(
-        "doc_id",
-        total.alias("__nt"),
-        F.posexplode_outer(_ngrams(toks, total, w)).alias("__i", "__g"),
-    ).select(
-        "doc_id",
-        "__nt",
-        (F.col("__i") + 1).alias("pos"),
-        F.col("__g").isNotNull().alias("__has_g"),
-        F.when(F.col("__g").isNull(), F.col("doc_id")).otherwise(
-            F.xxhash64("__g")
-        ).alias("__k"),
+
+def build_unique(spark, n: int, out_dir: str) -> None:
+    """documents.parquet where every doc is unique text except ONE
+    w-window shared with exactly one partner doc — duplicated grams
+    each occur exactly twice, so the dup-key set is occurrence-scale
+    (no broadcast, no agg collapse): the aggjoin worst case."""
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+    marker = os.path.join(out_dir, f"_built_unique_x{n}")
+    if os.path.exists(marker):
+        return
+    n_docs = 5000 * max(1, n // 100)
+    pair = (F.col("id") / 2).cast("long")  # docs 2k and 2k+1 share
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.concat_ws(
+                " ",
+                *[
+                    F.concat(F.lit(f"v{j}x"), F.col("id").cast("string"))
+                    for j in range(16)
+                ],
+            ),
+            F.lit(" "),
+            F.concat_ws(
+                " ",
+                *[
+                    F.concat(F.lit(f"s{j}x"), pair.cast("string"))
+                    for j in range(8)
+                ],
+            ),
+        ).alias("text"),
+        F.lit("probe").alias("source"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("created_at"),
     )
-    dup_keys = (
-        base.where("__has_g")
-        .groupBy("__k")
-        .agg(F.min("doc_id").alias("__dmin"), F.max("doc_id").alias("__dmax"))
-        .where(F.col("__dmin") != F.col("__dmax"))
-        .select("__k", F.lit(True).alias("__dup_k"))
+    docs.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "documents.parquet")
     )
-    flagged = base.join(
-        dup_keys, (base["__has_g"]) & (base["__k"] == dup_keys["__k"]), "left"
-    ).select(
-        base["doc_id"],
-        "__nt",
-        "pos",
-        F.coalesce(F.col("__dup_k"), F.lit(False)).alias("__dup"),
-    )
-    order = F.col("pos").asc_nulls_first()
-    w_prev = (
-        Window.partitionBy("doc_id")
-        .orderBy(order)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    w_run = (
-        Window.partitionBy("doc_id")
-        .orderBy(order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    prev = F.max(F.when(F.col("__dup"), F.col("pos"))).over(w_prev)
-    gap = F.col("pos") - prev
-    seq = flagged.select(
-        "doc_id",
-        "__nt",
-        "pos",
-        (F.col("__dup") & (prev.isNull() | (gap > w - 1)))
-        .cast("int")
-        .alias("__st"),
-        F.when(
-            F.col("__dup"), F.least(F.lit(w), F.coalesce(gap, F.lit(w)))
-        ).alias("__c"),
-    ).withColumn("__isl", F.sum("__st").over(w_run))
-    isl = seq.groupBy("doc_id", "__isl").agg(
-        F.max("__nt").alias("__nt"),
-        F.sum("__st").alias("__starts"),
-        F.sum("__c").alias("__len"),
-    )
-    agg = isl.groupBy("doc_id").agg(
-        F.max("__nt").alias("__nt"),
-        F.sum("__starts").alias("__spans"),
-        F.sum("__len").alias("__dtok"),
-        F.max(F.when(F.col("__starts") > 0, F.col("__len"))).alias("__mx"),
-    )
-    nt = F.coalesce(F.col("__nt"), F.lit(0))
-    dtok = F.coalesce(F.col("__dtok"), F.lit(0))
-    frac = F.when(nt == 0, F.lit(0.0)).otherwise(
-        dtok.cast("double") / nt.cast("double")
-    )
-    return agg.select(
-        "doc_id",
-        nt.cast("int").alias("n_tokens"),
-        F.coalesce(F.col("__spans"), F.lit(0)).cast("int").alias("dup_spans"),
-        dtok.cast("int").alias("dup_tokens"),
-        F.coalesce(F.col("__mx"), F.lit(0)).cast("int").alias(
-            "max_span_tokens"
-        ),
-        round_fixed(frac, 6).alias("dup_frac"),
-    )
+    open(marker, "w").close()
 
 
 def main() -> int:
@@ -130,6 +124,7 @@ def main() -> int:
 
     from end_to_end_chess_com_etl_and_analytics_pipeline_spark.plans.quality import (
         duplicate_spans,
+        span_cut_text,
     )
     from end_to_end_chess_com_etl_and_analytics_pipeline_spark.session import (
         get_spark,
@@ -138,35 +133,55 @@ def main() -> int:
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     out_dir = (
-        sys.argv[2] if len(sys.argv) > 2 else f"/tmp/spark_graft_x68ab_{n}"
+        sys.argv[2]
+        if len(sys.argv) > 2
+        else f"/tmp/spark_graft_x68ab_{n}"
     )
-    spark = get_spark(app_name="x68-ab-probe")
-    scale_probe.build_docs_scaled(spark, n, out_dir)
+    corpus = sys.argv[3] if len(sys.argv) > 3 else "replica"
+    spark = get_spark(app_name=f"x68-ab-probe-{corpus}")
+    if corpus == "replica":
+        scale_probe.build_docs_scaled(spark, n, out_dir)
+    elif corpus == "hotgram":
+        build_hotgram(spark, n, out_dir)
+    elif corpus == "unique":
+        build_unique(spark, n, out_dir)
+    else:
+        raise SystemExit(f"unknown corpus {corpus!r}")
     docs = spark.read.parquet(os.path.join(out_dir, "documents.parquet"))
 
-    # equality first (order-insensitive): the two formulations must agree
-    a = duplicate_spans(docs)
-    b = duplicate_spans_aggjoin(docs)
-    mismatch = a.exceptAll(b).count() + b.exceptAll(a).count()
-    assert mismatch == 0, f"formulations disagree on {mismatch} rows"
-
-    results = {}
-    for name, df_fn in (
-        ("window", lambda: duplicate_spans(docs)),
-        ("aggjoin", lambda: duplicate_spans_aggjoin(docs)),
-    ):
-        best = None
-        for _ in range(2):
-            t0 = time.time()
-            df_fn().write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
-            best = dt if best is None or dt < best else best
-        results[name] = round(best, 3)
-        print(f"{name:8s} best-of-2 {best:8.3f}s", flush=True)
-    results["n"] = n
-    results["speedup_aggjoin"] = round(
-        results["window"] / results["aggjoin"], 2
+    # equality first (order-insensitive): the two formulations must
+    # agree — for the coverage stats AND the cut text.  Skippable via
+    # SPARK_GRAFT_AB_SKIP_EQ=1 for the 1000× decade (4 extra full
+    # computations + two exceptAll passes at 5M docs), where equality
+    # is already pinned by the 100× run on the same corpus family.
+    eq_ops = (
+        ()
+        if os.environ.get("SPARK_GRAFT_AB_SKIP_EQ") == "1"
+        else (("x68", duplicate_spans), ("x69", span_cut_text))
     )
+    for opname, fn in eq_ops:
+        a = fn(docs, formulation="window")
+        b = fn(docs, formulation="aggjoin")
+        mismatch = a.exceptAll(b).count() + b.exceptAll(a).count()
+        assert mismatch == 0, f"{opname} formulations disagree on {mismatch}"
+        print(f"{opname} equality OK", flush=True)
+
+    results: dict[str, object] = {"n": n, "corpus": corpus}
+    for opname, fn in (("x68", duplicate_spans), ("x69", span_cut_text)):
+        for form in ("window", "aggjoin"):
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                fn(docs, formulation=form).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                dt = time.time() - t0
+                best = dt if best is None or dt < best else best
+            results[f"{opname}_{form}"] = round(best, 3)
+            print(f"{opname} {form:8s} best-of-2 {best:8.3f}s", flush=True)
+        results[f"{opname}_speedup_aggjoin"] = round(
+            results[f"{opname}_window"] / results[f"{opname}_aggjoin"], 2
+        )
     print(json.dumps(results))
     return 0
 
