@@ -498,11 +498,19 @@ def _dup_flag_aggjoin(base: DataFrame) -> DataFrame:
     while it fits the bar, skipping the occurrence-sized exchange
     entirely; past the bar it degrades to a key-partitioned join whose
     big-side exchange is the one the window formulation pays anyway
-    (minus its sort, plus the map-side-reduced agg exchange) —
-    self-gating, no duplication estimate needed.  Wins when per-gram
-    duplication is HIGH (the r10 1000× probe's 244×/401× last decade
-    was exactly the window exchange through one box's sort-and-spill);
-    SCALE.md records the r11 A/B that made this the default."""
+    (minus its sort, plus the map-side-reduced agg exchange).
+
+    MEASURED LOSER (r11 A/B, SCALE.md "Round 11: x68/x69 formulation
+    A/B") — r10 predicted this formulation would win when per-gram
+    duplication is high (the 1000× replica decade, where the window
+    exchange went superlinear), but on the near-dup replica corpus the
+    dup-key set ≈ ALL distinct grams (replicas duplicate everything),
+    far over the broadcast bar, so the "self-gating" degradation is
+    the common case: base exchange + agg exchange + join loses to the
+    window's one exchange+sort at every measured corpus and scale
+    (replica 100×/1000×, hotgram, unique — 0.57-1.06× speedup, i.e.
+    mostly slowdown).  Kept as the measured alternative the probe
+    re-times each round, NOT the default."""
     dup_keys = (
         base.where("__has_g")
         .groupBy("__k")
@@ -531,7 +539,7 @@ def _dup_flagged(base: DataFrame, formulation: str) -> DataFrame:
 
 
 def duplicate_spans(
-    docs: DataFrame, w: int = PASSAGE_W, formulation: str = "aggjoin"
+    docs: DataFrame, w: int = PASSAGE_W, formulation: str = "window"
 ) -> DataFrame:
     """Position-aware duplicated-span coverage per document.
 
@@ -557,8 +565,9 @@ def duplicate_spans(
     DuckDB oracle.
 
     Shape at 100 TB: ONE corpus scan; the duplication flag is the
-    ``formulation`` choice (:func:`_dup_flag_aggjoin`, the r11 A/B
-    default, vs :func:`_dup_flag_window`); the islands windows
+    ``formulation`` choice (:func:`_dup_flag_window`, the r11 A/B
+    winner at every measured corpus/scale, vs the partial-agg/join
+    alternative :func:`_dup_flag_aggjoin`); the islands windows
     exchange by doc_id; the (doc, island) and doc rollups reuse that
     partitioning (HashPartitioning(doc_id) satisfies both clusterings
     — no further exchange)."""
@@ -679,7 +688,7 @@ FROM toks LEFT JOIN agg ON toks.doc_id = agg.doc_id
 
 
 def span_cut_text(
-    docs: DataFrame, w: int = PASSAGE_W, formulation: str = "aggjoin"
+    docs: DataFrame, w: int = PASSAGE_W, formulation: str = "window"
 ) -> DataFrame:
     """The ACTION twin of :func:`duplicate_spans`: emit each document's
     text with every cross-doc duplicated span removed (what the trainer
