@@ -165,7 +165,7 @@ def pq_encode(
             F.lit(None).cast("double").alias("recon_sq"),
         )
     sub = len(codebooks[0][0][1])
-    err_cols = []
+    best_cols = []
     for j, book in enumerate(codebooks):
         # bind the subspace slice OUTSIDE the lambda: a second lambda
         # parameter would receive transform's ELEMENT INDEX, not j
@@ -178,18 +178,25 @@ def pq_encode(
                 c["code"].alias("code"),
             ),
         )
-        best = F.array_min(scored)
-        out = out.withColumn(f"code_{j}", best["code"]).withColumn(
-            f"__err_{j}", best["d"]
-        )
-        err_cols.append(f"__err_{j}")
-    total = F.col(err_cols[0])
-    for c in err_cols[1:]:
-        total = total + F.col(c)
-    return out.select(
+        best_cols.append(F.array_min(scored).alias(f"__best_{j}"))
+    # TWO selects, not 2·M withColumns: every DataFrame op eagerly
+    # re-analyzes the whole plan, and with M codebook literals of
+    # k·sub_dim leaves each re-analysis walks thousands of nodes — the
+    # withColumn chain made plan construction itself a measured cost
+    # (r11 profile: ~0.9 s of the x62 frame build; guide §3.3 "planning
+    # time itself can become the bottleneck").  Values are identical:
+    # the same argmin struct feeds both the code and the error.
+    staged = out.select(id_col, *carry, *best_cols)
+    total = F.col("__best_0")["d"]
+    for j in range(1, m):
+        total = total + F.col(f"__best_{j}")["d"]
+    return staged.select(
         id_col,
         *carry,
-        *[f"code_{j}" for j in range(m)],
+        *[
+            F.col(f"__best_{j}")["code"].alias(f"code_{j}")
+            for j in range(m)
+        ],
         round_fixed(total, 6).alias("recon_sq"),
     )
 
@@ -201,24 +208,49 @@ def _reconstruct(
     keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """(cand_id, [keep...], __recon): candidate vectors rebuilt from
-    their codes — M broadcast joins against 16-row code→centroid maps,
-    a fixed-order concat.  Shared by flat ADC (pq_adc_topk) and
-    IVF-pruned ADC (ivf_pq_topk)."""
-    spark = codes.sparkSession
-    recon = codes
+    their codes — a per-subspace literal array LOOKUP (the codebook is
+    driver-sized by the PQ contract, so ``book_vectors[code_j]`` is a
+    pure foldable-literal projection), a fixed-order concat.  Shared
+    by flat ADC (pq_adc_topk) and IVF-pruned ADC (ivf_pq_topk).
+
+    r11: this was M broadcast joins against 16-row code→centroid maps
+    — M extra plan analyses, M BroadcastExchanges built per action,
+    and a join for what is a constant-table index lookup.  Codes are
+    valid indices by construction (pq_encode's argmin emits 0..k-1
+    over the same books), so the lookup can never go out of bounds;
+    the inner joins' drop-on-no-match branch was equally unreachable."""
     parts = []
     for j, book in enumerate(codebooks):
-        map_df = local_df(
-            spark,
-            [(code, sub) for code, sub in book],
-            f"code_{j} int, __sub_{j} array<double>",
-        )
-        recon = recon.join(F.broadcast(map_df), f"code_{j}")
-        parts.append(f"__sub_{j}")
-    return recon.select(
+        ordered = sorted(book, key=lambda t: t[0])
+        if [c for c, _ in ordered] != list(range(len(ordered))):
+            # positional lookup requires the contiguous 0..k-1 code
+            # space every builder in this module produces; fail loud
+            # rather than silently reconstruct the wrong centroid
+            raise ValueError(
+                f"subspace {j}: non-contiguous code space "
+                f"{[c for c, _ in ordered][:8]}..."
+            )
+        if not ordered:
+            # empty-corpus contract: no codebook rows — keep the
+            # element type array<double> (a bare array() is void-typed
+            # and poisons concat into a string) over the empty frame
+            vec_lit = F.expr("CAST(array() AS array<array<double>>)")
+        else:
+            vec_lit = F.expr(
+                "array("
+                + ", ".join(
+                    "array("
+                    + ", ".join(repr(float(v)) + "D" for v in sub)
+                    + ")"
+                    for _code, sub in ordered
+                )
+                + ")"
+            )
+        parts.append(F.get(vec_lit, F.col(f"code_{j}")))
+    return codes.select(
         F.col(id_col).alias("cand_id"),
         *keep,
-        F.concat(*[F.col(p) for p in parts]).alias("__recon"),
+        F.concat(*parts).alias("__recon"),
     )
 
 
@@ -506,6 +538,15 @@ def ivf_pq_build_index(
     codes = ivf_pq_encode_corpus(
         corpus, centroids, codebooks, vec_col, id_col, residual
     )
+    # materialize the encode ONCE before the range layout:
+    # repartitionByRange first runs a SAMPLING job over its child to
+    # pick range bounds, so without this the full scan+argmin encode
+    # executes twice (guide §1.2: don't compute things you throw
+    # away).  The checkpointed codes are ~40 B/row — the compressed
+    # representation, far smaller than the raw vectors the encode
+    # reads — so materializing them once is cheaper than a second
+    # encode pass at any scale.
+    codes = codes.localCheckpoint()
 
     # the four artifact writes are independent — submit them from a
     # small thread pool so the three tiny metadata writes overlap the
@@ -573,40 +614,61 @@ def read_ivf_pq_index(
     Codes stay a lazy scan; centroids/codebooks collect to the driver
     (driver-sized by the build contract)."""
     import os
-    from concurrent.futures import ThreadPoolExecutor
 
     codes = spark.read.parquet(os.path.join(path, "codes"))
-    # three independent driver-sized artifact collects — overlap them
-    # (guide §2.6) instead of paying three sequential job round trips;
-    # ordering moves driver-side (the tables are driver-sized by the
-    # build contract, so a distributed sort bought nothing)
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        cent_rows = pool.submit(
-            lambda: spark.read.parquet(
-                os.path.join(path, "centroids")
-            ).collect()
+    # the three metadata artifacts are driver-sized by the build
+    # contract (centroids ~100 rows, codebooks M·k rows, meta 1 row):
+    # read them with pyarrow straight on the driver — three Spark
+    # collect jobs over few-KB files cost ~0.5 s of fixed job overhead
+    # EACH (guide §5: the driver should do almost no data work, but
+    # driver-sized metadata is exactly what it should read itself).
+    # Spark-collect fallback for anything pyarrow can't read
+    # (non-local FS, encrypted footers).
+    try:
+        cent_rows, book_rows, meta_rows = (
+            _read_small_parquet(os.path.join(path, name))
+            for name in ("centroids", "codebooks", "meta")
         )
-        meta_f = pool.submit(
-            lambda: spark.read.parquet(os.path.join(path, "meta")).first()
+    except Exception:
+        cent_rows = spark.read.parquet(
+            os.path.join(path, "centroids")
+        ).collect()
+        book_rows = spark.read.parquet(
+            os.path.join(path, "codebooks")
+        ).collect()
+        meta_rows = [
+            spark.read.parquet(os.path.join(path, "meta")).first()
+        ]
+    cents = sorted(
+        (r["cid"], [float(v) for v in r["cv"]]) for r in cent_rows
+    )
+    meta = meta_rows[0]
+    books: Codebooks = [[] for _ in range(meta["m"])]
+    for r in sorted(book_rows, key=lambda r: (r["subspace"], r["code"])):
+        books[r["subspace"]].append(
+            (r["code"], [float(v) for v in r["cv"]])
         )
-        book_rows = pool.submit(
-            lambda: spark.read.parquet(
-                os.path.join(path, "codebooks")
-            ).collect()
-        )
-        cents = sorted(
-            (r["cid"], [float(v) for v in r["cv"]])
-            for r in cent_rows.result()
-        )
-        meta = meta_f.result()
-        books: Codebooks = [[] for _ in range(meta["m"])]
-        for r in sorted(
-            book_rows.result(), key=lambda r: (r["subspace"], r["code"])
-        ):
-            books[r["subspace"]].append(
-                (r["code"], [float(v) for v in r["cv"]])
-            )
     return codes, cents, books, bool(meta["residual"])
+
+
+def _read_small_parquet(path: str) -> list[dict]:
+    """Driver-side read of a TINY parquet dir (a coalesce(1) metadata
+    artifact): list of plain row dicts via pyarrow — no Spark job.
+    Raises for non-local schemes so callers fall back to Spark."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    p = path.removeprefix("file:")
+    files = sorted(
+        os.path.join(p, f)
+        for f in os.listdir(p)
+        if f.endswith(".parquet")
+    )
+    out: list[dict] = []
+    for f in files:
+        out.extend(pq.read_table(f).to_pylist())
+    return out
 
 
 def ivf_pq_topk_from_persisted(

@@ -155,8 +155,17 @@ def bm25_topk(
     globally most frequent tokens (total occurrences desc, token asc) —
     straight from the index's term table, so the corpus is tokenized
     exactly once.  Returns ``(query_col, id_col, score, rnk)`` with
-    ``rnk`` 1-based."""
-    tf = bm25_tf(docs, text_col, id_col)
+    ``rnk`` 1-based.
+
+    The tf table is localCheckpoint'd: four plan subtrees consume it
+    (the terms broadcast, the scalars broadcast, the derived-query
+    limit, and the corpus-sided score join), and without
+    materialization EACH one re-runs the tokenize+explode+agg — the
+    "tokenized exactly once" promise only holds if tf is computed
+    once (r11; guide §2.4/§5 — materialise a reused intermediate
+    whose recompute costs more than its storage: tf is 3 ints + a
+    token per row vs a full corpus re-tokenize per consumer)."""
+    tf = bm25_tf(docs, text_col, id_col).localCheckpoint()
     terms, scalars = bm25_index(tf, id_col)
     if queries is None:
         qterms = (
@@ -190,36 +199,39 @@ def write_bm25_index(
     import os
     from concurrent.futures import ThreadPoolExecutor
 
-    (
-        tf.repartitionByRange("token")
-        .sortWithinPartitions("token")
-        .write.mode("overwrite")
-        .parquet(os.path.join(path, "tf"))
-    )
-    # r11: terms/scalars frames passed in carry the full tokenize+agg
-    # lineage, so writing them re-tokenized the corpus twice more.
-    # The tf table just written IS their input — rebind both onto the
-    # written tf scan (identical rows: bm25_index is a deterministic
-    # aggregate of tf), then overlap the two small writes (guide §2.6).
-    spark = tf.sparkSession
-    tf_written = spark.read.parquet(os.path.join(path, "tf"))
-    id_col = next(
-        c for c in tf_written.columns if c not in ("token", "tf", "dl")
-    )
-    terms_w, scalars_w = bm25_index(tf_written, id_col)
+    # materialize the tokenize+shuffle ONCE (r11): the passed-in
+    # terms/scalars carry the full tokenize+agg lineage (writing them
+    # as-is re-tokenized the corpus twice more), and the tf range
+    # layout's SAMPLING job would run the tokenize+shuffle a further
+    # time to pick bounds.  One localCheckpoint fixes both: the range
+    # write samples the checkpointed blocks, and terms/scalars are
+    # re-derived from the same blocks (identical rows: bm25_index is a
+    # deterministic aggregate of tf).  The three writes are then
+    # independent — overlap them (guide §2.6).
+    tf_m = tf.localCheckpoint()
+    id_col = next(c for c in tf_m.columns if c not in ("token", "tf", "dl"))
+    terms_m, scalars_m = bm25_index(tf_m, id_col)
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
+    def _write_tf() -> None:
+        (
+            tf_m.repartitionByRange("token")
+            .sortWithinPartitions("token")
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, "tf"))
+        )
+
+    def _write_terms() -> None:
+        terms_m.write.mode("overwrite").parquet(os.path.join(path, "terms"))
+
+    def _write_scalars() -> None:
+        scalars_m.write.mode("overwrite").parquet(
+            os.path.join(path, "scalars")
+        )
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
         futures = [
-            pool.submit(
-                lambda: terms_w.write.mode("overwrite").parquet(
-                    os.path.join(path, "terms")
-                )
-            ),
-            pool.submit(
-                lambda: scalars_w.write.mode("overwrite").parquet(
-                    os.path.join(path, "scalars")
-                )
-            ),
+            pool.submit(fn)
+            for fn in (_write_tf, _write_terms, _write_scalars)
         ]
         for f in futures:
             f.result()

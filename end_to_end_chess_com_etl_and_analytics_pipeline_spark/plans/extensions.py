@@ -1363,11 +1363,19 @@ _X62_NQ, _X62_K, _X62_NPROBE = 5, 5, 2
 
 def _ivf_pq_model(
     spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, list[tuple[int, list[float]]], list]:
-    """(finite corpus, stride coarse centroids, init PQ codebooks) —
-    the deterministic SQL-reproducible IVF×PQ model every member of
-    the family (x62/x65/x66/st12) derives from; one builder so the
-    Spark side can never drift from the oracle's cent/cb CTEs."""
+) -> tuple[DataFrame, list[tuple[int, list[float]]], list, list]:
+    """(finite corpus, stride coarse centroids, init PQ codebooks,
+    16-lowest-id rows) — the deterministic SQL-reproducible IVF×PQ
+    model every member of the family (x62/x65/x66/st12) derives from;
+    one builder so the Spark side can never drift from the oracle's
+    cent/cb CTEs.  The 4th element is the collected codebook-init rows
+    (the {_X59_KC} lowest usable ids, ascending): both query batches
+    the family uses (x62/st12's first {_X62_NQ} by id, x65/x67's next
+    {_X62_NQ}) are SLICES of it, so callers build their query frame
+    via :func:`_model_queries` with zero further corpus scans (r11:
+    each distributed ``orderBy.limit``/``offset`` query subtree paid a
+    corpus scan per action it fed — probes collect, scoring join,
+    rerank)."""
     import math
     import os as _os
 
@@ -1419,7 +1427,28 @@ def _ivf_pq_model(
             ]
             for j in range(_X59_M)
         ]
-    return fin, cents, books
+    return fin, cents, books, init
+
+
+def _model_queries(
+    spark: SparkSession, fin: DataFrame, init: list, lo: int, hi: int
+) -> DataFrame:
+    """The family's query batch as a LOCAL frame: rows ranked
+    [lo, hi) by ascending vec_id among the usable corpus — exactly
+    ``fin.orderBy(vec_id).offset(lo).limit(hi - lo)``, but sliced from
+    the already-collected init rows (``init`` is the _X59_KC ≥ hi
+    lowest usable ids, ascending) so the query side is a
+    LocalTableScan instead of a corpus-scanning TakeOrdered subtree.
+    Schema (vec_id, embedding) is copied from ``fin`` so the element
+    type (array<float>) and all downstream arithmetic are identical."""
+    from pyspark.sql.types import StructType
+
+    schema = StructType([fin.schema["vec_id"], fin.schema["embedding"]])
+    return local_df(
+        spark,
+        [(r["vec_id"], r["embedding"]) for r in init[lo:hi]],
+        schema,
+    )
 
 
 def x62_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1435,8 +1464,8 @@ def x62_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell assignment, code, and ADC distance exactly."""
     from ..operators.pq import ivf_pq_topk
 
-    fin, cents, books = _ivf_pq_model(spark, sf_dir)
-    queries = fin.orderBy(F.col("vec_id").asc()).limit(_X62_NQ)
+    fin, cents, books, init = _ivf_pq_model(spark, sf_dir)
+    queries = _model_queries(spark, fin, init, 0, _X62_NQ)
     return ivf_pq_topk(
         fin, queries, cents, books, k=_X62_K, nprobe=_X62_NPROBE
     )
@@ -1577,7 +1606,7 @@ def st12_streaming_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.pq import ivf_pq_topk_from_codes
     from ..streaming.pipeline import streaming_ivf_pq_encode
 
-    fin, cents, books = _ivf_pq_model(spark, sf_dir)
+    fin, cents, books, init = _ivf_pq_model(spark, sf_dir)
     if not cents or not books[0]:
         # empty corpus (the empty-inputs contract): nothing to stream
         return spark.createDataFrame(
@@ -1598,7 +1627,7 @@ def st12_streaming_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             codes_dir,
             _os.path.join(root, "ckpt"),
         )
-        queries = fin.orderBy(F.col("vec_id").asc()).limit(_X62_NQ)
+        queries = _model_queries(spark, fin, init, 0, _X62_NQ)
         out = ivf_pq_topk_from_codes(
             spark.read.parquet(codes_dir),
             queries,
@@ -1648,18 +1677,14 @@ def x65_scoring_frame(
     x61_scoring_frame lesson).  Caller owns ``root``'s lifetime."""
     from ..operators.pq import ivf_pq_build_index, ivf_pq_topk_from_persisted
 
-    fin, cents, books = _ivf_pq_model(spark, sf_dir)
+    fin, cents, books, init = _ivf_pq_model(spark, sf_dir)
     if not cents or not books[0]:
         # empty corpus (the empty-inputs contract): nothing to persist
         return spark.createDataFrame(
             [], "query_id long, cand_id long, adc_d2 double, rnk int"
         )
     ivf_pq_build_index(fin, cents, books, root)
-    queries = (
-        fin.orderBy(F.col("vec_id").asc())
-        .offset(_X62_NQ)
-        .limit(_X62_NQ)
-    )
+    queries = _model_queries(spark, fin, init, _X62_NQ, 2 * _X62_NQ)
     return ivf_pq_topk_from_persisted(
         spark, root, queries, k=_X62_K, nprobe=_X62_NPROBE
     )
@@ -2604,8 +2629,18 @@ def x63_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     banding's losslessness is hash-checked every round."""
     from ..operators.fuzzy import edit_distance_pairs
 
-    docs = load_table(spark, "documents", sf_dir).select(
-        "doc_id", _fuzzy_key_expr().alias("fkey")
+    # materialize the (doc_id, fkey) proxy ONCE: edit_distance_pairs
+    # consumes its input from six plan subtrees (distance-0 self-join
+    # ×2, distinct keys feeding segments AND probes, and the two
+    # expansion joins), and each subtree re-ran the full corpus scan
+    # plus the casefold/ASCII-squash regex chain — the plan showed six
+    # parquet scans (plans/r11/x63_fuzzy_join_before.txt).  The proxy
+    # is ~25 B/doc (id + 16-char key) — guide §8's decide-with-small-
+    # rows shape: one heavy scan, six cheap reads.
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .select("doc_id", _fuzzy_key_expr().alias("fkey"))
+        .localCheckpoint()
     )
     return edit_distance_pairs(
         docs,
@@ -2762,7 +2797,7 @@ def x66_ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vectors import usable_vec
     from ..operators.pq import ivf_pq_topk
 
-    fin, cents, books = _ivf_pq_model(spark, sf_dir)
+    fin, cents, books, _init = _ivf_pq_model(spark, sf_dir)
     if not cents or not books[0]:
         # empty corpus (the empty-inputs contract)
         return spark.createDataFrame(
@@ -2862,15 +2897,13 @@ def x67_scoring_frame(
     from ..functions.vectors import usable_vec
     from ..operators.pq import ivf_pq_build_index, ivf_pq_topk_from_persisted
 
-    fin, cents, books = _ivf_pq_model(spark, sf_dir)
+    fin, cents, books, init = _ivf_pq_model(spark, sf_dir)
     if not cents or not books[0]:
         return spark.createDataFrame(
             [], "query_id long, cand_id long, mmr_rank int, mmr_score double"
         )
     ivf_pq_build_index(fin, cents, books, root)
-    queries = (
-        fin.orderBy(F.col("vec_id").asc()).offset(_X62_NQ).limit(_X62_NQ)
-    )
+    queries = _model_queries(spark, fin, init, _X62_NQ, 2 * _X62_NQ)
     cand = ivf_pq_topk_from_persisted(
         spark, root, queries, k=_MMR_POOL, nprobe=_X62_NPROBE
     )

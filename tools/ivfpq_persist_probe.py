@@ -55,7 +55,7 @@ def main() -> int:
     root = tempfile.mkdtemp(prefix="ivfpq_probe_")
     try:
         t0 = time.time()
-        fin, cents, books = _ivf_pq_model(spark, scaled)
+        fin, cents, books, init = _ivf_pq_model(spark, scaled)
         model_s = time.time() - t0
         t0 = time.time()
         ivf_pq_build_index(fin, cents, books, root)

@@ -35,6 +35,7 @@ def main() -> int:
         _X62_NQ,
         _exact_cosine_pool,
         _ivf_pq_model,
+        _model_queries,
         load_table,
     )
     from end_to_end_chess_com_etl_and_analytics_pipeline_spark.functions.vectors import (
@@ -62,7 +63,7 @@ def main() -> int:
     root = tempfile.mkdtemp(prefix="x65prof_")
     try:
         t0 = time.perf_counter()
-        fin, cents, books = _ivf_pq_model(spark, sf_dir)
+        fin, cents, books, init = _ivf_pq_model(spark, sf_dir)
         mark("model (count + 2 collects)", t0)
 
         t0 = time.perf_counter()
@@ -70,9 +71,7 @@ def main() -> int:
         mark("build_index (encode+4 writes)", t0)
 
         t0 = time.perf_counter()
-        queries = (
-            fin.orderBy(F.col("vec_id").asc()).offset(_X62_NQ).limit(_X62_NQ)
-        )
+        queries = _model_queries(spark, fin, init, _X62_NQ, 2 * _X62_NQ)
         out = ivf_pq_topk_from_persisted(
             spark, root, queries, k=_X62_K, nprobe=_X62_NPROBE
         )
