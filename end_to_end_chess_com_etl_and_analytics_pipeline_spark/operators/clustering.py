@@ -42,33 +42,34 @@ def assign_nearest(
     Centroids ride along as a foldable literal array-of-structs: pure
     projection, no join, no shuffle.
 
-    The literal is built as ONE parsed expression rather than k×dim
-    F.lit calls — each F.lit is a py4j round trip and a plan node, and
-    kmeans re-enters here every round (same driver-side-cost fix as the
-    SRP plane literals in operators.dedup; 'D' keeps values DoubleType,
-    repr() round-trips float64 exactly)."""
+    The literals are single catalyst Literal nodes (fastlit.array_lit)
+    rather than k×dim F.lit calls or a parsed named_struct tree — each
+    plan analysis re-walks every literal node, and kmeans re-enters
+    here every round (same driver-side-cost fix as the SRP plane
+    literals in operators.dedup)."""
+    from ..functions.fastlit import array_lit
+
     if not centroids:
         # no codebook (empty corpus): every row — there are none in the
         # only case that produces this from kmeans() — gets NULL.  An
         # empty literal would otherwise type as ARRAY<VOID> and crash
         # the 'cv' extraction at analysis.
         return vectors.withColumn("cluster_id", F.lit(None).cast("int"))
-    cent = F.expr(
-        "array("
-        + ", ".join(
-            f"named_struct('cid', {int(cid)}, 'cv', array("
-            + ", ".join(repr(float(v)) + "D" for v in vec)
-            + "))"
-            for cid, vec in centroids
-        )
-        + ")"
+    spark = vectors.sparkSession
+    cids = array_lit(spark, [int(cid) for cid, _ in centroids], "array<int>")
+    cvs = array_lit(
+        spark,
+        [[float(v) for v in vec] for _, vec in centroids],
+        "array<array<double>>",
     )
     # (d, cid) structs compare lexicographically → array_min IS argmin
-    # with the lower-id tie-break, one distance evaluation per centroid
+    # with the lower-id tie-break, one distance evaluation per centroid;
+    # the index-aligned literal pair zips positionally (i = element idx)
     scored = F.transform(
-        cent,
-        lambda c: F.struct(
-            _sq_dist(F.col(vec_col), c["cv"]).alias("d"), c["cid"].alias("cid")
+        cvs,
+        lambda cv, i: F.struct(
+            _sq_dist(F.col(vec_col), cv).alias("d"),
+            F.get(cids, i).alias("cid"),
         ),
     )
     return vectors.withColumn("cluster_id", F.array_min(scored)["cid"])

@@ -512,21 +512,18 @@ def embedding_lsh_near_dup_pairs(
         n_planes, bands = lsh_auto_geometry(df.count(), bands)
     rows_per_band = n_planes // bands
     planes = srp_planes(n_planes, dim)
-    # One transform over a single array<array<double>> literal instead of
-    # n_planes separate aggregate trees each holding `dim` F.lit calls:
-    # the literal is built in ONE expression parse (the 'D' suffix keeps
-    # every value a double — bare decimals would parse as DecimalType and
-    # drag the whole dot product into decimal arithmetic), and the plan
-    # carries one lambda instead of 2048 literal nodes.  Measured at
-    # sf0.1: build+exec 0.64s vs 2.6s for the per-plane form, identical
-    # results (repr() round-trips float64 exactly).
-    planes_lit = F.expr(
-        "array("
-        + ", ".join(
-            "array(" + ", ".join(repr(v) + "D" for v in plane) + ")"
-            for plane in planes
-        )
-        + ")"
+    # One transform over a single array<array<double>> Literal node
+    # instead of n_planes separate aggregate trees each holding `dim`
+    # F.lit calls: the plan carries one leaf instead of 2048 literal
+    # nodes, so every analysis pass is O(1) over it (fastlit; measured
+    # at sf0.1: build+exec 0.64s vs 2.6s for the per-plane form,
+    # identical results).
+    from ..functions.fastlit import array_lit
+
+    planes_lit = array_lit(
+        df.sparkSession,
+        [[float(v) for v in plane] for plane in planes],
+        "array<array<double>>",
     )
     dots = F.transform(
         planes_lit,

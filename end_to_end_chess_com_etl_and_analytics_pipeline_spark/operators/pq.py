@@ -39,6 +39,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.fastlit import array_lit
 from ..functions.rounding import round_fixed
 from ..functions.vectors import usable_vec
 from ..session import local_df
@@ -119,18 +120,21 @@ def pq_codebooks_train(
     return books
 
 
-def _book_literal(book: list[tuple[int, list[float]]]) -> Column:
-    """One parsed literal per codebook (the assign_nearest / SRP-plane
-    literal discipline: no per-value F.lit round trips)."""
-    return F.expr(
-        "array("
-        + ", ".join(
-            f"named_struct('code', {int(code)}, 'cv', array("
-            + ", ".join(repr(float(v)) + "D" for v in sub)
-            + "))"
-            for code, sub in book
-        )
-        + ")"
+def _book_literal(
+    spark, book: list[tuple[int, list[float]]]
+) -> tuple[Column, Column]:
+    """(codes, centroid-vectors) as TWO single-node literal columns,
+    index-aligned (fastlit.array_lit — one catalyst Literal each
+    instead of a k·sub-leaf parsed tree that every plan analysis
+    re-walks; r11, guide §3.3).  Consumers zip them positionally with
+    a two-param transform lambda."""
+    return (
+        array_lit(spark, [int(code) for code, _ in book], "array<int>"),
+        array_lit(
+            spark,
+            [[float(v) for v in sub] for _, sub in book],
+            "array<array<double>>",
+        ),
     )
 
 
@@ -165,17 +169,20 @@ def pq_encode(
             F.lit(None).cast("double").alias("recon_sq"),
         )
     sub = len(codebooks[0][0][1])
+    spark = vectors.sparkSession
     best_cols = []
     for j, book in enumerate(codebooks):
-        # bind the subspace slice OUTSIDE the lambda: a second lambda
-        # parameter would receive transform's ELEMENT INDEX, not j
+        # bind the subspace slice OUTSIDE the lambda (it depends on j,
+        # not on the transform element)
         sl = _slice(F.col(vec_col), j, sub)
+        codes_lit, cvs_lit = _book_literal(spark, book)
         scored = F.transform(
-            _book_literal(book),
-            # single-param lambda, invoked eagerly within this iteration
-            lambda c: F.struct(  # noqa: B023 — eager HOF expansion
-                _sq_dist(sl, c["cv"]).alias("d"),
-                c["code"].alias("code"),
+            cvs_lit,
+            # two-param lambda: i is the ELEMENT INDEX, which the
+            # index-aligned literal pair maps back to the code
+            lambda cv, i: F.struct(  # noqa: B023 — eager HOF expansion
+                _sq_dist(sl, cv).alias("d"),
+                F.get(codes_lit, i).alias("code"),  # noqa: B023
             ),
         )
         best_cols.append(F.array_min(scored).alias(f"__best_{j}"))
@@ -236,15 +243,10 @@ def _reconstruct(
             # and poisons concat into a string) over the empty frame
             vec_lit = F.expr("CAST(array() AS array<array<double>>)")
         else:
-            vec_lit = F.expr(
-                "array("
-                + ", ".join(
-                    "array("
-                    + ", ".join(repr(float(v)) + "D" for v in sub)
-                    + ")"
-                    for _code, sub in ordered
-                )
-                + ")"
+            vec_lit = array_lit(
+                codes.sparkSession,
+                [[float(v) for v in sub] for _code, sub in ordered],
+                "array<array<double>>",
             )
         parts.append(F.get(vec_lit, F.col(f"code_{j}")))
     return codes.select(
@@ -291,18 +293,21 @@ def pq_adc_topk(
     )
 
 
-def _cent_literal(centroids: list[tuple[int, list[float]]]) -> Column:
-    """Coarse-centroid literal (the _book_literal discipline: one
-    parsed expression, 'D'-suffixed doubles)."""
-    return F.expr(
-        "array("
-        + ", ".join(
-            f"named_struct('cid', CAST({int(cid)} AS BIGINT), 'cv', array("
-            + ", ".join(repr(float(v)) + "D" for v in vec)
-            + "))"
-            for cid, vec in centroids
-        )
-        + ")"
+def _cent_literal(
+    spark, centroids: list[tuple[int, list[float]]]
+) -> tuple[Column, Column]:
+    """(cids, centroid-vectors) as TWO single-node literal columns,
+    index-aligned (the _book_literal discipline — fastlit Literal
+    nodes, not parsed named_struct trees)."""
+    return (
+        array_lit(
+            spark, [int(cid) for cid, _ in centroids], "array<bigint>"
+        ),
+        array_lit(
+            spark,
+            [[float(v) for v in vec] for _, vec in centroids],
+            "array<array<double>>",
+        ),
     )
 
 
@@ -383,16 +388,18 @@ def ivf_pq_topk(
     )
 
 
-def _cell_scored(cent_lit: Column, col: Column) -> Column:
+def _cell_scored(
+    cids_lit: Column, cvs_lit: Column, col: Column
+) -> Column:
     """(d, cid, cv) per centroid — array_min/array_sort give the
     nearest-cell argmin ((d, cid) is already a total order; the
     centroid vector rides along so residuals need no re-probe)."""
     return F.transform(
-        cent_lit,
-        lambda c: F.struct(
-            _sq_dist(col, c["cv"]).alias("d"),
-            c["cid"].alias("cid"),
-            c["cv"].alias("cv"),
+        cvs_lit,
+        lambda cv, i: F.struct(
+            _sq_dist(col, cv).alias("d"),
+            F.get(cids_lit, i).alias("cid"),
+            cv.alias("cv"),
         ),
     )
 
@@ -410,8 +417,8 @@ def ivf_pq_encode_corpus(
     projection.  A pure per-row function of (vector, centroids,
     codebooks), so micro-batch encodes appended over time equal the
     one-shot batch encode (st12's stream≡batch contract)."""
-    cent_lit = _cent_literal(centroids)
-    best = F.array_min(_cell_scored(cent_lit, F.col(vec_col)))
+    cids_lit, cvs_lit = _cent_literal(corpus.sparkSession, centroids)
+    best = F.array_min(_cell_scored(cids_lit, cvs_lit, F.col(vec_col)))
     corpus_f = corpus.where(
         usable_vec(F.col(vec_col), require_nonzero=False)
     ).withColumn("__cell", best["cid"])
@@ -438,7 +445,7 @@ def _query_probes(
     ivf_pq_topk_from_codes and the persisted-index scan pruning derive
     probed cells from (ONE definition, so the pruning filter can never
     disagree with the scoring join)."""
-    cent_lit = _cent_literal(centroids)
+    cids_lit, cvs_lit = _cent_literal(queries.sparkSession, centroids)
     qs = queries.where(
         usable_vec(F.col(vec_col), require_nonzero=False)
     ).select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
@@ -448,7 +455,9 @@ def _query_probes(
         F.explode(
             F.transform(
                 F.slice(
-                    F.array_sort(_cell_scored(cent_lit, F.col("__qv"))),
+                    F.array_sort(
+                        _cell_scored(cids_lit, cvs_lit, F.col("__qv"))
+                    ),
                     1,
                     nprobe,
                 ),
@@ -715,16 +724,9 @@ def ivf_residuals(
     codebooks train on (feed to pq_codebooks_train).  Same
     foldable-literal argmin as ivf_pq_topk's corpus pass — zero joins,
     zero shuffles."""
-    cent_lit = _cent_literal(centroids)
+    cids_lit, cvs_lit = _cent_literal(corpus.sparkSession, centroids)
     best = F.array_min(
-        F.transform(
-            cent_lit,
-            lambda c: F.struct(
-                _sq_dist(F.col(vec_col), c["cv"]).alias("d"),
-                c["cid"].alias("cid"),
-                c["cv"].alias("cv"),
-            ),
-        )
+        _cell_scored(cids_lit, cvs_lit, F.col(vec_col))
     )
     return corpus.where(
         usable_vec(F.col(vec_col), require_nonzero=False)
