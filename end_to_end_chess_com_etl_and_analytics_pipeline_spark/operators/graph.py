@@ -36,23 +36,50 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = 25,
+    driver_max_edges: int | None = None,
 ) -> DataFrame:
     """Label every vertex of the undirected graph ``edges`` with the
     minimum vertex id reachable from it.  Returns (node, component).
     Vertex ids must be orderable (use numeric ids).  Isolated vertices
     don't exist in an edge list; callers union them in if needed.
 
-    Raises ``RuntimeError`` if the labeling is still changing after
-    ``max_rounds`` (graph diameter > max_rounds, e.g. a long near-dup
-    chain): plain min-label propagation would otherwise silently return
-    split components.  Raise ``max_rounds`` or switch to a
-    diameter-halving variant (large-star/small-star) for such graphs."""
+    When the deduplicated symmetric edge set fits the driver
+    (``driver_max_edges``, default from conf
+    ``spark.graft.cc.driverMaxEdges``, 2M edges ≈ 32 MB of longs —
+    well under any sane maxResultSize), the components are computed by
+    a driver-side union-find in ONE collect instead of 2–3 shuffle
+    rounds of 2 jobs each: a near-dup edge list is dedup METADATA, a
+    tiny fraction of the corpus, and driver-sized metadata is exactly
+    what the driver should process itself (guide §5; r11 — x20's CC
+    tail dropped 1.4 s → 0.3 s at sf0.1 with 715 edges).  The labels
+    are identical by construction (min reachable id either way; pinned
+    by the union-find differential test, which now exercises BOTH
+    paths).  Corpora whose edge set exceeds the cap take the iterative
+    path unchanged — the cap gates on the measured edge count, never
+    on scale factor, so the switch is size-adaptive.
+
+    Raises ``RuntimeError`` (iterative path) if the labeling is still
+    changing after ``max_rounds`` (graph diameter > max_rounds, e.g. a
+    long near-dup chain): plain min-label propagation would otherwise
+    silently return split components.  Raise ``max_rounds`` or switch
+    to a diameter-halving variant (large-star/small-star) for such
+    graphs."""
+    spark = edges.sparkSession
+    if driver_max_edges is None:
+        driver_max_edges = int(
+            spark.conf.get("spark.graft.cc.driverMaxEdges", "2000000")
+        )
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
         .localCheckpoint(eager=False)
     )
+    if driver_max_edges > 0:
+        # the count materializes the checkpoint — the same first job
+        # the iterative path pays for its round-0 labels
+        if sym.count() <= driver_max_edges:
+            return _driver_union_find(spark, sym)
     labels = sym.groupBy("a").agg(F.min("b").alias("lbl")).select(
         F.col("a").alias("node"), F.least("node", "lbl").alias("component")
     )
@@ -91,3 +118,43 @@ def connected_components(
                 "formulation"
             )
     return labels
+
+
+def _driver_union_find(spark, sym: DataFrame) -> DataFrame:
+    """Exact (node, component) labels for a driver-sized symmetric
+    edge set: union-find with path compression, representative = the
+    component's minimum id (the min-label fixpoint the iterative path
+    converges to).  Output schema copies the edge column's type."""
+    from pyspark.sql.types import StructField, StructType
+
+    from ..session import local_df
+
+    rows = sym.collect()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        a, b = r["a"], r["b"]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by MIN id so every root is its component's minimum
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    dt = sym.schema["a"].dataType
+    schema = StructType(
+        [StructField("node", dt), StructField("component", dt)]
+    )
+    return local_df(
+        spark, sorted((v, find(v)) for v in parent), schema
+    )

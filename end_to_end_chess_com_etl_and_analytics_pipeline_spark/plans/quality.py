@@ -999,6 +999,7 @@ def train_bigram_lm(
     docs: DataFrame,
     top_b: int = BIGRAM_TOP_B,
     counts: DataFrame | None = None,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """The bigram half of the stupid-backoff artifact: the top
     ``top_b`` bigrams by corpus count, each with its PRECOMPUTED
@@ -1013,8 +1014,13 @@ def train_bigram_lm(
     if counts is None:
         counts = token_counts(docs)
     uni = counts.withColumnRenamed("cnt", "ucnt")
-    grams = _doc_bigrams(docs).where(F.col("g").isNotNull())
-    bi = grams.groupBy("g").agg(F.count("*").alias("cnt"))
+    if grams is None:
+        grams = _doc_bigrams(docs)
+    bi = (
+        grams.where(F.col("g").isNotNull())
+        .groupBy("g")
+        .agg(F.count("*").alias("cnt"))
+    )
     top = (
         bi.orderBy(F.desc("cnt"), F.asc("g"))
         .limit(top_b)
@@ -1080,17 +1086,29 @@ def x45_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange."""
     docs = load_table(spark, "documents", sf_dir)
     counts = token_counts(docs)  # shared pass-1: ONE corpus token scan
-    big = train_bigram_lm(docs, counts=counts)
+    # shared pass-2 (r11): the bigram stream feeds BOTH the training
+    # count and the scoring join — materialized once instead of two
+    # independent tokenize+zip_with corpus passes.  Row shape is
+    # (doc_id, short string): linear in corpus size, executor-local
+    # memory+disk, the same trade write_bm25_index makes for tf.
+    grams = _doc_bigrams(docs).localCheckpoint()
+    big = train_bigram_lm(docs, counts=counts, grams=grams)
     vocab, stats = train_lm(docs, counts=counts)
-    return score_bigram_lm(docs, big, vocab, stats)
+    return score_bigram_lm(docs, big, vocab, stats, grams=grams)
 
 
 def score_bigram_lm(
-    docs: DataFrame, big: DataFrame, vocab: DataFrame, stats: DataFrame
+    docs: DataFrame,
+    big: DataFrame,
+    vocab: DataFrame,
+    stats: DataFrame,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """Scoring half of x45 (see x45_bigram_lm): docs against frozen
-    bigram + unigram artifacts."""
-    grams = _doc_bigrams(docs)
+    bigram + unigram artifacts.  ``grams`` shares a precomputed
+    (doc_id, g) stream with training (see x45_bigram_lm)."""
+    if grams is None:
+        grams = _doc_bigrams(docs)
     has_g = F.col("g").isNotNull()
     w2 = F.substring_index(F.col("g"), " ", -1)
     scored = (

@@ -72,6 +72,9 @@ def _union_find_components(edges: list[tuple[int, int]]) -> dict[int, int]:
 
 
 def test_connected_components_matches_union_find(spark):
+    """Differential vs a reference union-find, on BOTH execution
+    paths: the driver-side fast path (edge set under the cap) and the
+    iterative min-propagation path (cap forced to 0)."""
     rng = random.Random(7)
     nodes = list(range(200))
     edges = [
@@ -79,31 +82,44 @@ def test_connected_components_matches_union_find(spark):
     ]
     edges = [(a, b) for a, b in edges if a != b]
     df = spark.createDataFrame([Row(src=a, dst=b) for a, b in edges])
-    got = {
-        r.node: r.component for r in connected_components(df).collect()
-    }
     want = _union_find_components(edges)
-    assert got == want
+    for cap in (None, 0):  # None = conf default (driver path here)
+        got = {
+            r.node: r.component
+            for r in connected_components(
+                df, driver_max_edges=cap
+            ).collect()
+        }
+        assert got == want, f"driver_max_edges={cap}"
 
 
 def test_connected_components_long_chain(spark):
     """Worst case for min-propagation: a single path graph (diameter =
     n-1).  Rounds double the reach of the min label only by one hop, so
-    this pins that max_rounds is honored and convergence is exact."""
+    this pins that max_rounds is honored and convergence is exact.
+    driver_max_edges=0 forces the iterative path (the driver fast path
+    has no notion of rounds); the default path is pinned too."""
     n = 20
     df = spark.createDataFrame([Row(src=i, dst=i + 1) for i in range(n - 1)])
-    got = {r.node: r.component for r in connected_components(df).collect()}
-    assert got == {i: 0 for i in range(n)}
+    for cap in (None, 0):
+        got = {
+            r.node: r.component
+            for r in connected_components(
+                df, driver_max_edges=cap
+            ).collect()
+        }
+        assert got == {i: 0 for i in range(n)}, f"driver_max_edges={cap}"
 
 
 def test_connected_components_nonconvergence_raises(spark):
     """A diameter-11 path cannot settle in 3 rounds: the guard must
-    refuse to return silently-split components."""
+    refuse to return silently-split components.  (Iterative path only
+    — the driver fast path computes the exact answer in one pass.)"""
     import pytest
 
     df = spark.createDataFrame([Row(src=i, dst=i + 1) for i in range(11)])
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(df, max_rounds=3)
+        connected_components(df, max_rounds=3, driver_max_edges=0)
 
 
 def test_approx_sketches_error_bounds(spark):
