@@ -963,7 +963,11 @@ def st11_streaming_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     root = tempfile.mkdtemp(prefix="st11_")
     try:
-        tf = bm25_tf(docs)
+        # tokenize ONCE (r11): terms, scalars, and the derived qterms
+        # are three consumers of tf's tokenize+agg lineage — without
+        # materialization each artifact write re-tokenized the corpus
+        # (same fix as bm25_topk / write_bm25_index)
+        tf = bm25_tf(docs).localCheckpoint()
         terms, scalars = bm25_index(tf)
         qterms = (
             terms.orderBy(F.col("cnt").desc(), F.col("token").asc())
@@ -974,11 +978,20 @@ def st11_streaming_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
             n: _os.path.join(root, n)
             for n in ("terms", "scalars", "qterms", "batch", "scores", "ckpt")
         }
-        terms.write.parquet(paths["terms"])
-        scalars.write.parquet(paths["scalars"])
-        qterms.write.parquet(paths["qterms"])
-        # several arriving files → several micro-batches
-        docs.repartition(3).write.parquet(paths["batch"])
+        # the four artifact writes are independent — overlap them
+        # (guide §2.6) instead of paying four sequential job tails
+        from concurrent.futures import ThreadPoolExecutor
+
+        writes = [
+            lambda: terms.write.parquet(paths["terms"]),
+            lambda: scalars.write.parquet(paths["scalars"]),
+            lambda: qterms.write.parquet(paths["qterms"]),
+            # several arriving files → several micro-batches
+            lambda: docs.repartition(3).write.parquet(paths["batch"]),
+        ]
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            for fut in [pool.submit(w) for w in writes]:
+                fut.result()
         streaming_bm25_scores(
             spark,
             paths["batch"],

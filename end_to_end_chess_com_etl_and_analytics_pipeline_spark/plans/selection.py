@@ -402,16 +402,31 @@ def st06_streaming_incremental_dedup(
     out_path = _os.path.join(root, "verdicts")
     ckpt = _os.path.join(root, "ckpt")
     try:
-        band_signatures(
-            docs.where(F.col("doc_id") % BATCH_MOD != 0),
-            num_hashes=_MINHASH_N,
-            bands=_MINHASH_BANDS,
-            shingle_len=_MINHASH_SHINGLE,
-        ).write.parquet(index_path)
-        # several arriving files → several micro-batches
-        docs.where(F.col("doc_id") % BATCH_MOD == 0).repartition(
-            3
-        ).write.parquet(batch_dir)
+        # the index build and the batch staging write are independent
+        # corpus passes — overlap them (guide §2.6) so the cheap batch
+        # write back-fills the signature pass's task tail (r11)
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _write_index() -> None:
+            band_signatures(
+                docs.where(F.col("doc_id") % BATCH_MOD != 0),
+                num_hashes=_MINHASH_N,
+                bands=_MINHASH_BANDS,
+                shingle_len=_MINHASH_SHINGLE,
+            ).write.parquet(index_path)
+
+        def _write_batch() -> None:
+            # several arriving files → several micro-batches
+            docs.where(F.col("doc_id") % BATCH_MOD == 0).repartition(
+                3
+            ).write.parquet(batch_dir)
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            for fut in [
+                pool.submit(_write_index),
+                pool.submit(_write_batch),
+            ]:
+                fut.result()
         streaming_incremental_dedup(
             spark,
             batch_dir,

@@ -119,6 +119,11 @@ def run_incremental_gold(
         # T5: dims append-if-absent per micro-batch (the reference's
         # monthly create_dim_* tasks).  Dims are broadcast-sized at any
         # data scale, so a full-file rewrite per batch is O(dim), fine.
+        # (r11: overlapping the four dim chains in a thread pool was
+        # measured and REJECTED — 9.6 s → 12.3 s best-of-3; inside a
+        # micro-batch the tiny concurrent jobs contend on the batch-
+        # scoped 8-partition shuffle width and the scheduler, unlike
+        # the top-level artifact writes that did benefit.)
         for dim, keys in DIM_KEYS.items():
             dim_path = os.path.join(gold_dir, dim)
             existing_dim = (
@@ -552,12 +557,26 @@ def streaming_bm25_scores(
         .option("maxFilesPerTrigger", 1)
         .parquet(batch_docs_dir)
     )
-    terms = spark.read.parquet(terms_path)
     scalars = spark.read.parquet(scalars_path)
-    qterms = spark.read.parquet(qterms_path)
+    qterms = spark.read.parquet(qterms_path).localCheckpoint()
+    # prune the vocab-sized terms table to the batch's query tokens
+    # ONCE, outside the micro-batch loop (r11): bm25_score inner-joins
+    # on qterms' tokens anyway, so the pruned frame is semantically
+    # identical — but without it every micro-batch re-scanned and
+    # re-broadcast the full terms parquet (guide §4.5's once-per-task
+    # discipline applied at the micro-batch level).  The same token
+    # set pre-filters each batch's tf AFTER dl is computed (dl must
+    # count ALL of a doc's tokens), shrinking the scoring join's input
+    # to O(postings of the query terms).
+    qtoks = [r["token"] for r in qterms.select("token").distinct().collect()]
+    terms = (
+        spark.read.parquet(terms_path)
+        .where(F.col("token").isin(qtoks))
+        .localCheckpoint()
+    )
 
     def score(batch_df: DataFrame, batch_id: int) -> None:
-        tf = bm25_tf(batch_df)
+        tf = bm25_tf(batch_df).where(F.col("token").isin(qtoks))
         bm25_score(tf, terms, scalars, qterms, k1, b).write.mode(
             "append"
         ).parquet(out_path)
