@@ -274,6 +274,7 @@ def incremental_lsh_matches(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_len: int = 3,
+    probe_signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Probe a NEW batch against an EXISTING corpus LSH index — the
     daily-ingest shape of dedup at 100 TB: the corpus index
@@ -286,12 +287,22 @@ def incremental_lsh_matches(
     ``is_novel``.  Batch-internal duplicates are out of scope here —
     run :func:`minhash_lsh_pairs` within the batch for those.
 
+    ``probe_signatures`` (optional) supplies the batch's
+    :func:`band_signatures` output precomputed — callers that already
+    derived probe and index from ONE signature pass over a combined
+    frame (x35's one-shot shape) pass it to avoid a second
+    shingle+minhash pass over the batch text.
+
     Scale: the join shuffles by (band, band_key); a viral band bucket
     is split by AQE skew-join exactly as in the self-join path.  The
     per-doc aggregation shuffles only batch ids."""
-    probe = band_signatures(
-        batch, text_col, id_col, num_hashes, bands, shingle_len
-    ).select(F.col(id_col).alias("__bid"), "band", "band_key")
+    if probe_signatures is None:
+        probe_signatures = band_signatures(
+            batch, text_col, id_col, num_hashes, bands, shingle_len
+        )
+    probe = probe_signatures.select(
+        F.col(id_col).alias("__bid"), "band", "band_key"
+    )
     idx = corpus_index.select(
         F.col(id_col).alias("__cid"), "band", "band_key"
     )

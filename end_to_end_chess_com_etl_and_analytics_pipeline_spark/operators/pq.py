@@ -138,38 +138,38 @@ def _book_literal(
     )
 
 
-def pq_encode(
-    vectors: DataFrame,
+def pq_encoder(
+    spark,
     codebooks: Codebooks,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     carry: tuple[str, ...] = (),
-) -> DataFrame:
-    """(id, [carry...], code_0..code_{M-1}, recon_sq): per-subspace
-    argmin codes (ties → lower code) plus the total squared
-    reconstruction error, summed in fixed subspace order and rounded to
-    6 decimals.  Pure projection — zero shuffle, zero joins.  ``carry``
-    names extra input columns to keep on the output (e.g. an IVF cell
-    id — ivf_pq_topk rides encode+assignment through ONE scan instead
-    of a self-join)."""
+):
+    """The PQ code projection as a reusable closure: every Column tree
+    (the M codebook literals, the per-subspace argmin lambdas, the
+    code/error output projection) is built ONCE here; the returned
+    function applies them to any input frame.  Frozen-codebook callers
+    that encode repeatedly — streaming ingest encodes one micro-batch
+    after another against the same books — pay the construction
+    (hundreds of py4j expression calls, ~0.5 s measured) once instead
+    of per batch (guide §4's once-per-task init discipline applied at
+    the plan-construction level).  ``pq_encode`` is the one-shot
+    wrapper."""
     m = len(codebooks)
-    out = vectors.where(
-        usable_vec(F.col(vec_col), require_nonzero=False)
-    ).select(id_col, *carry, vec_col)
+    in_filter = usable_vec(F.col(vec_col), require_nonzero=False)
     if not codebooks or not codebooks[0]:
         # empty codebooks (empty corpus): typed NULL codes — an empty
         # array literal would type as ARRAY<VOID> and crash analysis
-        return out.select(
-            id_col,
-            *carry,
-            *[
-                F.lit(None).cast("int").alias(f"code_{j}")
-                for j in range(m)
-            ],
-            F.lit(None).cast("double").alias("recon_sq"),
-        )
+        null_cols = [
+            F.lit(None).cast("int").alias(f"code_{j}") for j in range(m)
+        ] + [F.lit(None).cast("double").alias("recon_sq")]
+
+        def encode_empty(vectors: DataFrame) -> DataFrame:
+            out = vectors.where(in_filter).select(id_col, *carry, vec_col)
+            return out.select(id_col, *carry, *null_cols)
+
+        return encode_empty
     sub = len(codebooks[0][0][1])
-    spark = vectors.sparkSession
     best_cols = []
     for j, book in enumerate(codebooks):
         # bind the subspace slice OUTSIDE the lambda (it depends on j,
@@ -193,19 +193,38 @@ def pq_encode(
     # (r11 profile: ~0.9 s of the x62 frame build; guide §3.3 "planning
     # time itself can become the bottleneck").  Values are identical:
     # the same argmin struct feeds both the code and the error.
-    staged = out.select(id_col, *carry, *best_cols)
     total = F.col("__best_0")["d"]
     for j in range(1, m):
         total = total + F.col(f"__best_{j}")["d"]
-    return staged.select(
-        id_col,
-        *carry,
-        *[
-            F.col(f"__best_{j}")["code"].alias(f"code_{j}")
-            for j in range(m)
-        ],
-        round_fixed(total, 6).alias("recon_sq"),
-    )
+    final_cols = [
+        F.col(f"__best_{j}")["code"].alias(f"code_{j}") for j in range(m)
+    ] + [round_fixed(total, 6).alias("recon_sq")]
+
+    def encode(vectors: DataFrame) -> DataFrame:
+        out = vectors.where(in_filter).select(id_col, *carry, vec_col)
+        staged = out.select(id_col, *carry, *best_cols)
+        return staged.select(id_col, *carry, *final_cols)
+
+    return encode
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: Codebooks,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id, [carry...], code_0..code_{M-1}, recon_sq): per-subspace
+    argmin codes (ties → lower code) plus the total squared
+    reconstruction error, summed in fixed subspace order and rounded to
+    6 decimals.  Pure projection — zero shuffle, zero joins.  ``carry``
+    names extra input columns to keep on the output (e.g. an IVF cell
+    id — ivf_pq_topk rides encode+assignment through ONE scan instead
+    of a self-join).  One-shot form of :func:`pq_encoder`."""
+    return pq_encoder(
+        vectors.sparkSession, codebooks, vec_col, id_col, carry
+    )(vectors)
 
 
 def _reconstruct(
@@ -404,6 +423,46 @@ def _cell_scored(
     )
 
 
+def ivf_pq_corpus_encoder(
+    spark,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: Codebooks,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    residual: bool = False,
+):
+    """The IVF×PQ corpus pass as a reusable closure over FROZEN
+    (centroids, codebooks): the centroid-argmin and PQ Column trees are
+    built once; the returned function encodes any input frame with
+    them.  The streaming ingest (streaming_ivf_pq_encode) builds this
+    once per run instead of reconstructing ~0.5 s of expression trees
+    per micro-batch.  ``ivf_pq_encode_corpus`` is the one-shot
+    wrapper."""
+    cids_lit, cvs_lit = _cent_literal(spark, centroids)
+    best = F.array_min(_cell_scored(cids_lit, cvs_lit, F.col(vec_col)))
+    in_filter = usable_vec(F.col(vec_col), require_nonzero=False)
+    if residual:
+        rvec = F.zip_with(F.col(vec_col), best["cv"], lambda x, y: x - y)
+        enc = pq_encoder(
+            spark, codebooks, "__rvec", id_col, carry=("__cell",)
+        )
+
+        def encode_residual(corpus: DataFrame) -> DataFrame:
+            return enc(
+                corpus.where(in_filter)
+                .withColumn("__cell", best["cid"])
+                .withColumn("__rvec", rvec)
+            )
+
+        return encode_residual
+    enc = pq_encoder(spark, codebooks, vec_col, id_col, carry=("__cell",))
+
+    def encode(corpus: DataFrame) -> DataFrame:
+        return enc(corpus.where(in_filter).withColumn("__cell", best["cid"]))
+
+    return encode
+
+
 def ivf_pq_encode_corpus(
     corpus: DataFrame,
     centroids: list[tuple[int, list[float]]],
@@ -416,21 +475,11 @@ def ivf_pq_encode_corpus(
     scan — foldable-literal cell argmin + PQ codes riding the same
     projection.  A pure per-row function of (vector, centroids,
     codebooks), so micro-batch encodes appended over time equal the
-    one-shot batch encode (st12's stream≡batch contract)."""
-    cids_lit, cvs_lit = _cent_literal(corpus.sparkSession, centroids)
-    best = F.array_min(_cell_scored(cids_lit, cvs_lit, F.col(vec_col)))
-    corpus_f = corpus.where(
-        usable_vec(F.col(vec_col), require_nonzero=False)
-    ).withColumn("__cell", best["cid"])
-    if residual:
-        corpus_f = corpus_f.withColumn(
-            "__rvec",
-            F.zip_with(F.col(vec_col), best["cv"], lambda x, y: x - y),
-        )
-        return pq_encode(
-            corpus_f, codebooks, "__rvec", id_col, carry=("__cell",)
-        )
-    return pq_encode(corpus_f, codebooks, vec_col, id_col, carry=("__cell",))
+    one-shot batch encode (st12's stream≡batch contract).  One-shot
+    form of :func:`ivf_pq_corpus_encoder`."""
+    return ivf_pq_corpus_encoder(
+        corpus.sparkSession, centroids, codebooks, vec_col, id_col, residual
+    )(corpus)
 
 
 def _query_probes(

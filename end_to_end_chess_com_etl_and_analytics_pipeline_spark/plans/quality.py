@@ -1225,10 +1225,20 @@ def st07_streaming_lm_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = _os.path.join(root, "ckpt")
     try:
         vocab, stats = train_lm(docs)
-        vocab.write.parquet(vocab_path)
-        stats.write.parquet(stats_path)
-        # several arriving files → several micro-batches
-        docs.repartition(3).write.parquet(batch_dir)
+        # the three artifact writes are independent (vocab/stats read
+        # the checkpointed token counts, the batch staging re-scans
+        # docs) — overlap them (guide §2.6, the st11/st06 pattern)
+        from concurrent.futures import ThreadPoolExecutor
+
+        writes = [
+            lambda: vocab.write.parquet(vocab_path),
+            lambda: stats.write.parquet(stats_path),
+            # several arriving files → several micro-batches
+            lambda: docs.repartition(3).write.parquet(batch_dir),
+        ]
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            for fut in [pool.submit(w) for w in writes]:
+                fut.result()
         streaming_lm_gate(
             spark, batch_dir, vocab_path, stats_path, out_path, ckpt
         )

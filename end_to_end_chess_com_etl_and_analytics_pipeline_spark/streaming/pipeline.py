@@ -496,8 +496,12 @@ def streaming_lm_gate(
         .option("maxFilesPerTrigger", 1)
         .parquet(batch_docs_dir)
     )
-    vocab = spark.read.parquet(vocab_path)
-    stats = spark.read.parquet(stats_path)
+    # pin the frozen model frames ONCE: without the checkpoint every
+    # micro-batch's scoring action re-scans (and re-broadcasts) the
+    # vocab/stats parquets — model-artifact-sized, so pinning is O(V)
+    # (r11, the st11 qterms pattern)
+    vocab = spark.read.parquet(vocab_path).localCheckpoint()
+    stats = spark.read.parquet(stats_path).localCheckpoint()
     lo = LM_KEEP_LO if keep_lo is None else keep_lo
     hi = LM_KEEP_HI if keep_hi is None else keep_hi
 
@@ -757,7 +761,7 @@ def streaming_ivf_pq_encode(
     centroids, codebooks), so the union of micro-batch encodes equals
     the one-shot batch encode — st12 ranks queries over the appended
     codes and must hash-match x62's batch oracle."""
-    from ..operators.pq import ivf_pq_encode_corpus
+    from ..operators.pq import ivf_pq_corpus_encoder
 
     schema = spark.read.parquet(batch_vecs_dir).schema  # footer probe
     stream = (
@@ -765,11 +769,18 @@ def streaming_ivf_pq_encode(
         .option("maxFilesPerTrigger", 1)
         .parquet(batch_vecs_dir)
     )
+    # the codebooks are FROZEN for the whole stream, so the encode
+    # projection's Column trees (centroid argmin + M codebook argmin
+    # lambdas — ~0.5 s of driver-side expression construction,
+    # measured) are built ONCE here, not once per micro-batch (r11;
+    # guide §4's heavyweight-init-once discipline applied to plan
+    # construction)
+    encoder = ivf_pq_corpus_encoder(
+        spark, centroids, codebooks, vec_col, id_col, residual
+    )
 
     def enc(batch_df: DataFrame, batch_id: int) -> None:
-        ivf_pq_encode_corpus(
-            batch_df, centroids, codebooks, vec_col, id_col, residual
-        ).write.mode("append").parquet(out_path)
+        encoder(batch_df).write.mode("append").parquet(out_path)
 
     # batch-scoped shuffle width (see run_incremental_gold)
     prev = spark.conf.get("spark.sql.shuffle.partitions", None)
