@@ -729,6 +729,56 @@ def _read_small_parquet(path: str) -> list[dict]:
     return out
 
 
+def py_probe_cells(
+    query_rows,
+    centroids: list[tuple[int, list[float]]],
+    nprobe: int,
+    vec_col: str = "embedding",
+) -> list[int]:
+    """Driver-side twin of :func:`_query_probes`' probed-cell set, for
+    a query batch whose vectors are ALREADY on the driver (e.g. the
+    x62-family's _model_queries rows): the nprobe nearest cells per
+    usable query, unioned and sorted — with NO Spark job.  The
+    distinct-probed-cells collect is a full job's fixed overhead spent
+    re-deriving numbers the driver is holding (guide §5: driver-sized
+    metadata is exactly what the driver should compute itself).
+
+    Exact mirror of the JVM expression, pinned equal by
+    tests/test_pq.py::test_py_probe_cells_matches_query_probes:
+    usable_vec(require_nonzero=False) gate (NULL vector, NULL
+    component, NaN/inf component → query skipped; empty vector kept),
+    left-to-right ``acc + (x - y)·(x - y)`` fold from 0.0 (float32
+    components widen to double exactly; IEEE double arithmetic is
+    deterministic and identical in CPython and the JVM), ties to the
+    lower cid.  Requires query dims == centroid dims (the
+    _ivf_pq_model contract — mismatched dims would yield a NULL fold
+    JVM-side, which this mirror does not reproduce)."""
+    import math
+
+    cells: set[int] = set()
+    for r in query_rows:
+        v = r[vec_col]
+        if v is None:
+            continue
+        usable = True
+        for x in v:
+            if x is None or math.isnan(x) or math.isinf(x):
+                usable = False
+                break
+        if not usable:
+            continue
+        scored = []
+        for cid, cv in centroids:
+            d = 0.0
+            for x, y in zip(v, cv):
+                t = x - y
+                d += t * t
+            scored.append((d, cid))
+        scored.sort()
+        cells.update(cid for _d, cid in scored[:nprobe])
+    return sorted(cells)
+
+
 def ivf_pq_topk_from_persisted(
     spark,
     path: str,
@@ -737,6 +787,7 @@ def ivf_pq_topk_from_persisted(
     nprobe: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    probe_cells: list[int] | None = None,
 ) -> DataFrame:
     """ADC top-k against a PERSISTED index: no re-train, no re-encode,
     and the codes scan is pre-filtered to ``__cell IN (probed cells)``
@@ -746,18 +797,28 @@ def ivf_pq_topk_from_persisted(
     nprobe ids) by the same contract that makes the probe table
     broadcastable, and it comes from the SAME _query_probes expression
     the scoring join uses, so the filter is provably a superset of the
-    join keys."""
+    join keys.
+
+    ``probe_cells`` (optional) skips that collect job: callers whose
+    query vectors are already driver-resident pass
+    :func:`py_probe_cells`'s exact-mirror set (x65/x67 do — their
+    query batch is a slice of the model's collected init rows).  The
+    contract is the same superset guarantee; the mirror is pinned
+    bit-equal to the collected set by tests/test_pq.py."""
     codes, cents, books, residual = read_ivf_pq_index(spark, path)
-    probe_cells = sorted(
-        {
-            r["__cell"]
-            for r in _query_probes(queries, cents, nprobe, vec_col, id_col)
-            .select("__cell")
-            .distinct()
-            .collect()
-        }
-    )
-    pruned = codes.where(F.col("__cell").isin(probe_cells))
+    if probe_cells is None:
+        probe_cells = sorted(
+            {
+                r["__cell"]
+                for r in _query_probes(
+                    queries, cents, nprobe, vec_col, id_col
+                )
+                .select("__cell")
+                .distinct()
+                .collect()
+            }
+        )
+    pruned = codes.where(F.col("__cell").isin(list(probe_cells)))
     return ivf_pq_topk_from_codes(
         pruned, queries, cents, books, k, nprobe, vec_col, id_col, residual
     )

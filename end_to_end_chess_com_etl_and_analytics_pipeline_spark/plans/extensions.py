@@ -1688,7 +1688,11 @@ def x65_scoring_frame(
     plan (the pushed ``__cell IN (...)`` filter on the codes scan)
     instead of the localCheckpoint's ``Scan ExistingRDD`` (the
     x61_scoring_frame lesson).  Caller owns ``root``'s lifetime."""
-    from ..operators.pq import ivf_pq_build_index, ivf_pq_topk_from_persisted
+    from ..operators.pq import (
+        ivf_pq_build_index,
+        ivf_pq_topk_from_persisted,
+        py_probe_cells,
+    )
 
     fin, cents, books, init = _ivf_pq_model(spark, sf_dir)
     if not cents or not books[0]:
@@ -1698,8 +1702,18 @@ def x65_scoring_frame(
         )
     ivf_pq_build_index(fin, cents, books, root)
     queries = _model_queries(spark, fin, init, _X62_NQ, 2 * _X62_NQ)
+    # the query vectors are a slice of the already-collected init rows,
+    # so the probed-cell pruning set is computed driver-side (exact
+    # mirror of _query_probes; no collect job — guide §5)
     return ivf_pq_topk_from_persisted(
-        spark, root, queries, k=_X62_K, nprobe=_X62_NPROBE
+        spark,
+        root,
+        queries,
+        k=_X62_K,
+        nprobe=_X62_NPROBE,
+        probe_cells=py_probe_cells(
+            init[_X62_NQ:2 * _X62_NQ], cents, _X62_NPROBE
+        ),
     )
 
 
@@ -2908,7 +2922,11 @@ def x67_scoring_frame(
     ``__cell IN`` filter under the rerank/MMR stages) instead of the
     localCheckpoint's ``Scan ExistingRDD``.  Caller owns ``root``."""
     from ..functions.vectors import usable_vec
-    from ..operators.pq import ivf_pq_build_index, ivf_pq_topk_from_persisted
+    from ..operators.pq import (
+        ivf_pq_build_index,
+        ivf_pq_topk_from_persisted,
+        py_probe_cells,
+    )
 
     fin, cents, books, init = _ivf_pq_model(spark, sf_dir)
     if not cents or not books[0]:
@@ -2917,8 +2935,17 @@ def x67_scoring_frame(
         )
     ivf_pq_build_index(fin, cents, books, root)
     queries = _model_queries(spark, fin, init, _X62_NQ, 2 * _X62_NQ)
+    # driver-side probed-cell set (the x65 fast path — the query batch
+    # is a slice of the collected init rows; no collect job)
     cand = ivf_pq_topk_from_persisted(
-        spark, root, queries, k=_MMR_POOL, nprobe=_X62_NPROBE
+        spark,
+        root,
+        queries,
+        k=_MMR_POOL,
+        nprobe=_X62_NPROBE,
+        probe_cells=py_probe_cells(
+            init[_X62_NQ:2 * _X62_NQ], cents, _X62_NPROBE
+        ),
     )
     emb = load_table(spark, "embeddings", sf_dir)
     usable = emb.where(usable_vec(F.col("embedding")))

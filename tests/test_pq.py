@@ -458,3 +458,72 @@ def test_persisted_index_residual_flag_round_trips(spark, emb, tmp_path):
         )
     )
     assert got == want and len(got) > 0
+
+
+def test_py_probe_cells_matches_query_probes(spark, emb):
+    """The driver-side probed-cell mirror (py_probe_cells — the x65/x67
+    collect-job elimination) must equal the collected _query_probes set
+    BIT-FOR-BIT: fixture vectors, tie-heavy synthetic vectors, and the
+    usable_vec gate cases (NULL vector / NULL component / NaN / inf
+    excluded, empty kept)."""
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.operators.pq import (
+        _query_probes,
+        py_probe_cells,
+    )
+
+    def spark_cells(qdf, cents, nprobe):
+        return sorted(
+            {
+                r["__cell"]
+                for r in _query_probes(
+                    qdf, cents, nprobe, "embedding", "vec_id"
+                )
+                .select("__cell")
+                .distinct()
+                .collect()
+            }
+        )
+
+    # fixture: stride centroids, several query slices, both nprobes
+    rows = emb.orderBy("vec_id").collect()
+    cents = [
+        (r.vec_id, [float(v) for v in r.embedding]) for r in rows[::7][:12]
+    ]
+    for lo, hi in ((0, 5), (5, 25), (30, 60)):
+        qdf = emb.where(
+            (F.col("vec_id") >= rows[lo].vec_id)
+            & (F.col("vec_id") <= rows[hi - 1].vec_id)
+        )
+        for nprobe in (1, 2, 3):
+            assert py_probe_cells(rows[lo:hi], cents, nprobe) == spark_cells(
+                qdf, cents, nprobe
+            )
+
+    # adversarial: exact ties (distance-equal centroids -> lower cid),
+    # subnormal/huge magnitudes, and the usable gate
+    bad = float("nan")
+    inf = float("inf")
+    synth = [
+        (1, [0.0, 0.0]),            # tie between cents 10 and 11
+        (2, [1e300, -1e300]),       # inf fold JVM-side too
+        (3, [5e-324, 0.0]),         # subnormal
+        (4, None),                  # NULL vector -> skipped
+        (5, [None, 1.0]),           # NULL component -> skipped
+        (6, [bad, 1.0]),            # NaN -> skipped
+        (7, [inf, 1.0]),            # inf component -> skipped
+        (8, [0.25, -0.75]),
+    ]
+    syn_cents = [
+        (10, [1.0, 0.0]),
+        (11, [0.0, 1.0]),           # same distance to [0,0] as cid 10
+        (12, [-1.0, 0.5]),
+        (13, [1e300, -1e300]),
+    ]
+    qdf = spark.createDataFrame(
+        synth, "vec_id long, embedding array<double>"
+    )
+    syn_rows = qdf.collect()
+    for nprobe in (1, 2, 3):
+        assert py_probe_cells(syn_rows, syn_cents, nprobe) == spark_cells(
+            qdf, syn_cents, nprobe
+        )
