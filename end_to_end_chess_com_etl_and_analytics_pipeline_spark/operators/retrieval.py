@@ -450,13 +450,22 @@ def bm25_topk_from_index(
     query_col: str = "query",
     terms_col: str = "terms",
     top_terms: int = 8,
+    query_tokens: list[str] | None = None,
 ) -> DataFrame:
     """``bm25_topk`` against a PERSISTED index: no tokenization, no
     corpus shuffle — the tf scan carries a pushed ``token IN (query
     tokens)`` predicate (a query batch is driver-sized by definition),
     which the token-range parquet layout turns into row-group pruning.
     Scoring cost is O(postings of the query terms), independent of
-    corpus size."""
+    corpus size.
+
+    ``query_tokens`` (optional) skips the collect job that otherwise
+    derives the pruning token set from ``queries``: callers whose query
+    terms are already driver-resident (x61 builds ``queries`` FROM a
+    collected top-terms slice) pass the distinct token list directly
+    (guide §5: driver-sized metadata the driver already holds).  Must
+    cover every token of ``queries`` — supersets only cost extra scan,
+    never change the result (bm25_score inner-joins on qterms)."""
     tf, terms, scalars = read_bm25_index(spark, path)
     if queries is None:
         qterms = (
@@ -468,7 +477,13 @@ def bm25_topk_from_index(
         qterms = queries.select(
             F.col(query_col), F.explode(F.col(terms_col)).alias("token")
         )
-    toks = [r["token"] for r in qterms.select("token").distinct().collect()]
+    toks = (
+        sorted(set(query_tokens))
+        if query_tokens is not None
+        else [
+            r["token"] for r in qterms.select("token").distinct().collect()
+        ]
+    )
     # prune BOTH corpus-scaled artifacts to the batch's tokens: the tf
     # scan's IN-filter prunes row groups (token-range layout), and the
     # terms broadcast shrinks from vocab-sized to |batch| rows

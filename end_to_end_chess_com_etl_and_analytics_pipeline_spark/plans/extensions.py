@@ -1110,7 +1110,15 @@ def x61_scoring_frame(
         [(r["token"], [r["token"]]) for r in top2[_X58_TOPQ:]],
         "query string, terms array<string>",
     )
-    return bm25_topk_from_index(spark, root, queries, k=_X58_K)
+    # the query tokens are the collected top2 slice itself — pass them
+    # driver-side so the pruning-token derivation needs no collect job
+    return bm25_topk_from_index(
+        spark,
+        root,
+        queries,
+        k=_X58_K,
+        query_tokens=[r["token"] for r in top2[_X58_TOPQ:]],
+    )
 
 
 _X61_SQL = _x58_sql(query_offset=_X58_TOPQ)

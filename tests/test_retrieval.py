@@ -146,6 +146,37 @@ def test_persisted_index_topk_equals_rebuild(spark, tmp_path):
     )
     assert persisted_q == rebuild_q and rebuild_q
 
+    # the driver-side pruning-token fast path (x61's shape — tokens
+    # already collected) must be result-identical, including a strict
+    # SUPERSET token list (extra tokens only widen the scan, the
+    # qterms inner join drops them)
+    fast_q = sorted(
+        map(
+            tuple,
+            bm25_topk_from_index(
+                spark,
+                path,
+                queries,
+                k=3,
+                query_tokens=["spark", "cluster", "duckdb"],
+            ).collect(),
+        )
+    )
+    assert fast_q == rebuild_q
+    superset_q = sorted(
+        map(
+            tuple,
+            bm25_topk_from_index(
+                spark,
+                path,
+                queries,
+                k=3,
+                query_tokens=["spark", "cluster", "duckdb", "engine", "zzz"],
+            ).collect(),
+        )
+    )
+    assert superset_q == rebuild_q
+
 
 def test_refresh_index_equals_rebuild_over_union(spark, tmp_path):
     """Append-only refresh (delta tf appended, vocab-sized term merge,
