@@ -598,36 +598,64 @@ def mmr_rerank(
         F.col(vec_col).alias("__v"),
         norm(F.col(vec_col)).alias("__vn"),
     )
-    a = pool_df.select("query_id", F.col("cand_id").alias("a"))
-    b = pool_df.select("query_id", F.col("cand_id").alias("b"))
-    pairs = (
-        a.join(b, "query_id")
-        .where(F.col("a") != F.col("b"))
-        .join(vecs.alias("va"), F.col("a") == F.col("va.__vid"))
-        .join(vecs.alias("vb"), F.col("b") == F.col("vb.__vid"))
+    # Pairwise candidate sims WITHOUT a pool self-join (r11): the pool
+    # is serving-batch-sized (|Q| x pool rows), so broadcast ITS ids
+    # against the corpus — the corpus streams through one hash probe
+    # and is never broadcast or shuffled (the old vecs-side attach let
+    # the planner broadcast the CORPUS at fixture scale and sort-merge
+    # the pool self-join) — then collect each query's surviving
+    # (cand_id, vec, norm) structs in one tiny exchange and build the
+    # pool^2 pair sims with the SAME catalyst expressions
+    # (cosine_staged over staged norms, round_fixed 6, isnan drop)
+    # inside array lambdas: bit-identical doubles, 3 joins + a union
+    # removed from the plan.  Candidates with no usable vector keep
+    # their rel rows (rels group below is from pool_df itself) and
+    # contribute no pairs — the exact inner-join semantics of the old
+    # shape, pinned by test_mmr_partial_missing_negative_sims.
+    attached = vecs.join(
+        F.broadcast(pool_df.select("query_id", "cand_id")),
+        F.col("cand_id") == F.col("__vid"),
+    ).select("query_id", "cand_id", "__v", "__vn")
+    pair_struct = lambda x, y: F.struct(  # noqa: E731
+        x["cand_id"].alias("a"),
+        y["cand_id"].alias("b"),
+        round_fixed(
+            cosine_staged(x["__v"], y["__v"], x["__vn"], y["__vn"]), 6
+        ).alias("sim"),
+    )
+    pairs_grouped = (
+        attached.groupBy("query_id")
+        .agg(
+            F.collect_list(F.struct("cand_id", "__v", "__vn")).alias(
+                "__cs"
+            )
+        )
         .select(
             "query_id",
-            "a",
-            "b",
-            round_fixed(
-                cosine_staged(
-                    F.col("va.__v"),
-                    F.col("vb.__v"),
-                    F.col("va.__vn"),
-                    F.col("vb.__vn"),
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        F.col("__cs"),
+                        lambda x: F.transform(
+                            F.filter(
+                                F.col("__cs"),
+                                lambda y: x["cand_id"] != y["cand_id"],
+                            ),
+                            lambda y: pair_struct(x, y),
+                        ),
+                    )
                 ),
-                6,
-            ).alias("sim"),
+                # NaN-similarity contract above
+                lambda p: ~F.isnan(p["sim"]),
+            ).alias("pairs"),
         )
-        .where(~F.isnan(F.col("sim")))  # NaN-similarity contract above
     )
-    # one grouped frame for applyInPandas: rel rows carry b = NULL
-    tagged = pool_df.select(
-        "query_id",
-        F.col("cand_id").alias("a"),
-        F.lit(None).cast("long").alias("b"),
-        F.col("rel").alias("sim"),
-    ).unionByName(pairs)
+    rels_grouped = pool_df.groupBy("query_id").agg(
+        F.collect_list(F.struct("cand_id", "rel")).alias("rels")
+    )
+    tagged = rels_grouped.join(
+        F.broadcast(pairs_grouped), "query_id", "left"
+    )
 
     out_schema = (
         "query_id long, cand_id long, mmr_rank int, mmr_score double"
@@ -635,15 +663,17 @@ def mmr_rerank(
 
     def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
         qid = int(pdf["query_id"].iloc[0])
-        rel_rows = pdf[pdf["b"].isna()]
-        rel = dict(zip(rel_rows["a"].astype(int), rel_rows["sim"]))
-        pair_rows = pdf[pdf["b"].notna()]
-        sim = {
-            (int(x), int(y)): s
-            for x, y, s in zip(
-                pair_rows["a"], pair_rows["b"], pair_rows["sim"]
-            )
+        rel = {
+            int(r["cand_id"]): r["rel"] for r in pdf["rels"].iloc[0]
         }
+        pair_rows = pdf["pairs"].iloc[0]
+        sim = (
+            {}
+            if pair_rows is None
+            else {
+                (int(p["a"]), int(p["b"])): p["sim"] for p in pair_rows
+            }
+        )
         selected: list[int] = []
         out = []
         cands = sorted(rel)
