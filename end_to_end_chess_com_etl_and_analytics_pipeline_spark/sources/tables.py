@@ -171,6 +171,9 @@ def raw_row_count(spark: SparkSession, path: str) -> int:
         return spark.read.parquet(path).count()
 
 
+_FOOTER_SCHEMA_CACHE: dict[str, T.StructType] = {}
+
+
 def load_table(
 
     spark: SparkSession,
@@ -184,7 +187,14 @@ def load_table(
     (fixture generations have shipped events.ts under different physical
     types, which a declared TimestampType would misread);
     TESTDATA_SCHEMAS documents the logical contract and is asserted
-    post-hoc in tests.
+    post-hoc in tests.  Every schema-less ``spark.read.parquet`` pays a
+    one-task footer-inference JOB per call (~30-90 ms of fixed cost on
+    this harness), so the footer schema is inferred ONCE per path per
+    process and passed explicitly on repeat scans (guide §1.2: don't
+    recompute what metadata already gave you).  The cache holds schema
+    METADATA only — never rows — and the fixture dirs are immutable
+    within a process; paths that are rewritten mid-process (the chess
+    STAGE_DIR, per-run temp artifacts) do not go through this reader.
 
     The text/embedding corpora feed compute-bound per-row operators
     (hashing, signatures, vector math), so their scans go through
@@ -198,7 +208,11 @@ def load_table(
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         return repair_events_ts(read_events_raw(spark, path))
-    df = spark.read.parquet(path)
+    schema = _FOOTER_SCHEMA_CACHE.get(path)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _FOOTER_SCHEMA_CACHE[path] = schema
+    df = spark.read.schema(schema).parquet(path)
     if spread is None:
         spread = name in ("documents", "embeddings")
     return spread_small_scan(spark, df) if spread else df
