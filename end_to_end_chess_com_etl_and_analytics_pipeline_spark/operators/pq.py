@@ -673,7 +673,9 @@ def read_ivf_pq_index(
     (driver-sized by the build contract)."""
     import os
 
-    codes = spark.read.parquet(os.path.join(path, "codes"))
+    from ..sources.tables import read_parquet_noinfer
+
+    codes = read_parquet_noinfer(spark, os.path.join(path, "codes"))
     # the three metadata artifacts are driver-sized by the build
     # contract (centroids ~100 rows, codebooks M·k rows, meta 1 row):
     # read them with pyarrow straight on the driver — three Spark

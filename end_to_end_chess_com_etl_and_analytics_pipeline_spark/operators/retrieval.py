@@ -241,13 +241,17 @@ def read_bm25_index(
     spark: "SparkSession",  # noqa: F821
     path: str,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """(tf, terms, scalars) from a persisted index."""
+    """(tf, terms, scalars) from a persisted index.  Footer schemas are
+    read driver-side (read_parquet_noinfer) — three schema-inference
+    jobs saved per open."""
     import os
 
+    from ..sources.tables import read_parquet_noinfer
+
     return (
-        spark.read.parquet(os.path.join(path, "tf")),
-        spark.read.parquet(os.path.join(path, "terms")),
-        spark.read.parquet(os.path.join(path, "scalars")),
+        read_parquet_noinfer(spark, os.path.join(path, "tf")),
+        read_parquet_noinfer(spark, os.path.join(path, "terms")),
+        read_parquet_noinfer(spark, os.path.join(path, "scalars")),
     )
 
 

@@ -45,7 +45,7 @@ from ..operators.dedup import (
 )
 from ..operators.similarity import brute_force_topk, ivf_topk, mmr_rerank
 from ..operators.windows import sessionize, sliding_agg, tumbling_agg
-from ..sources.tables import load_table, raw_row_count
+from ..sources.tables import load_table, raw_row_count, read_parquet_noinfer
 from ..session import local_df
 
 # ---------------------------------------------------------------------------
@@ -1002,7 +1002,7 @@ def st11_streaming_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
             paths["ckpt"],
         )
         out = bm25_rank_topk(
-            spark.read.parquet(paths["scores"]), _X58_K
+            read_parquet_noinfer(spark, paths["scores"]), _X58_K
         ).localCheckpoint()
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -1099,7 +1099,7 @@ def x61_scoring_frame(
 
     docs = load_table(spark, "documents", sf_dir)
     bm25_build_index(docs, root)
-    terms = spark.read.parquet(root + "/terms")
+    terms = read_parquet_noinfer(spark, root + "/terms")
     top2 = (
         terms.orderBy(F.col("cnt").desc(), F.col("token").asc())
         .limit(2 * _X58_TOPQ)
@@ -1650,7 +1650,7 @@ def st12_streaming_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         queries = _model_queries(spark, fin, init, 0, _X62_NQ)
         out = ivf_pq_topk_from_codes(
-            spark.read.parquet(codes_dir),
+            read_parquet_noinfer(spark, codes_dir),
             queries,
             cents,
             books,
@@ -2266,7 +2266,7 @@ def st09_streaming_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).repartition(3).write.parquet(batch_dir)
         streaming_sketch_merge(spark, batch_dir, cells_path, ckpt)
         merged = (
-            spark.read.parquet(cells_path)
+            read_parquet_noinfer(spark, cells_path)
             .groupBy("seed", "bucket")
             .agg(F.sum("cell_cnt").alias("cell_cnt"))
             .localCheckpoint()  # pin before the temp tree disappears

@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 
 from ..functions.rounding import round_fixed, round_fixed_sql
 from ..functions.text import tokens
-from ..sources.tables import load_table
+from ..sources.tables import load_table, read_parquet_noinfer
 
 # whitespace tokenization with empties dropped — single-sourced next to
 # its Spark twin (functions.text.tokens)
@@ -1243,7 +1243,7 @@ def st07_streaming_lm_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, batch_dir, vocab_path, stats_path, out_path, ckpt
         )
         # pin results before the temp tree disappears
-        out = spark.read.parquet(out_path).localCheckpoint()
+        out = read_parquet_noinfer(spark, out_path).localCheckpoint()
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out

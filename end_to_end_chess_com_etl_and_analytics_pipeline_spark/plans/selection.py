@@ -63,7 +63,7 @@ from ..functions.hashing import md5_long, md5_long_sql
 from ..functions.rounding import round_fixed, round_fixed_sql
 from ..functions.text import bpe_ish_token_count, casefold, quality_score, tokens
 from ..operators.ids import shard_offsets
-from ..sources.tables import load_table
+from ..sources.tables import load_table, read_parquet_noinfer
 
 # x33: quality-bucket shard count and the token budget.  The budget is
 # chosen at fixture scale so BOTH outcomes occur at sf0.01 and sf0.1
@@ -448,7 +448,7 @@ def st06_streaming_incremental_dedup(
             shingle_len=_MINHASH_SHINGLE,
         )
         # pin results before the temp tree disappears
-        out = spark.read.parquet(out_path).localCheckpoint()
+        out = read_parquet_noinfer(spark, out_path).localCheckpoint()
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out

@@ -171,6 +171,35 @@ def raw_row_count(spark: SparkSession, path: str) -> int:
         return spark.read.parquet(path).count()
 
 
+def read_parquet_noinfer(spark: SparkSession, path: str) -> DataFrame:
+    """``spark.read.parquet`` with the footer schema read DRIVER-SIDE
+    via pyarrow instead of Spark's one-task schema-inference job — the
+    per-run artifact read-backs (BM25/IVF-PQ indexes, staged
+    selections) live at fresh temp paths every run, so load_table's
+    per-path cache can never help them, yet each schema-less read pays
+    a ~30-90 ms scheduler job just to learn a schema the footer states.
+    The footer is re-read on EVERY call (no caching), so rewritten
+    paths stay correct; the schema is still the file's own — nothing is
+    hard-coded.  Falls back to plain inference for anything pyarrow
+    can't read (non-local FS, encrypted footers) or any arrow type the
+    converter refuses."""
+    try:
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        p = path.removeprefix("file:")
+        if os.path.isdir(p):
+            p = next(
+                os.path.join(p, e)
+                for e in sorted(os.listdir(p))
+                if e.endswith(".parquet")
+            )
+        schema = from_arrow_schema(pq.read_schema(p))
+        return spark.read.schema(schema).parquet(path)
+    except Exception:
+        return spark.read.parquet(path)
+
+
 _FOOTER_SCHEMA_CACHE: dict[str, T.StructType] = {}
 
 
