@@ -41,6 +41,9 @@ def _check_finite(value) -> None:
     if isinstance(value, (list, tuple)):
         for v in value:
             _check_finite(v)
+    elif isinstance(value, dict):
+        for v in value.values():
+            _check_finite(v)
     elif isinstance(value, float) and not math.isfinite(value):
         raise ValueError(f"array_lit: non-finite value {value!r}")
 

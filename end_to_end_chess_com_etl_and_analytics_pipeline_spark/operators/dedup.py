@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.fastlit import array_lit
 from ..functions.hashing import (
     MINHASH_H_MOD,
     MINHASH_PRIME,
@@ -62,28 +63,41 @@ def _shingle_hash_df(
     near-dup cluster (found by the NULL-injected differential sweep).
     The DuckDB oracles drop them the same way (tokenizing NULL yields
     NULL, which unnest discards)."""
+    from ..session import cached_column
+
+    def _build():
+        th = F.transform(
+            F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != ""),
+            lambda t: md5_long(t) % MINHASH_H_MOD,
+        )
+
+        def _poly(arr):
+            return F.aggregate(
+                arr,
+                F.lit(0).cast("bigint"),
+                lambda acc, h: (acc * F.lit(SHINGLE_COMBINE_B) + h)
+                % F.lit(MINHASH_PRIME),
+            )
+
+        n = F.size(F.col("__th"))
+        hs = F.when(
+            n < shingle_len, F.array(_poly(F.col("__th")))
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), n - F.lit(shingle_len - 1)),
+                lambda i: _poly(F.slice(F.col("__th"), i, shingle_len)),
+            )
+        )
+        return th, hs
+
+    # the tree is a pure function of (text_col, shingle_len) — build it
+    # once per session (session.cached_column; expression structure
+    # only, never data)
+    th, hs = cached_column(
+        df.sparkSession, ("shingle_hs", text_col, shingle_len), _build
+    )
     df = df.where(F.col(text_col).isNotNull())
-    th = F.transform(
-        F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != ""),
-        lambda t: md5_long(t) % MINHASH_H_MOD,
-    )
     with_th = df.select(F.col(id_col), th.alias("__th"))
-
-    def _poly(arr):
-        return F.aggregate(
-            arr,
-            F.lit(0).cast("bigint"),
-            lambda acc, h: (acc * F.lit(SHINGLE_COMBINE_B) + h)
-            % F.lit(MINHASH_PRIME),
-        )
-
-    n = F.size(F.col("__th"))
-    hs = F.when(n < shingle_len, F.array(_poly(F.col("__th")))).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), n - F.lit(shingle_len - 1)),
-            lambda i: _poly(F.slice(F.col("__th"), i, shingle_len)),
-        )
-    )
     return with_th.select(F.col(id_col), hs.alias("__hs"))
 
 
@@ -121,15 +135,28 @@ def minhash_signature_array(
     a_co, b_co = minhash_coeffs(num_hashes)
     with_hs = _shingle_hash_df(df, text_col, id_col, shingle_len)
 
-    def _g(a: int, b: int):
-        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)
+    # the per-seed expression tree is a pure function of num_hashes, so
+    # build it once per session (session.cached_column — ~6 py4j round
+    # trips per seed, 0.3-0.4 s per CALL at 16 seeds before the memo).
+    # The tree itself stays the UNROLLED per-seed form: a zip_with over
+    # two coefficient-array literals was measured 1.3-1.7× slower to
+    # EXECUTE at sf0.1 (x20 1.11→1.83 s, x35 0.98→1.46 s — the paired
+    # lambda variables defeat the flat per-seed evaluation), so the
+    # memo buys the build saving without touching the executed plan.
+    from ..session import cached_column
 
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("__hs"), _g(a_co[i], b_co[i])))
-            for i in range(num_hashes)
-        ]
-    )
+    def _build():
+        def _g(a: int, b: int):
+            return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)
+
+        return F.array(
+            *[
+                F.array_min(F.transform(F.col("__hs"), _g(a_co[i], b_co[i])))
+                for i in range(num_hashes)
+            ]
+        )
+
+    sig = cached_column(df.sparkSession, ("minhash_sig", num_hashes), _build)
     return with_hs.select(F.col(id_col), sig.alias("signature"))
 
 
@@ -150,15 +177,17 @@ def minhash_signature_table(
     into an inferred size()>0 filter, and the Generate node acts as a
     barrier that keeps the one-md5-per-token pass evaluated once."""
     a_co, b_co = minhash_coeffs(num_hashes)
-    seeds = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("seed"),
-                F.lit(a_co[i]).alias("a"),
-                F.lit(b_co[i]).alias("b"),
-            )
+    # fastlit: one two-node literal instead of num_hashes struct
+    # constructions (see minhash_signature_array) — still a FOLDABLE
+    # generator child, so the InferFiltersFromGenerate barrier below
+    # holds unchanged
+    seeds = array_lit(
+        df.sparkSession,
+        [
+            {"seed": i, "a": int(a_co[i]), "b": int(b_co[i])}
             for i in range(num_hashes)
-        ]
+        ],
+        "array<struct<seed:int,a:bigint,b:bigint>>",
     )
     exploded = _shingle_hash_df(df, text_col, id_col, shingle_len).select(
         F.col(id_col), F.col("__hs"), F.explode(seeds).alias("sb")

@@ -221,10 +221,33 @@ def pq_encode(
     6 decimals.  Pure projection — zero shuffle, zero joins.  ``carry``
     names extra input columns to keep on the output (e.g. an IVF cell
     id — ivf_pq_topk rides encode+assignment through ONE scan instead
-    of a self-join).  One-shot form of :func:`pq_encoder`."""
-    return pq_encoder(
-        vectors.sparkSession, codebooks, vec_col, id_col, carry
-    )(vectors)
+    of a self-join).  One-shot form of :func:`pq_encoder`, with the
+    encoder closure memoized per session on the codebook VALUES
+    (session.cached_column) — the x62/x65/x67 family encodes against
+    the same deterministic model several times per process, and the
+    ~0.5 s expression construction is a pure function of the key."""
+    from ..session import cached_column
+
+    spark = vectors.sparkSession
+    key = (
+        "pq_encoder",
+        vec_col,
+        id_col,
+        carry,
+        _books_key(codebooks),
+    )
+    enc = cached_column(
+        spark, key, lambda: pq_encoder(spark, codebooks, vec_col, id_col, carry)
+    )
+    return enc(vectors)
+
+
+def _books_key(codebooks: Codebooks) -> tuple:
+    """Hashable value key of a codebook set (memoization identity)."""
+    return tuple(
+        tuple((int(code), tuple(float(v) for v in sub)) for code, sub in book)
+        for book in codebooks
+    )
 
 
 def _reconstruct(
@@ -476,10 +499,27 @@ def ivf_pq_encode_corpus(
     projection.  A pure per-row function of (vector, centroids,
     codebooks), so micro-batch encodes appended over time equal the
     one-shot batch encode (st12's stream≡batch contract).  One-shot
-    form of :func:`ivf_pq_corpus_encoder`."""
-    return ivf_pq_corpus_encoder(
-        corpus.sparkSession, centroids, codebooks, vec_col, id_col, residual
-    )(corpus)
+    form of :func:`ivf_pq_corpus_encoder`, memoized per session on the
+    model VALUES (see pq_encode)."""
+    from ..session import cached_column
+
+    spark = corpus.sparkSession
+    key = (
+        "ivf_pq_corpus_encoder",
+        vec_col,
+        id_col,
+        bool(residual),
+        tuple((int(c), tuple(float(v) for v in cv)) for c, cv in centroids),
+        _books_key(codebooks),
+    )
+    enc = cached_column(
+        spark,
+        key,
+        lambda: ivf_pq_corpus_encoder(
+            spark, centroids, codebooks, vec_col, id_col, residual
+        ),
+    )
+    return enc(corpus)
 
 
 def _query_probes(

@@ -616,13 +616,33 @@ def mmr_rerank(
         F.broadcast(pool_df.select("query_id", "cand_id")),
         F.col("cand_id") == F.col("__vid"),
     ).select("query_id", "cand_id", "__v", "__vn")
-    pair_struct = lambda x, y: F.struct(  # noqa: E731
-        x["cand_id"].alias("a"),
-        y["cand_id"].alias("b"),
-        round_fixed(
-            cosine_staged(x["__v"], y["__v"], x["__vn"], y["__vn"]), 6
-        ).alias("sim"),
-    )
+    from ..session import cached_column
+
+    def _build_pairs_col():
+        pair_struct = lambda x, y: F.struct(  # noqa: E731
+            x["cand_id"].alias("a"),
+            y["cand_id"].alias("b"),
+            round_fixed(
+                cosine_staged(x["__v"], y["__v"], x["__vn"], y["__vn"]), 6
+            ).alias("sim"),
+        )
+        return F.filter(
+            F.flatten(
+                F.transform(
+                    F.col("__cs"),
+                    lambda x: F.transform(
+                        F.filter(
+                            F.col("__cs"),
+                            lambda y: x["cand_id"] != y["cand_id"],
+                        ),
+                        lambda y: pair_struct(x, y),
+                    ),
+                )
+            ),
+            # NaN-similarity contract above
+            lambda p: ~F.isnan(p["sim"]),
+        ).alias("pairs")
+
     pairs_grouped = (
         attached.groupBy("query_id")
         .agg(
@@ -632,22 +652,11 @@ def mmr_rerank(
         )
         .select(
             "query_id",
-            F.filter(
-                F.flatten(
-                    F.transform(
-                        F.col("__cs"),
-                        lambda x: F.transform(
-                            F.filter(
-                                F.col("__cs"),
-                                lambda y: x["cand_id"] != y["cand_id"],
-                            ),
-                            lambda y: pair_struct(x, y),
-                        ),
-                    )
-                ),
-                # NaN-similarity contract above
-                lambda p: ~F.isnan(p["sim"]),
-            ).alias("pairs"),
+            # pure function of nothing but column NAMES — one build per
+            # session (session.cached_column)
+            cached_column(
+                corpus.sparkSession, ("mmr_pairs_col",), _build_pairs_col
+            ),
         )
     )
     rels_grouped = pool_df.groupBy("query_id").agg(

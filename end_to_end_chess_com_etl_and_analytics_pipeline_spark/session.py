@@ -70,6 +70,38 @@ def local_df(spark: SparkSession, rows, schema) -> DataFrame:
     return spark.createDataFrame(pdf, schema=st)
 
 
+_EXPR_CACHE = None  # weakref.WeakKeyDictionary[SparkSession, dict]
+
+
+def cached_column(spark: SparkSession, key: tuple, builder):
+    """Memoize a PURE Column-expression tree per SparkSession.
+
+    Constructing a deep expression tree costs one py4j round trip per
+    node (~1-3 ms each; the 16-seed MinHash tree measured 0.3-0.4 s to
+    BUILD per call) and the constructors are pure functions of their
+    key — same key, same tree.  Column objects are immutable and
+    plan-independent (they reference columns by NAME), so one tree can
+    be embedded in any number of plans; the pq encoder factories
+    (r11 Finding 9) already rely on exactly this reuse across
+    micro-batch plans.  This caches expression STRUCTURE only — never
+    data, never results: every action still computes from its inputs.
+
+    Keyed weakly by the SparkSession so a stopped/replaced session
+    (whose JVM object handles would be stale) simply misses and
+    rebuilds.  ``builder`` takes no arguments and may return a Column
+    or a tuple of Columns.
+    """
+    global _EXPR_CACHE
+    if _EXPR_CACHE is None:
+        import weakref
+
+        _EXPR_CACHE = weakref.WeakKeyDictionary()
+    per_session = _EXPR_CACHE.setdefault(spark, {})
+    if key not in per_session:
+        per_session[key] = builder()
+    return per_session[key]
+
+
 def get_spark(
     app_name: str = "chess-analytics-spark",
     master: str | None = None,
