@@ -79,10 +79,10 @@ HEADLINE = [
     ("x56_native_session_window", "one user_id exchange feeds MergingSessionsExec (Catalyst's native session operator) — same shuffle count as the gaps-and-islands form, no window-function pass"),
     ("x57_mergeable_rollup", "two slice-local map-side-combined hash-aggs (history, batch) + one grain-bounded merge agg — events never re-shuffled together, merge input is O(grain) rows"),
     ("x63_fuzzy_join", "PassJoin banding: DISTINCT keys once; segment/probe explodes are scan-local; candidates = equi-join on (len, seg, value) — NO CartesianProduct/BNLJ anywhere; verify is thresholded levenshtein on candidates only"),
-    ("x64_mmr_diversified_topk", "pool = broadcast-query brute-force top-k (corpus never shuffles); pairwise sims = pool self-join + two id-keyed vector joins (|Q|*pool^2 bounded rows); greedy rerank = ONE query_id exchange into applyInPandas"),
+    ("x64_mmr_diversified_topk", "pool = broadcast-query brute-force top-k (corpus never shuffles); pairwise sims = broadcast pool-id hash probe of the corpus + ONE query_id collect exchange, pool^2 sims computed in array lambdas (no pool self-join, no corpus shuffle); greedy rerank = ONE query_id exchange into applyInPandas"),
     ("x65_ivf_pq_persisted_index", "persisted-index ADC scoring: codes scan with pushed In(__cell,...) filter (range layout -> row-group pruning); centroids/codebooks read from driver-sized artifact tables; NO re-encode, NO codebook rebuild — scoring is O(probed postings)"),
-    ("x66_ann_mmr_rerank", "ANN-pooled MMR: IVF×PQ candidate generation (broadcast probes join codes on cell — ~nprobe/n_cells of the corpus) + |Q|*pool id-keyed exact cosine rerank + pool self-join pairwise sims + ONE query_id exchange into applyInPandas; the brute-force corpus scan x64 pays is GONE"),
-    ("x67_persisted_ann_mmr", "persisted-ANN MMR serving: scoring scans the frozen codes artifact with the pushed In(__cell,...) filter (x65's plan) — NO re-train, NO corpus re-encode; exact rerank is |Q|*pool id-keyed lookups; ONE query_id exchange into the greedy applyInPandas"),
+    ("x66_ann_mmr_rerank", "ANN-pooled MMR: IVF×PQ candidate generation (broadcast probes join codes on cell — ~nprobe/n_cells of the corpus) + |Q|*pool id-keyed exact cosine rerank + broadcast pool-id pairwise sims in array lambdas (no pool self-join) + ONE query_id exchange into applyInPandas; the brute-force corpus scan x64 pays is GONE"),
+    ("x67_persisted_ann_mmr", "persisted-ANN MMR serving: scoring scans the frozen codes artifact with the pushed In(__cell,...) filter (x65's plan) — NO re-train, NO corpus re-encode; exact rerank is |Q|*pool id-keyed lookups; pairwise sims via broadcast pool ids (no pool self-join); ONE query_id exchange into the greedy applyInPandas"),
     ("st13_streaming_scd2", "the dimension table lives hash-bucketed by user — this audits the final table read (scan shows __bucket partition dirs); the per-batch merge reads ONLY affected buckets (partition pruning) and rewrites ONLY them via dynamic overwrite (untouched buckets pinned mtime-identical by tests/test_streaming_scd2.py)"),
 ]
 
