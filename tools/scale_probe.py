@@ -314,6 +314,12 @@ PROBES = [
     "x55_kmv_source_overlap",
     "x56_native_session_window",
     "x57_mergeable_rollup",
+    # r11: the CC family — the driver union-find fast path (Finding 5)
+    # gates on MEASURED edge count, so the 10× replica corpus (edges
+    # grow ~quadratically in duplication) must be measured under it
+    "x20_dedup_clusters",
+    "x32_canonical_docs",
+    "x35_incremental_dedup",
 ]
 
 # operators whose result is pair/fan-out shaped: their cost tracks
