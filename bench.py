@@ -251,6 +251,16 @@ def main() -> None:
     # on a code-unchanged query is a real regression, not noise.
     CALIB_REF_SEC = 0.138
     out["value_normalized"] = round(total * CALIB_REF_SEC / calib_best, 3)
+    # The stdout line is the driver contract and the driver captures
+    # only a bounded TAIL of stdout: r10's line embedded the O(#queries)
+    # vs_prior map, outgrew the capture, and the whole round-over-round
+    # section of PERF_r11.json came back empty (BENCH_r10.json
+    # parsed=null; r11 verdict #1).  So the printed line now carries
+    # ONLY the required fields plus the two scalar calibration stamps;
+    # the vs_prior comparison (and anything else O(#queries) beyond the
+    # required `queries` map) goes to the BENCH_SOLO_detail.json
+    # sidecar.  Nothing is dropped — the sidecar holds the full object.
+    detail = dict(out)
     prior = _latest_prior_artifact()
     if prior is not None:
         pname, pdata = prior
@@ -264,7 +274,7 @@ def main() -> None:
             }
             now_shared = sum(timings[n] for n in shared)
             prior_shared = sum(pq[n] for n in shared)
-            out["vs_prior"] = {
+            detail["vs_prior"] = {
                 "artifact": pname,
                 "prior_value": pdata.get("value"),
                 "prior_calib_sec": pcal,
@@ -279,9 +289,14 @@ def main() -> None:
                 # ratios stay normalized by the pure-compute stamp for
                 # continuity with r1-r9 artifacts; this flags when the
                 # I/O dimension moved independently
-                out["vs_prior"]["calib_io_ratio"] = round(
+                detail["vs_prior"]["calib_io_ratio"] = round(
                     calib_io_best / pdata["calib_io_sec"], 3
                 )
+    try:
+        with open(os.path.join(_REPO_ROOT, "BENCH_SOLO_detail.json"), "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass  # a read-only checkout still gets the stdout line
     print(json.dumps(out))
 
 
