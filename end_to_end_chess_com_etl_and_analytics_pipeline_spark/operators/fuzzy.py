@@ -168,7 +168,14 @@ def edit_distance_pairs(
                 F.col("key_t"), F.col("__start") + 1, F.col("__slen")
             ).alias("__val"),
         )
-        .distinct()
+        # NO .distinct() here (r12): duplicate probe rows (different
+        # shifted starts yielding the same substring) only duplicate
+        # candidate pairs, and ``candidates`` below already pays a
+        # distinct — deduping probes first cost a full exchange of the
+        # exploded probe set (≤45 rows/key either way, so the join
+        # fanout bound is unchanged).  Interleaved A/B at sf0.1:
+        # 1.880 s vs 2.052 s best-of-8, the no-distinct side winning
+        # every warm rep (guide §2.4: remove shuffles outright).
     )
 
     candidates = (

@@ -136,6 +136,15 @@ def _driver_union_find(spark, sym: DataFrame) -> DataFrame:
     # the same longs columnar (falls back to the row path untyped on
     # sessions without Arrow — values identical either way).
     pdf = sym.toPandas()
+    if pdf["a"].isna().any() or pdf["b"].isna().any():
+        # Arrow hands a nullable int column back as float64 with NaN —
+        # the NULL endpoint would silently become a float id / NaN
+        # singleton component where the old row-based collect failed
+        # loud (r11 ADVICE).  An edge list with NULL endpoints is a
+        # caller bug either way; keep the failure explicit.
+        raise ValueError(
+            "connected_components: edge list contains NULL endpoints"
+        )
     a_list = pdf["a"].tolist()
     b_list = pdf["b"].tolist()
     parent: dict = {}

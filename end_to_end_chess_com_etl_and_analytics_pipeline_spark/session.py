@@ -13,10 +13,17 @@ count (re-size to ~2-3× total cores on a real cluster).
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# serializes local_df's arrow-conf flip (sessions created without the
+# conf) and cached_column's check-then-build — both are called from
+# the artifact-write thread pools
+_ARROW_FLIP_LOCK = threading.Lock()
+_EXPR_CACHE_LOCK = threading.Lock()
 
 
 def local_df(spark: SparkSession, rows, schema) -> DataFrame:
@@ -52,11 +59,6 @@ def local_df(spark: SparkSession, rows, schema) -> DataFrame:
         # builder (the pandas path would need dtype scaffolding for 0
         # rows for no benefit)
         return spark.createDataFrame([], st)
-    if spark.conf.get("spark.sql.execution.arrow.pyspark.enabled") != "true":
-        # without Arrow the pandas path degrades to the same pickled-row
-        # plan; the conf is runtime-settable and is the documented
-        # recommended setting (guide §9) — enable it for this session
-        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     import pandas as pd
 
     names = st.fieldNames()
@@ -67,10 +69,34 @@ def local_df(spark: SparkSession, rows, schema) -> DataFrame:
         },
         columns=names,
     )
-    return spark.createDataFrame(pdf, schema=st)
+    arrow_conf = "spark.sql.execution.arrow.pyspark.enabled"
+    prev = spark.conf.get(arrow_conf)
+    if prev == "true":
+        return spark.createDataFrame(pdf, schema=st)
+    # without Arrow the pandas path degrades to the same pickled-row
+    # plan; the conf is runtime-settable and is the documented
+    # recommended setting (guide §9) — enable it for THIS creation
+    # only and restore the caller's value after (r11 verdict #3: a
+    # library function must not flip session state as a side effect;
+    # values are identical either way, pinned by the vanilla contract
+    # drive, which runs with Arrow off).  The lock serializes the
+    # flip-create-restore against concurrent local_df calls (the
+    # artifact-write thread pools): the conf is session-global, and a
+    # concurrent restore mid-creation would silently demote a sibling
+    # to the pickled-row plan.
+    with _ARROW_FLIP_LOCK:
+        spark.conf.set(arrow_conf, "true")
+        try:
+            return spark.createDataFrame(pdf, schema=st)
+        finally:
+            if prev is None:
+                spark.conf.unset(arrow_conf)
+            else:
+                spark.conf.set(arrow_conf, prev)
 
 
 _EXPR_CACHE = None  # weakref.WeakKeyDictionary[SparkSession, dict]
+_EXPR_CACHE_MAX = 64  # per-session entries; see cached_column docstring
 
 
 def cached_column(spark: SparkSession, key: tuple, builder):
@@ -90,16 +116,30 @@ def cached_column(spark: SparkSession, key: tuple, builder):
     (whose JVM object handles would be stale) simply misses and
     rebuilds.  ``builder`` takes no arguments and may return a Column
     or a tuple of Columns.
+
+    Bounded and thread-safe (r11 ADVICE): entries are value-keyed
+    (PQ encoders key on full codebook values), so a session that
+    retrains models forever would otherwise accumulate one large
+    Python+py4j tree per distinct model; past ``_EXPR_CACHE_MAX``
+    entries the oldest-inserted entry is evicted (insertion-order FIFO
+    — the working set per session is a handful of frozen-model trees,
+    so recency bookkeeping would be ceremony).  The lock guards the
+    lazy init and the check-then-build: builders are pure, but two
+    racing builders would otherwise both pay the py4j construction and
+    one inner dict could be lost.
     """
     global _EXPR_CACHE
-    if _EXPR_CACHE is None:
-        import weakref
+    with _EXPR_CACHE_LOCK:
+        if _EXPR_CACHE is None:
+            import weakref
 
-        _EXPR_CACHE = weakref.WeakKeyDictionary()
-    per_session = _EXPR_CACHE.setdefault(spark, {})
-    if key not in per_session:
-        per_session[key] = builder()
-    return per_session[key]
+            _EXPR_CACHE = weakref.WeakKeyDictionary()
+        per_session = _EXPR_CACHE.setdefault(spark, {})
+        if key not in per_session:
+            if len(per_session) >= _EXPR_CACHE_MAX:
+                per_session.pop(next(iter(per_session)))
+            per_session[key] = builder()
+        return per_session[key]
 
 
 def get_spark(

@@ -159,12 +159,24 @@ def raw_row_count(spark: SparkSession, path: str) -> int:
 
         p = path.removeprefix("file:")
         if os.path.isdir(p):
+            # os.walk, not os.listdir: a hive-partitioned dir holds
+            # key=val/ SUBDIRS of parquet files — the flat listing saw
+            # none and silently returned 0, feeding degenerate geometry
+            # to the sizing heuristics (r11 verdict #2).  If the walk
+            # still finds no data files (delta/iceberg manifests, an
+            # empty staging dir), fall through to the Spark count
+            # rather than asserting "0 rows" from absence of evidence.
             total = 0
-            for entry in os.listdir(p):
-                if entry.endswith(".parquet"):
-                    total += pq.ParquetFile(
-                        os.path.join(p, entry)
-                    ).metadata.num_rows
+            n_files = 0
+            for root, _dirs, files in os.walk(p):
+                for entry in files:
+                    if entry.endswith(".parquet"):
+                        n_files += 1
+                        total += pq.ParquetFile(
+                            os.path.join(root, entry)
+                        ).metadata.num_rows
+            if n_files == 0:
+                return spark.read.parquet(path).count()
             return total
         return pq.ParquetFile(p).metadata.num_rows
     except Exception:

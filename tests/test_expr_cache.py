@@ -62,3 +62,50 @@ def test_minhash_signature_cached_equals_fresh(spark):
         (r["doc_id"], list(r["signature"])) for r in rows
     )
     assert key(cached1) == key(cached2) == key(fresh)
+
+
+def test_cache_bounded_fifo_eviction(spark):
+    """Value-keyed entries (pq encoders key on whole codebooks) must
+    not accumulate unboundedly in a long-lived session that retrains
+    models (r11 ADVICE): past _EXPR_CACHE_MAX the oldest entry is
+    evicted and a re-request simply rebuilds."""
+    per_session = S._EXPR_CACHE[spark] if S._EXPR_CACHE else None
+    saved = dict(per_session) if per_session is not None else None
+    if per_session is not None:
+        per_session.clear()
+    try:
+        n = S._EXPR_CACHE_MAX
+        for i in range(n + 5):
+            cached_column(spark, ("evict", i), lambda i=i: F.lit(i))
+        per = S._EXPR_CACHE[spark]
+        assert len(per) == n
+        assert ("evict", 0) not in per  # oldest evicted
+        assert ("evict", n + 4) in per  # newest kept
+        # evicted key rebuilds on demand (a miss, never an error)
+        col = cached_column(spark, ("evict", 0), lambda: F.lit(0))
+        assert col is not None
+    finally:
+        per = S._EXPR_CACHE[spark]
+        per.clear()
+        if saved:
+            per.update(saved)
+
+
+def test_pq_encode_accepts_list_carry(spark):
+    """A list-valued carry was accepted before the r11 memo (it is
+    only iterated) — the memo key must normalize it, not raise
+    TypeError: unhashable (r11 ADVICE)."""
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.operators.pq import (
+        pq_encode,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "s1", [1.0, 2.0, 3.0, 4.0])],
+        "vec_id long, src string, embedding array<double>",
+    )
+    books = [
+        [(0, [1.0, 2.0]), (1, [3.0, 4.0])],
+        [(0, [3.0, 4.0]), (1, [5.0, 6.0])],
+    ]
+    out = pq_encode(df, books, carry=["src"]).collect()
+    assert out[0]["src"] == "s1" and out[0]["code_0"] == 0

@@ -83,3 +83,32 @@ def test_raw_row_count_matches_spark_count(spark):
 
     path = os.path.join(SF_DIR, "embeddings.parquet")
     assert raw_row_count(spark, path) == spark.read.parquet(path).count()
+
+
+def test_conf_restored_on_arrowless_session(spark):
+    """local_df flips the session's Arrow conf for the creation only
+    and restores the caller's value after — a library function must
+    not mutate session state as a side effect (r11 verdict #6)."""
+    conf = "spark.sql.execution.arrow.pyspark.enabled"
+    prev = spark.conf.get(conf)
+    spark.conf.set(conf, "false")
+    try:
+        df = local_df(spark, [(1, "a")], "id long, s string")
+        assert [(r["id"], r["s"]) for r in df.collect()] == [(1, "a")]
+        assert spark.conf.get(conf) == "false"
+    finally:
+        spark.conf.set(conf, prev)
+
+
+def test_raw_row_count_hive_partitioned_dir(spark, tmp_path):
+    """A key=val/ partitioned dir must count the nested files — the
+    r11 flat listing silently returned 0 for exactly this layout
+    (the 100 TB shape), starving the sizing heuristics."""
+    from end_to_end_chess_com_etl_and_analytics_pipeline_spark.sources.tables import (
+        raw_row_count,
+    )
+
+    out = str(tmp_path / "part_tbl")
+    df = spark.range(100).selectExpr("id", "id % 3 AS k")
+    df.write.partitionBy("k").mode("overwrite").parquet(out)
+    assert raw_row_count(spark, out) == 100

@@ -111,6 +111,19 @@ def test_connected_components_long_chain(spark):
         assert got == {i: 0 for i in range(n)}, f"driver_max_edges={cap}"
 
 
+def test_connected_components_null_endpoint_raises(spark):
+    """NULL edge endpoints must fail LOUD on the driver path: the
+    Arrow transfer would otherwise degrade the id column to float64
+    and emit NaN singleton components silently (r11 ADVICE)."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, 2), (3, None)], "src long, dst long"
+    )
+    with pytest.raises(ValueError, match="NULL endpoints"):
+        connected_components(df)
+
+
 def test_connected_components_nonconvergence_raises(spark):
     """A diameter-11 path cannot settle in 3 rounds: the guard must
     refuse to return silently-split components.  (Iterative path only
