@@ -527,6 +527,42 @@ def _dup_flag_aggjoin(base: DataFrame) -> DataFrame:
     )
 
 
+def _dup_flag_saltagg(base: DataFrame, salts: int = 16) -> DataFrame:
+    """Cross-doc duplication flag, SALTED TWO-STAGE AGG formulation
+    (r11 verdict #7's skew experiment): stage 1 aggregates
+    (gram-key, salt) → (min_doc, max_doc) with the salt spreading a
+    hot gram's reduce rows over ``salts`` partitions (guide §2.5
+    two-level aggregation); stage 2 merges the salted partials per key
+    (min of mins / max of maxes — the same global extrema); the
+    duplicated-key set then joins back to the positions exactly like
+    :func:`_dup_flag_aggjoin`.  Identical output by construction.
+
+    MEASURED LOSER (r12 A/B, SCALE.md "Round 12: x68/x69 salted
+    aggregation") — kept behind the formulation switch as the measured
+    alternative, NOT the default."""
+    part = (
+        base.where("__has_g")
+        .groupBy(
+            "__k",
+            F.pmod(F.xxhash64("doc_id"), F.lit(int(salts))).alias("__salt"),
+        )
+        .agg(F.min("doc_id").alias("__pmin"), F.max("doc_id").alias("__pmax"))
+    )
+    dup_keys = (
+        part.groupBy("__k")
+        .agg(F.min("__pmin").alias("__dmin"), F.max("__pmax").alias("__dmax"))
+        .where(F.col("__dmin") != F.col("__dmax"))
+        .select("__k", F.lit(True).alias("__dup_k"))
+    )
+    keep = [base[c] for c in base.columns if c not in ("__has_g", "__k")]
+    return base.join(
+        dup_keys, (base["__has_g"]) & (base["__k"] == dup_keys["__k"]), "left"
+    ).select(
+        *keep,
+        F.coalesce(F.col("__dup_k"), F.lit(False)).alias("__dup"),
+    )
+
+
 def _dup_flagged(base: DataFrame, formulation: str) -> DataFrame:
     """Dispatch to a duplication-flag formulation (identical output by
     construction; tools/x68_ab_probe.py asserts it and SCALE.md records
@@ -535,6 +571,8 @@ def _dup_flagged(base: DataFrame, formulation: str) -> DataFrame:
         return _dup_flag_window(base)
     if formulation == "aggjoin":
         return _dup_flag_aggjoin(base)
+    if formulation == "saltagg":
+        return _dup_flag_saltagg(base)
     raise ValueError(f"unknown dup-flag formulation: {formulation!r}")
 
 
@@ -1086,15 +1124,22 @@ def x45_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange."""
     docs = load_table(spark, "documents", sf_dir)
     counts = token_counts(docs)  # shared pass-1: ONE corpus token scan
-    # shared pass-2 (r11): the bigram stream feeds BOTH the training
-    # count and the scoring join — materialized once instead of two
-    # independent tokenize+zip_with corpus passes.  Row shape is
-    # (doc_id, short string): linear in corpus size, executor-local
-    # memory+disk, the same trade write_bm25_index makes for tf.
-    grams = _doc_bigrams(docs).localCheckpoint()
-    big = train_bigram_lm(docs, counts=counts, grams=grams)
+    # r12 REVERT of the r11 shared-gram localCheckpoint: the
+    # adjudicating interleaved A/B (VERDICT r11 #3; SCALE.md "Round 12:
+    # x64/x45 adjudication") measured the twin tokenize passes FASTER
+    # at sf0.1 (1.859 vs 2.002 s best-of-6, winning 5/6 reps) — the
+    # eager checkpoint job + RDD re-entries cost more than the
+    # tokenize pass it saves, and at scale the materialized gram
+    # stream is ~corpus-sized (every adjacent pair re-concatenated),
+    # so the checkpoint trades one scan+tokenize for writing AND
+    # re-reading corpus-scale executor storage — not the bounded-small
+    # artifact the BM25 tf checkpoint materializes (guide §5: cache
+    # only when recompute costs more than the storage pressure).  The
+    # ``grams=`` plumbing stays: training and scoring still accept a
+    # shared stream for callers whose gram pass is genuinely expensive.
+    big = train_bigram_lm(docs, counts=counts)
     vocab, stats = train_lm(docs, counts=counts)
-    return score_bigram_lm(docs, big, vocab, stats, grams=grams)
+    return score_bigram_lm(docs, big, vocab, stats)
 
 
 def score_bigram_lm(

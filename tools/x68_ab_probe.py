@@ -161,14 +161,17 @@ def main() -> int:
     )
     for opname, fn in eq_ops:
         a = fn(docs, formulation="window")
-        b = fn(docs, formulation="aggjoin")
-        mismatch = a.exceptAll(b).count() + b.exceptAll(a).count()
-        assert mismatch == 0, f"{opname} formulations disagree on {mismatch}"
-        print(f"{opname} equality OK", flush=True)
+        for alt in ("aggjoin", "saltagg"):
+            b = fn(docs, formulation=alt)
+            mismatch = a.exceptAll(b).count() + b.exceptAll(a).count()
+            assert mismatch == 0, (
+                f"{opname} {alt} disagrees on {mismatch}"
+            )
+        print(f"{opname} equality OK (aggjoin, saltagg)", flush=True)
 
     results: dict[str, object] = {"n": n, "corpus": corpus}
     for opname, fn in (("x68", duplicate_spans), ("x69", span_cut_text)):
-        for form in ("window", "aggjoin"):
+        for form in ("window", "aggjoin", "saltagg"):
             best = None
             for _ in range(2):
                 t0 = time.time()
@@ -179,9 +182,10 @@ def main() -> int:
                 best = dt if best is None or dt < best else best
             results[f"{opname}_{form}"] = round(best, 3)
             print(f"{opname} {form:8s} best-of-2 {best:8.3f}s", flush=True)
-        results[f"{opname}_speedup_aggjoin"] = round(
-            results[f"{opname}_window"] / results[f"{opname}_aggjoin"], 2
-        )
+        for alt in ("aggjoin", "saltagg"):
+            results[f"{opname}_speedup_{alt}"] = round(
+                results[f"{opname}_window"] / results[f"{opname}_{alt}"], 2
+            )
     print(json.dumps(results))
     return 0
 
